@@ -1,0 +1,124 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "pairs_scored_per_sec", "value": N, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": ..., ...}
+
+The headline metric is pairwise scoring throughput (features + FS-LR score
+over blocked candidate pairs) — the reference's comparable number is its
+LR inference path (~2.0M pairs/s on 3,528 pairs, pipeline_report.json).
+Scaling evidence across parallelism levels lives in scripts/bench_scaling.py
+(local[8] vs local[32] -> BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _timed(fn):
+    t0 = time.time()
+    out = fn()
+    return out, time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.0
+
+    from record_linkage_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
+    queries: dict[str, float] = {}
+
+    import __spark_entry__ as em
+
+    # --- warehouse-style queries on provided tables -----------------------
+    _, queries["tpch_q1_agg"] = _timed(lambda: em.q_a5_summary_stats(spark, sf_dir).collect())
+    _, queries["blocked_self_join"] = _timed(lambda: em.q_j1_selfjoin_key(spark, sf_dir).count())
+    _, queries["topk_window"] = _timed(lambda: em.q_w5_topk_per_group(spark, sf_dir).count())
+    _, queries["jw_kernel_pairs"] = _timed(lambda: em.q_f1_jaro_winkler(spark, sf_dir).count())
+    _, queries["dedup_exact"] = _timed(lambda: em.q_dedup_exact(spark, sf_dir).count())
+    _, queries["dedup_minhash"] = _timed(lambda: em.q_rl_minhash(spark, sf_dir).count())
+    _, queries["ann_brute_topk"] = _timed(lambda: em.q_ann_brute_topk(spark, sf_dir).count())
+    _, queries["text_quality"] = _timed(lambda: em.q_text_quality(spark, sf_dir).count())
+
+    # --- record-linkage pipeline at sf-scaled synthetic corpus ------------
+    from record_linkage_spark.operators.blocking import candidate_pairs
+    from record_linkage_spark.operators.classifier import LinearModel, score_pairs
+    from record_linkage_spark.operators.clustering import assign_entities
+    from record_linkage_spark.operators.features import FEATURE_INPUT_COLS, add_features
+    from record_linkage_spark.operators.ground_truth import hydrate_pairs
+    from record_linkage_spark.operators.rollup import rollup_conversations
+    from record_linkage_spark.synth.transcripts import (
+        generate_transcripts,
+        transcripts_table,
+    )
+
+    n_entities = max(int(40000 * sf), 500) if sf else 4000
+    raw = generate_transcripts(spark, n_entities=n_entities, dup_rate=1.6)
+    transcripts = transcripts_table(raw)
+
+    t0 = time.time()
+    profiles = rollup_conversations(transcripts)
+    profiles = profiles.localCheckpoint()  # materialize rollup
+    n_convs = profiles.count()
+    queries["rl_rollup"] = time.time() - t0
+
+    t0 = time.time()
+    cands = candidate_pairs(profiles, "B1").localCheckpoint()
+    n_cands = cands.count()
+    queries["rl_blocking_join"] = time.time() - t0
+
+    cols = sorted(set(FEATURE_INPUT_COLS) | {"text_len_bucket"})
+    hydrated = hydrate_pairs(cands.select("id_A", "id_B"), profiles, cols)
+    model = LinearModel(
+        weights=[2.0, 1.0, 1.5, 0.8, 0.6, 0.3, 0.5, 1.2, 0.4, 0.3, 0.8, 0.8, 0.8, 0.4, 1.0, 2.0],
+        intercept=-6.0,
+        threshold=0.5,
+    )
+    t0 = time.time()
+    scored = score_pairs(add_features(hydrated), model)
+    n_scored = scored.count()
+    score_sec = time.time() - t0
+    queries["rl_score_pairs"] = score_sec
+
+    t0 = time.time()
+    edges = scored.filter(F.col("pred") == 1).select(
+        F.col("id_A").alias("src"), F.col("id_B").alias("dst")
+    )
+    assign_entities(profiles.select("conv_id"), edges).count()
+    queries["rl_connected_components"] = time.time() - t0
+
+    pairs_per_sec = n_scored / score_sec if score_sec > 0 else 0.0
+    total = sum(queries.values())
+    print(
+        json.dumps(
+            {
+                "metric": "pairs_scored_per_sec",
+                "value": round(pairs_per_sec, 1),
+                "unit": "sec",
+                "queries": {k: round(v, 3) for k, v in queries.items()},
+                "sf": sf,
+                "total_sec": round(total, 3),
+                "cpus": cpus,
+                "n_convs": n_convs,
+                "n_candidate_pairs": n_cands,
+                "n_scored_pairs": n_scored,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

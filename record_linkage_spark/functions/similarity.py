@@ -1,0 +1,167 @@
+"""Batched string-similarity kernels (Arrow/pandas UDFs — no per-row Python
+in the Spark hot path).
+
+The reference computes Jaro-Winkler per pair with ``jellyfish``
+(``src/blocking/generate.py:72,90``, ``src/matching/logistic_regression.py:71-74``).
+``jellyfish`` is row-at-a-time C over Python loops; here the whole batch is
+vectorized in numpy over fixed-width UCS4 character matrices, invoked from
+Spark as ``pandas_udf`` so each Arrow batch (~20k pairs) is one kernel call.
+
+Semantics match ``jellyfish.jaro_winkler_similarity``:
+  * match window = max(max(len1, len2) // 2 - 1, 0)
+  * greedy left-to-right matching, transpositions = mismatches/2
+  * Winkler boost only when jaro > 0.7, prefix capped at 4, scale 0.1
+  * either side empty -> 0.0
+Golden values are asserted in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from record_linkage_spark.config import JW_MAX_LEN
+
+__all__ = [
+    "jaro_winkler_np",
+    "jaro_winkler_pairs",
+    "token_jaccard_np",
+    "jw_sim",
+    "levenshtein_sim",
+    "token_jaccard",
+]
+
+
+def _char_matrix(values: np.ndarray, max_len: int) -> np.ndarray:
+    """object array of str -> (n, max_len) uint32 codepoint matrix, 0-padded.
+
+    numpy 'U' storage is UCS4, so a view as uint32 gives codepoints with no
+    per-row Python work; strings longer than max_len are truncated.
+    """
+    arr = np.asarray(values, dtype=f"U{max_len}")
+    n = arr.shape[0]
+    if n == 0:
+        return np.zeros((0, max_len), dtype=np.uint32)
+    return np.ascontiguousarray(arr).view(np.uint32).reshape(n, max_len)
+
+
+def jaro_winkler_np(
+    s1, s2, max_len: int = JW_MAX_LEN, winklerize: bool = True
+) -> np.ndarray:
+    """Vectorized Jaro-Winkler over two equal-length string sequences.
+
+    None/NaN are treated as empty strings (similarity 0 unless both sides
+    match per the empty rule). Returns float64 in [0, 1].
+    """
+    a = pd.Series(s1).fillna("").to_numpy(dtype=object)
+    b = pd.Series(s2).fillna("").to_numpy(dtype=object)
+    A = _char_matrix(a, max_len)
+    B = _char_matrix(b, max_len)
+    n = A.shape[0]
+    if n == 0:
+        return np.zeros(0)
+
+    len1 = (A != 0).sum(1)
+    len2 = (B != 0).sum(1)
+    nonempty = (len1 > 0) & (len2 > 0)
+
+    search = np.maximum(np.maximum(len1, len2) // 2 - 1, 0)
+    idx = np.arange(max_len)
+    # eq[r, i, j]: A[r,i] == B[r,j], both non-pad, |i-j| within window
+    eq = (A[:, :, None] == B[:, None, :]) & (A[:, :, None] != 0)
+    eq &= np.abs(idx[:, None] - idx[None, :])[None, :, :] <= search[:, None, None]
+
+    a_flag = np.zeros((n, max_len), dtype=bool)
+    b_flag = np.zeros((n, max_len), dtype=bool)
+    max_l1 = int(len1.max()) if n else 0
+    for i in range(max_l1):
+        cand = eq[:, i, :] & ~b_flag
+        has = cand.any(1)
+        j_star = cand.argmax(1)
+        rows = np.nonzero(has)[0]
+        b_flag[rows, j_star[rows]] = True
+        a_flag[rows, i] = True
+
+    m = a_flag.sum(1).astype(np.float64)
+
+    # compact matched chars of each side in positional order, compare
+    a_pos = np.cumsum(a_flag, axis=1) - 1
+    b_pos = np.cumsum(b_flag, axis=1) - 1
+    a_comp = np.zeros((n, max_len), dtype=np.uint32)
+    b_comp = np.zeros((n, max_len), dtype=np.uint32)
+    ra, ca = np.nonzero(a_flag)
+    a_comp[ra, a_pos[ra, ca]] = A[ra, ca]
+    rb, cb = np.nonzero(b_flag)
+    b_comp[rb, b_pos[rb, cb]] = B[rb, cb]
+    # jellyfish/cjellyfish halve the mismatch count with *integer* division
+    # (jaro.c: trans_count /= 2 on an int); DuckDB agrees — keep parity.
+    trans = (((a_comp != b_comp) & (a_comp != 0)).sum(1) // 2).astype(np.float64)
+
+    safe_m = np.maximum(m, 1.0)
+    safe_l1 = np.maximum(len1, 1)
+    safe_l2 = np.maximum(len2, 1)
+    jaro = (m / safe_l1 + m / safe_l2 + (m - trans) / safe_m) / 3.0
+    jaro = np.where((m > 0) & nonempty, jaro, 0.0)
+
+    if winklerize:
+        k = min(4, max_len)
+        pref_eq = (A[:, :k] == B[:, :k]) & (A[:, :k] != 0)
+        prefix = np.cumprod(pref_eq, axis=1).sum(1)
+        boost = jaro > 0.7
+        jaro = np.where(boost, jaro + prefix * 0.1 * (1.0 - jaro), jaro)
+
+    return np.clip(jaro, 0.0, 1.0)
+
+
+def token_jaccard_np(a_tokens, b_tokens) -> np.ndarray:
+    """|A ∩ B| / |A ∪ B| over two sequences of token lists (None -> 0)."""
+    out = np.zeros(len(a_tokens))
+    for i, (ta, tb) in enumerate(zip(a_tokens, b_tokens)):
+        if ta is None or tb is None:
+            continue
+        sa, sb = set(ta), set(tb)
+        union = len(sa | sb)
+        if union:
+            out[i] = len(sa & sb) / union
+    return out
+
+
+# --- Spark-facing pandas UDFs ---------------------------------------------
+
+@F.pandas_udf(T.DoubleType())
+def jaro_winkler_pairs(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(jaro_winkler_np(a, b))
+
+
+def jw_sim(a, b):
+    """Column expression: batched Jaro-Winkler similarity of two string cols."""
+    return jaro_winkler_pairs(F.col(a) if isinstance(a, str) else a,
+                              F.col(b) if isinstance(b, str) else b)
+
+
+def levenshtein_sim(a, b):
+    """Normalized Levenshtein similarity 1 - dist/max(len) — pure Catalyst
+    built-ins (JVM codegen), no Python. Null or both-empty -> 0.0 to match
+    the kernel's null convention."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    denom = F.greatest(F.length(a), F.length(b))
+    return F.when(
+        a.isNull() | b.isNull() | (denom == 0), F.lit(0.0)
+    ).otherwise(1.0 - F.levenshtein(a, b) / denom.cast("double"))
+
+
+def token_jaccard(a, b):
+    """Token-set Jaccard via array built-ins (array_intersect/array_union).
+
+    Inputs are array<string> columns; null or empty-union -> 0.0.
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(
+        a.isNull() | b.isNull() | (union <= 0), F.lit(0.0)
+    ).otherwise(inter / union.cast("double"))

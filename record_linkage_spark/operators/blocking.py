@@ -1,0 +1,218 @@
+"""Blocking: candidate-pair generation and pair-level filtering.
+
+The reference defines two cascade strategies (``src/blocking/generate.py``):
+  B1: year equal ∧ manufacturer[:3] equal ∧ JW(manufacturer) >= 0.95
+  B2: B1 ∧ model[:3] equal ∧ JW(model) >= 0.85 ∧ fuel exact
+
+Transcript analogues (profile columns from rollup):
+  B1: text_len_bucket equal ∧ first_text_norm[:3] equal
+      ∧ JW(first_text_norm) >= 0.95
+  B2: B1 ∧ last_text_norm[:3] equal ∧ JW(last_text_norm) >= 0.85
+      ∧ primary_tool exact
+
+Two forms, as in the reference (``SURVEY.md §3 E2``):
+  * **filter form** — predicate over a labeled pair table (evaluation path,
+    ``generate.py:99-106`` — but as one vectorized projection, not
+    ``df.apply`` per row)
+  * **generator form** — the production blocking join: the *equality* part
+    of the cascade becomes the shuffle key of a salted hash self-join
+    (skew-aware: per-key counts pick a salt fan-out; side A keeps one salt,
+    side B is exploded to all salts, so every cross pair survives exactly
+    once), and the JW part runs as an Arrow-batched post-filter only on
+    within-block pairs. Cheap predicates first — the JW kernel never sees a
+    pair that failed an equality check.
+"""
+
+from __future__ import annotations
+
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from record_linkage_spark.config import (
+    JW_BLOCK_THRESHOLD_PRIMARY,
+    JW_BLOCK_THRESHOLD_SECONDARY,
+    RANDOM_SEED,
+    SALT_TARGET_BLOCK,
+)
+from record_linkage_spark.functions.similarity import jaro_winkler_pairs
+
+# block-key expression builders are thunks: building a Column requires an
+# active SparkSession, so nothing is materialized at import time
+_KEY_EXPRS = {
+    "text_len_bucket": lambda: F.col("text_len_bucket").cast("string"),
+    "first3": lambda: F.substring("first_text_norm", 1, 3),
+    "last3": lambda: F.substring("last_text_norm", 1, 3),
+}
+
+# (block-equality key names, [(jw_col, threshold)], [exact extra cols])
+STRATEGIES = {
+    "B1": {
+        "equality": ["text_len_bucket", "first3"],
+        "jw": [("first_text_norm", JW_BLOCK_THRESHOLD_PRIMARY)],
+        "exact": [],
+    },
+    "B2": {
+        "equality": ["text_len_bucket", "first3", "last3"],
+        "jw": [
+            ("first_text_norm", JW_BLOCK_THRESHOLD_PRIMARY),
+            ("last_text_norm", JW_BLOCK_THRESHOLD_SECONDARY),
+        ],
+        "exact": ["primary_tool"],
+    },
+}
+
+
+def required_profile_columns(strategy: str) -> list[str]:
+    spec = STRATEGIES[strategy]
+    cols = {"text_len_bucket", "first_text_norm"}
+    for colname, _ in spec["jw"]:
+        cols.add(colname)
+    cols.update(spec["exact"])
+    if "last3" in spec["equality"]:
+        cols.add("last_text_norm")
+    return sorted(cols)
+
+
+def candidate_pairs(
+    profiles: DataFrame,
+    strategy: str = "B1",
+    salt_target: int = SALT_TARGET_BLOCK,
+) -> DataFrame:
+    """Generator form: all profile pairs passing the strategy's cascade.
+
+    Returns (id_A, id_B, block_key). Equality keys drive a salted hash
+    self-join; JW + exact legs filter the joined pairs.
+    """
+    spec = STRATEGIES[strategy]
+    key_exprs = [_KEY_EXPRS[name]().alias(name) for name in spec["equality"]]
+    key_names = list(spec["equality"])
+    payload_cols = sorted(
+        {c for c, _ in spec["jw"]} | set(spec["exact"])
+    )
+
+    recs = profiles.select(F.col("conv_id"), *key_exprs, *payload_cols).filter(
+        F.concat_ws("", *key_names) != ""
+    )
+    for name in key_names:
+        recs = recs.filter(F.col(name).isNotNull())
+
+    # per-key sizes -> salt fan-out g = ceil(n / salt_target)
+    sizes = recs.groupBy(*key_names).agg(F.count("*").alias("_n"))
+    recs = recs.join(F.broadcast(sizes), key_names)
+    g = F.ceil(F.col("_n") / F.lit(salt_target)).cast("int")
+
+    left = recs.withColumn(
+        "_salt",
+        F.pmod(
+            F.xxhash64(F.lit(RANDOM_SEED), F.lit("salt"), F.col("conv_id")), g
+        ).cast("int"),
+    )
+    # explode must be a top-level select expression (generators can't nest
+    # inside casts/arithmetic)
+    right = recs.withColumn("_salts", F.sequence(F.lit(0), g - F.lit(1))).withColumn(
+        "_salt", F.explode("_salts")
+    ).drop("_salts")
+
+    join_cols = key_names + ["_salt"]
+    a = left.select(
+        *[F.col(c) for c in join_cols],
+        F.col("conv_id").alias("id_A"),
+        *[F.col(c).alias(f"{c}_A") for c in payload_cols],
+    )
+    b = right.select(
+        *[F.col(c) for c in join_cols],
+        F.col("conv_id").alias("id_B"),
+        *[F.col(c).alias(f"{c}_B") for c in payload_cols],
+    )
+    pairs = a.join(b, join_cols).filter(F.col("id_A") < F.col("id_B"))
+
+    for colname, thr in spec["jw"]:
+        pairs = pairs.filter(
+            jaro_winkler_pairs(F.col(f"{colname}_A"), F.col(f"{colname}_B"))
+            >= F.lit(thr)
+        )
+    for colname in spec["exact"]:
+        pairs = pairs.filter(
+            F.col(f"{colname}_A").isNotNull()
+            & (F.col(f"{colname}_A") == F.col(f"{colname}_B"))
+        )
+
+    return pairs.select(
+        "id_A",
+        "id_B",
+        F.concat_ws("", *key_names).alias("block_key"),
+        F.lit(strategy).alias("strategy"),
+    )
+
+
+def apply_blocking_filter(
+    hydrated_pairs: DataFrame, strategy: str
+) -> DataFrame:
+    """Filter form over a hydrated (_A/_B) labeled pair table."""
+    spec = STRATEGIES[strategy]
+    pairs = hydrated_pairs
+    for name in spec["equality"]:
+        a, b = _key_pair_cols(name, pairs)
+        pairs = pairs.filter(a.isNotNull() & a.eqNullSafe(b))
+    for colname, thr in spec["jw"]:
+        pairs = pairs.filter(
+            jaro_winkler_pairs(F.col(f"{colname}_A"), F.col(f"{colname}_B"))
+            >= F.lit(thr)
+        )
+    for colname in spec["exact"]:
+        pairs = pairs.filter(
+            F.col(f"{colname}_A").isNotNull()
+            & (F.col(f"{colname}_A") == F.col(f"{colname}_B"))
+        )
+    return pairs
+
+
+def _key_pair_cols(name: str, pairs: DataFrame) -> tuple[Column, Column]:
+    """Block-key equality legs over hydrated pair columns."""
+    if name == "text_len_bucket":
+        return (
+            F.col("text_len_bucket_A").cast("string"),
+            F.col("text_len_bucket_B").cast("string"),
+        )
+    if name == "first3":
+        return (
+            F.substring("first_text_norm_A", 1, 3),
+            F.substring("first_text_norm_B", 1, 3),
+        )
+    if name == "last3":
+        return (
+            F.substring("last_text_norm_A", 1, 3),
+            F.substring("last_text_norm_B", 1, 3),
+        )
+    raise KeyError(name)
+
+
+def blocking_metrics(
+    labeled_pairs: DataFrame, candidates: DataFrame, strategy: str
+) -> dict:
+    """Blocking recall + reduction ratio (A5, ``generate.py:109-127``) in a
+    single conditional-aggregate pass."""
+    cand = candidates.select("id_A", "id_B").withColumn("_cand", F.lit(1))
+    j = labeled_pairs.join(cand, ["id_A", "id_B"], "left")
+    row = j.agg(
+        F.sum("label").alias("pos"),
+        F.sum(F.when((F.col("label") == 1) & (F.col("_cand") == 1), 1).otherwise(0)).alias(
+            "pos_kept"
+        ),
+        F.count("*").alias("n_pairs"),
+        F.sum(F.coalesce("_cand", F.lit(0))).alias("n_kept"),
+    ).first()
+    pos = row.pos or 0
+    return {
+        "strategy": strategy,
+        "positives_in_test": int(pos),
+        "positives_captured": int(row.pos_kept or 0),
+        "blocking_recall": (row.pos_kept / pos) if pos else None,
+        "n_test_pairs": int(row.n_pairs),
+        "n_candidates": int(row.n_kept or 0),
+        "reduction_ratio_vs_test": 1.0 - (row.n_kept or 0) / row.n_pairs
+        if row.n_pairs
+        else None,
+        "seed": RANDOM_SEED,
+    }

@@ -1,0 +1,157 @@
+"""Fellegi-Sunter-style pairwise classifier (M2/M3/M6/A7).
+
+Training uses ``pyspark.ml`` LogisticRegression over the (by construction
+small) labeled GT sample — distributed fit, reference semantics of
+``logistic_regression.py:128-174``'s sklearn grid. Scoring NEVER uses the
+fitted model object's ``transform``: the learned weights are extracted to
+plain floats and scoring is a single codegen'd column expression
+``sigmoid(w · f + b)`` — the weight vector rides into executors as
+literals, so the 10^12-pair scoring path has zero Python and no ML-lib
+overhead (reference M3, ``logistic_regression.py:177-205``).
+
+The decision threshold is tuned with one explode+aggregate sweep
+(A7, ``logistic_regression.py:110-125``): thresholds × scored rows ->
+groupBy(threshold) -> F1 from conditional sums -> argmax. One shuffle, no
+driver loop over thresholds.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from record_linkage_spark.config import (
+    THRESHOLD_GRID_START,
+    THRESHOLD_GRID_STEP,
+    THRESHOLD_GRID_STOP,
+)
+from record_linkage_spark.operators.features import FEATURE_NAMES
+
+
+@dataclass
+class LinearModel:
+    weights: list[float]
+    intercept: float
+    threshold: float = 0.5
+    feature_names: tuple[str, ...] = tuple(FEATURE_NAMES)
+
+    def to_dict(self) -> dict:
+        return {
+            "weights": self.weights,
+            "intercept": self.intercept,
+            "threshold": self.threshold,
+            "feature_names": list(self.feature_names),
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "LinearModel":
+        return cls(
+            weights=list(d["weights"]),
+            intercept=float(d["intercept"]),
+            threshold=float(d.get("threshold", 0.5)),
+            feature_names=tuple(d.get("feature_names", FEATURE_NAMES)),
+        )
+
+
+def train_logistic_regression(
+    train_pairs: DataFrame,
+    feature_names: list[str] | None = None,
+    reg_grid: tuple[float, ...] = (0.0, 0.01, 0.1),
+    val_pairs: DataFrame | None = None,
+) -> LinearModel:
+    """Fit LR on featurized labeled pairs; small grid over regParam picked
+    by validation F1 (reference's C x class_weight grid, M2)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    names = feature_names or FEATURE_NAMES
+    ds = train_pairs.select(
+        array_to_vector(F.array(*[F.col(n) for n in names])).alias("fv"),
+        F.col("label").cast("double").alias("label"),
+    ).cache()
+
+    best: tuple[float, LinearModel] | None = None
+    for reg in reg_grid:
+        lr = LogisticRegression(
+            featuresCol="fv", labelCol="label", regParam=reg, maxIter=100
+        )
+        m = lr.fit(ds)
+        model = LinearModel(
+            weights=[float(w) for w in m.coefficients], intercept=float(m.intercept)
+        )
+        if val_pairs is None:
+            best = (0.0, model)
+            break
+        scored = score_pairs(val_pairs, model)
+        thr, f1 = tune_threshold(scored)
+        model.threshold = thr
+        if best is None or f1 > best[0]:
+            best = (f1, model)
+    ds.unpersist()
+    assert best is not None
+    return best[1]
+
+
+def score_expr(model: LinearModel) -> F.Column:
+    """sigmoid(w · features + b) as a pure column expression."""
+    z = F.lit(model.intercept)
+    for name, w in zip(model.feature_names, model.weights):
+        z = z + F.col(name) * F.lit(float(w))
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def score_pairs(featurized: DataFrame, model: LinearModel) -> DataFrame:
+    """Add ``score`` and ``pred`` columns; missing-feature pairs score 0
+    (reference default-0 convention, ``logistic_regression.py:188-198``)."""
+    score = score_expr(model)
+    any_null = F.lit(False)
+    for name in model.feature_names:
+        any_null = any_null | F.col(name).isNull()
+    score = F.when(any_null, F.lit(0.0)).otherwise(score)
+    return featurized.withColumn("score", score).withColumn(
+        "pred", (F.col("score") >= F.lit(model.threshold)).cast("int")
+    )
+
+
+def threshold_grid() -> list[float]:
+    grid, t = [], THRESHOLD_GRID_START
+    while t <= THRESHOLD_GRID_STOP + 1e-9:
+        grid.append(round(t, 2))
+        t += THRESHOLD_GRID_STEP
+    return grid
+
+
+def tune_threshold(scored: DataFrame, grid: list[float] | None = None) -> tuple[float, float]:
+    """A7 as one explode + conditional aggregate; returns (best_tau, best_f1).
+
+    Ties break toward the lower threshold, matching the reference's
+    strictly-greater update in its sweep loop.
+    """
+    taus = grid or threshold_grid()
+    g = scored.select(
+        "label",
+        "score",
+        F.explode(F.array(*[F.lit(t) for t in taus])).alias("tau"),
+    )
+    agg = (
+        g.groupBy("tau")
+        .agg(
+            F.sum(F.when((F.col("score") >= F.col("tau")) & (F.col("label") == 1), 1).otherwise(0)).alias("tp"),
+            F.sum(F.when((F.col("score") >= F.col("tau")) & (F.col("label") == 0), 1).otherwise(0)).alias("fp"),
+            F.sum(F.when((F.col("score") < F.col("tau")) & (F.col("label") == 1), 1).otherwise(0)).alias("fn"),
+        )
+        .withColumn(
+            "f1",
+            F.when(
+                (F.col("tp") + F.col("fp") > 0) & (F.col("tp") + F.col("fn") > 0),
+                2 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .orderBy(F.desc("f1"), F.asc("tau"))
+    )
+    row = agg.first()
+    if row is None:
+        return 0.5, 0.0
+    return float(row.tau), float(row.f1)

@@ -1,0 +1,240 @@
+"""Document-deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's entity-resolution core, a 100 TB corpus pipeline
+needs document-level dedup. All operators work on a ``documents``-shaped
+table ``(doc_id, text, ...)`` and scale as hash-partitioned DataFrame ops:
+
+  * exact dedup         — md5(normalized text) groupBy, keep min doc_id
+  * n-gram Jaccard      — shingle sets + exact-shingle-signature blocking
+  * MinHash + LSH       — k hash functions over shingles (all built-in
+    ``xxhash64``/``aggregate`` — no Python), banded into buckets, bucket
+    self-join, verified by true Jaccard on candidates
+  * SimHash             — 64-bit hyperplane-free fingerprint from token
+    hashes; near-dup = small Hamming distance within band buckets
+
+Design for scale: every candidate-pair generation is an equality self-join
+on a computed key (band bucket / signature), never a cross join; the
+verification predicate runs only on within-bucket pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from record_linkage_spark.functions.text import norm_text_with_urls
+
+
+def _norm_tokens(text_col) -> Column:
+    s = norm_text_with_urls(text_col)
+    return F.when(s.isNull(), F.array().cast("array<string>")).otherwise(F.split(s, " "))
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup by md5 of normalized text: returns
+    (text_hash, n_copies, keep_id, dup_ids) for groups with >1 doc."""
+    h = F.md5(F.coalesce(norm_text_with_urls(F.col(text_col)), F.lit("")))
+    g = (
+        docs.select(F.col(id_col).alias("doc_id"), h.alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keep_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("all_ids"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+    return g.withColumn(
+        "dup_ids", F.filter(F.col("all_ids"), lambda x: x != F.col("keep_id"))
+    ).drop("all_ids")
+
+
+def word_ngrams(text_col, n: int = 3) -> Column:
+    """Distinct word n-grams of normalized text (array<string>)."""
+    toks = _norm_tokens(text_col)
+    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: for seed s, min over shingles of xxhash64(s, x).
+
+    Pure built-ins: transform over a seed sequence + array_min of hashed
+    shingles — vectorized JVM, no UDF. Empty shingle set -> nulls.
+    """
+    sigs = [
+        F.array_min(F.transform(shingles, lambda x, s=s: F.xxhash64(F.lit(s), x)))
+        for s in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_bands(sig: Column, num_bands: int = 8, rows_per_band: int = 4) -> Column:
+    """LSH banding: hash each band of the signature to a bucket id string."""
+    bands = [
+        F.concat_ws(
+            ":",
+            F.lit(str(b)),
+            F.xxhash64(F.concat_ws(",", *[
+                F.element_at(sig, b * rows_per_band + r + 1).cast("string")
+                for r in range(rows_per_band)
+            ])).cast("string"),
+        )
+        for b in range(num_bands)
+    ]
+    return F.array(*bands)
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: shingle -> minhash -> band -> bucket
+    self-join -> true-Jaccard verification. Returns (id_A, id_B, jaccard).
+    """
+    rows_per_band = num_hashes // num_bands
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        word_ngrams(F.col(text_col), ngram).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    sig = base.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    banded = sig.select(
+        "doc_id",
+        "shingles",
+        F.explode(minhash_bands(F.col("sig"), num_bands, rows_per_band)).alias("bucket"),
+    )
+    a = banded.select(
+        F.col("bucket"),
+        F.col("doc_id").alias("id_A"),
+        F.col("shingles").alias("sh_A"),
+    )
+    b = banded.select(
+        F.col("bucket"),
+        F.col("doc_id").alias("id_B"),
+        F.col("shingles").alias("sh_B"),
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("id_A") < F.col("id_B"))
+        .drop("bucket")
+        .dropDuplicates(["id_A", "id_B"])
+    )
+    inter = F.size(F.array_intersect("sh_A", "sh_B"))
+    union = F.size(F.array_union("sh_A", "sh_B"))
+    jac = F.when(union > 0, inter / union.cast("double")).otherwise(F.lit(0.0))
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_A", "id_B", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    threshold: float = 0.5,
+    block_prefix_tokens: int = 2,
+) -> DataFrame:
+    """Blocked n-gram-Jaccard near-dup: block on the first tokens, verify
+    true Jaccard within blocks (cheap deterministic baseline for MinHash)."""
+    toks = _norm_tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        word_ngrams(F.col(text_col), ngram).alias("shingles"),
+        F.concat_ws(" ", F.slice(toks, 1, block_prefix_tokens)).alias("bk"),
+    ).filter((F.size("shingles") > 0) & (F.col("bk") != ""))
+    a = base.select("bk", F.col("doc_id").alias("id_A"), F.col("shingles").alias("sh_A"))
+    b = base.select("bk", F.col("doc_id").alias("id_B"), F.col("shingles").alias("sh_B"))
+    pairs = a.join(b, "bk").filter(F.col("id_A") < F.col("id_B"))
+    inter = F.size(F.array_intersect("sh_A", "sh_B"))
+    union = F.size(F.array_union("sh_A", "sh_B"))
+    jac = F.when(union > 0, inter / union.cast("double")).otherwise(F.lit(0.0))
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_A", "id_B", "jaccard")
+    )
+
+
+def simhash64(text_col, prefix_weighted: bool = False) -> Column:
+    """64-bit SimHash of normalized tokens, entirely with built-ins.
+
+    Classic bit-vote SimHash sums +-1 per bit over token hashes; here each
+    of the 64 bit-votes is an ``aggregate`` over the token array of
+    ``+1/-1`` from the token's xxhash64 bit — JVM-side, no Python. 64
+    aggregates over a small array is fine for codegen.
+    """
+    toks = _norm_tokens(text_col)
+
+    def _vote(bit: int):
+        return lambda acc, x: acc + F.when(
+            F.shiftright(F.xxhash64(x), bit).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    # assemble the fingerprint with shiftleft + bitwiseOR: bit 63 as a
+    # literal (1 << 63) overflows a Java long, and ANSI mode would reject
+    # additive overflow — bitwise ops wrap safely
+    out = F.lit(0).cast("long")
+    for i in range(64):
+        vote = F.aggregate(toks, F.lit(0), _vote(i))
+        bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        out = out.bitwiseOR(F.shiftleft(bit, i))
+    return out
+
+
+def hamming64(a, b) -> Column:
+    """Hamming distance between two 64-bit fingerprints via bit_count(xor)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    num_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup: band the 64-bit fingerprint into num_bands chunks
+    (pigeonhole: any pair within max_hamming <= num_bands-1 shares a band),
+    self-join per band, verify full Hamming distance."""
+    bits_per_band = 64 // num_bands
+    fp = docs.select(
+        F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("fp")
+    )
+    band_cols = [
+        F.concat_ws(
+            ":",
+            F.lit(str(i)),
+            F.shiftright(F.col("fp"), i * bits_per_band)
+            .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+            .cast("string"),
+        )
+        for i in range(num_bands)
+    ]
+    banded = fp.select(
+        "doc_id", "fp", F.explode(F.array(*band_cols)).alias("bucket")
+    )
+    a = banded.select("bucket", F.col("doc_id").alias("id_A"), F.col("fp").alias("fp_A"))
+    b = banded.select("bucket", F.col("doc_id").alias("id_B"), F.col("fp").alias("fp_B"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_A") < F.col("id_B"))
+        .dropDuplicates(["id_A", "id_B"])
+        .withColumn("hamming", hamming64("fp_A", "fp_B"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_A", "id_B", "hamming")
+    )

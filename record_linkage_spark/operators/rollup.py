@@ -1,0 +1,118 @@
+"""Conversation rollup: turns table -> one profile row per conv_id.
+
+The analogue of the reference's mediated entity table
+(``src/preparation/mediated_schema.py:157-177``): the per-turn transcript
+rows are grouped to one record per ``conv_id`` with a nested, stably
+ordered ``turns`` array plus derived profile/blocking columns.
+
+Spark-first shape (north_star): ``sortWithinPartitions(conv_id, turn_idx)``
+after an explicit repartition on the group key, then ``groupBy(conv_id) +
+collect_list(struct(turn_idx, ...))`` re-sorted with ``sort_array`` —
+``sort_array`` on a struct orders by its first field (turn_idx), so
+per-turn text equality under stable turn ordering holds regardless of
+which executor saw which rows. All derivations are higher-order array
+functions / built-ins — no Python in this stage at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from record_linkage_spark.config import BLOCK_TOKEN_PREFIX_K
+from record_linkage_spark.functions.text import norm_text, norm_tokens, token_prefix
+
+PROFILE_COLS = [
+    "conv_id",
+    "turns",
+    "norm_tokens",
+    "n_tokens",
+    "first_text",
+    "last_text",
+    "first_text_norm",
+    "last_text_norm",
+    "n_turns",
+    "n_user_turns",
+    "n_assistant_turns",
+    "n_tool_turns",
+    "first_role",
+    "primary_tool",
+    "tools_used",
+    "started_at",
+    "ended_at",
+    "duration_sec",
+    "text_len_bucket",
+    "token_prefix",
+]
+
+
+def rollup_conversations(
+    transcripts: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """turns(conv_id, turn_idx, role, text, tool, ts) -> profile table.
+
+    One shuffle (the groupBy); everything downstream of collect_list is
+    array expressions evaluated per row, so the stage scales linearly with
+    conversations and is skew-safe (a conversation fits in one row).
+    """
+    t = transcripts
+    if num_partitions:
+        t = t.repartition(num_partitions, "conv_id")
+    else:
+        t = t.repartition("conv_id")
+    # explicit per-partition ordering before the grouped aggregation
+    t = t.sortWithinPartitions("conv_id", "turn_idx")
+
+    turns_struct = F.struct(
+        F.col("turn_idx"), F.col("role"), F.col("text"), F.col("tool"), F.col("ts")
+    )
+    g = t.groupBy("conv_id").agg(
+        F.sort_array(F.collect_list(turns_struct)).alias("turns")
+    )
+
+    turns = F.col("turns")
+    texts = F.transform(turns, lambda x: x["text"])
+    roles = F.transform(turns, lambda x: x["role"])
+    all_text = F.concat_ws(" ", F.filter(texts, lambda x: x.isNotNull()))
+
+    def role_count(r):
+        return F.size(F.filter(roles, lambda x: x == r))
+
+    prof = (
+        g.withColumn("n_turns", F.size(turns))
+        .withColumn("norm_tokens", norm_tokens(all_text))
+        .withColumn("n_tokens", F.size("norm_tokens"))
+        .withColumn("first_text", F.element_at(turns, 1)["text"])
+        .withColumn("last_text", F.element_at(turns, -1)["text"])
+        .withColumn("first_text_norm", norm_text(F.col("first_text")))
+        .withColumn("last_text_norm", norm_text(F.col("last_text")))
+        .withColumn("n_user_turns", role_count("user"))
+        .withColumn("n_assistant_turns", role_count("assistant"))
+        .withColumn("n_tool_turns", role_count("tool"))
+        .withColumn("first_role", F.element_at(roles, 1))
+        .withColumn(
+            "tools_used",
+            F.array_sort(
+                F.array_distinct(
+                    F.filter(
+                        F.transform(turns, lambda x: x["tool"]), lambda x: x.isNotNull()
+                    )
+                )
+            ),
+        )
+        # try_element_at: tools_used may be empty and ANSI mode (Spark 4
+        # default) makes plain element_at throw on out-of-bounds
+        .withColumn("primary_tool", F.try_element_at(F.col("tools_used"), F.lit(1)))
+        .withColumn("started_at", F.element_at(turns, 1)["ts"])
+        .withColumn("ended_at", F.element_at(turns, -1)["ts"])
+        .withColumn(
+            "duration_sec",
+            F.unix_timestamp("ended_at").cast("double")
+            - F.unix_timestamp("started_at").cast("double"),
+        )
+        .withColumn("text_len_bucket", (F.col("n_tokens") / F.lit(32)).cast("int"))
+        .withColumn(
+            "token_prefix", token_prefix(F.col("norm_tokens"), BLOCK_TOKEN_PREFIX_K)
+        )
+    )
+    return prof.select(*PROFILE_COLS)

@@ -1,0 +1,183 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, both over an ``embeddings``-shaped table (vec_id, embedding):
+  * brute-force cosine top-k — correctness baseline: a (broadcast) join of
+    queries against the corpus with the dot product computed by
+    ``aggregate``/``zip_with`` built-ins (JVM), top-k via window row_number
+  * LSH-bucketed ANN — scale path: random-hyperplane signatures (planes
+    derived deterministically from xxhash64 of (plane, dim) — no stored
+    model needed), band buckets, candidate join within buckets, exact
+    re-rank. At 100 TB the bucket join replaces the corpus-wide cross
+    product; recall is tunable via bands/planes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cosine_sim(a, b) -> Column:
+    """Cosine similarity of two array<float|double> columns via zip_with +
+    aggregate (JVM built-ins; 0.0 when either norm is 0)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(dot / (na * nb))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query: broadcast the (small) query set
+    against the corpus; per-query top-k via window. Returns
+    (query_id, neighbor_id, cosine, rank)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_sim("qv", "cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _plane_coeff(plane: int, dim_index: Column) -> Column:
+    """Deterministic pseudo-gaussian hyperplane coefficient in [-1, 1):
+    xxhash64(plane, dim) scaled — reproducible on any executor, no
+    broadcast state."""
+    h = F.xxhash64(F.lit(int(plane)), dim_index)
+    return (F.pmod(h, F.lit(2_000_001)) - F.lit(1_000_000)) / F.lit(1_000_000.0)
+
+
+def rhp_signature(vec_col, num_planes: int = 16) -> Column:
+    """Random-hyperplane (SimHash) bit signature of a vector as a long."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    idx = F.sequence(F.lit(0), F.size(v) - 1)
+
+    def _proj(plane: int):
+        # closure factory: pyspark higher-order lambdas must take exactly
+        # the declared arguments (no bound defaults)
+        return lambda x, i: x * _plane_coeff(plane, i)
+
+    bits = []
+    for p in range(num_planes):
+        dot = F.aggregate(
+            F.zip_with(v, idx, _proj(p)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(
+            F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int = 16,
+    num_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: RHP signature -> band buckets -> candidate join ->
+    exact cosine re-rank within candidates."""
+    bits_per_band = num_planes // num_bands
+
+    def banded(df: DataFrame, role: str) -> DataFrame:
+        sig = rhp_signature(F.col(vec_col), num_planes)
+        bands = F.array(
+            *[
+                F.concat_ws(
+                    ":",
+                    F.lit(str(i)),
+                    F.shiftright(sig, i * bits_per_band)
+                    .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+                    .cast("string"),
+                )
+                for i in range(num_bands)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(f"{role}_id"),
+            F.col(vec_col).alias(f"{role}_v"),
+            F.explode(bands).alias("bucket"),
+        )
+
+    cq = banded(queries, "query")
+    cc = banded(corpus, "neighbor")
+    cands = (
+        cc.join(cq, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cosine", cosine_sim("query_v", "neighbor_v"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_near_duplicates(
+    vectors: DataFrame,
+    cosine_threshold: float = 0.95,
+    num_planes: int = 16,
+    num_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via the LSH bucket self-join."""
+    sig = rhp_signature(F.col(vec_col), num_planes)
+    bits_per_band = num_planes // num_bands
+    bands = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(i)),
+                F.shiftright(sig, i * bits_per_band)
+                .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+                .cast("string"),
+            )
+            for i in range(num_bands)
+        ]
+    )
+    base = vectors.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), F.explode(bands).alias("bucket")
+    )
+    a = base.select("bucket", F.col("vid").alias("id_A"), F.col("v").alias("va"))
+    b = base.select("bucket", F.col("vid").alias("id_B"), F.col("v").alias("vb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_A") < F.col("id_B"))
+        .dropDuplicates(["id_A", "id_B"])
+        .withColumn("cosine", cosine_sim("va", "vb"))
+        .filter(F.col("cosine") >= cosine_threshold)
+        .select("id_A", "id_B", "cosine")
+    )

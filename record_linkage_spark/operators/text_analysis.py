@@ -1,0 +1,121 @@
+"""Text-analysis operators for training-data curation, all Catalyst
+built-ins (no Python in the hot path): language ID (stopword-hit
+heuristic), quality scoring (length/punct/stopword ratios), token counting
+(whitespace + BPE-ish regex), and rolling-hash document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+LANG_PROFILES = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "nicht", "ein"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "que", "pour", "sur"],
+    "es": ["el", "la", "los", "las", "que", "una", "por", "con", "para", "del"],
+    "it": ["il", "la", "che", "di", "una", "per", "con", "del", "non", "sono"],
+}
+
+
+def _tokens(text_col) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    s = F.lower(F.coalesce(c, F.lit("")))
+    s = F.regexp_replace(s, r"[^a-zàâäéèêëíìîïóòôöúùûüñß\s]", " ")
+    s = F.trim(F.regexp_replace(s, r"\s+", " "))
+    return F.when(s == "", F.array().cast("array<string>")).otherwise(F.split(s, " "))
+
+
+def language_id(text_col) -> Column:
+    """Best-scoring language by stopword-hit fraction; 'und' (undetermined)
+    when nothing matches."""
+    toks = _tokens(text_col)
+    scores = []
+    for lang, words in LANG_PROFILES.items():
+        stop = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.array_intersect(F.array_distinct(toks), stop))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def token_count_ws(text_col) -> Column:
+    """Whitespace token count."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    t = F.trim(F.coalesce(c, F.lit("")))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def token_count_bpe_ish(text_col) -> Column:
+    """BPE-ish subword proxy: count regex word pieces + digits + punct runs
+    (the classic ~GPT2 pre-tokenizer shape, public regex pattern)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    pieces = F.regexp_extract_all(
+        F.coalesce(c, F.lit("")),
+        F.lit(r"(\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+)"),
+        1,
+    )
+    return F.size(pieces)
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add curation-quality columns: lengths, ratios, stopword fraction,
+    mean word length, and a composite [0,1] quality score."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(c)
+    toks = _tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    stop_en = F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_en, t)))
+    n_punct = F.length(F.regexp_replace(c, r"[^\.,;:!\?]", ""))
+    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    mean_wlen = F.when(n_tokens > 0, n_alpha / n_tokens).otherwise(F.lit(0.0))
+
+    out = (
+        docs.withColumn("q_n_chars", n_chars)
+        .withColumn("q_n_tokens", n_tokens)
+        .withColumn(
+            "q_stopword_ratio",
+            F.when(n_tokens > 0, n_stop / n_tokens.cast("double")).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "q_punct_ratio",
+            F.when(n_chars > 0, n_punct / n_chars.cast("double")).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "q_alpha_ratio",
+            F.when(n_chars > 0, n_alpha / n_chars.cast("double")).otherwise(F.lit(0.0)),
+        )
+        .withColumn("q_mean_word_len", mean_wlen)
+    )
+    # composite score: in-range indicators averaged (docs-pipeline heuristic)
+    ind_len = (F.col("q_n_tokens") >= 5) & (F.col("q_n_tokens") <= 100000)
+    ind_stop = F.col("q_stopword_ratio") >= 0.01
+    ind_alpha = F.col("q_alpha_ratio") >= 0.5
+    ind_wlen = (F.col("q_mean_word_len") >= 2) & (F.col("q_mean_word_len") <= 12)
+    ind_punct = F.col("q_punct_ratio") <= 0.2
+    score = (
+        ind_len.cast("double")
+        + ind_stop.cast("double")
+        + ind_alpha.cast("double")
+        + ind_wlen.cast("double")
+        + ind_punct.cast("double")
+    ) / 5.0
+    return out.withColumn("q_score", score)
+
+
+def doc_fingerprint(text_col, window: int = 8) -> Column:
+    """Winnowing-style fingerprint: min token-window hash over the document
+    (deterministic rolling signature; equal fingerprints -> near-identical
+    prefixes/windows, used as a cheap duplicate-candidate key)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = _tokens(c)
+    n = F.greatest(F.size(toks) - (window - 1), F.lit(1))
+    win_hashes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, window))),
+    )
+    return F.when(F.size(toks) == 0, F.lit(None).cast("long")).otherwise(
+        F.array_min(win_hashes)
+    )

@@ -1,0 +1,246 @@
+"""End-to-end linkage pipeline: the E1 analogue (``run_pipeline.py:29-40``)
+as one Spark driver program with per-stage warehouse checkpoints.
+
+Stages (each a checkpointed table + lineage sidecar, resumable):
+  transcripts -> profiles -> gt_pairs -> candidates -> scored_pairs
+  -> match_edges -> clusters (+ metrics JSON)
+
+Run:  python -m record_linkage_spark.plans.pipeline --warehouse /tmp/wh \
+        --entities 2000 [--from-stage candidates] [--strategy B1]
+On a real cluster the same module ships via spark-submit --py-files.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from record_linkage_spark.config import NEG_TO_POS_RATIO, RANDOM_SEED
+from record_linkage_spark.operators.blocking import (
+    apply_blocking_filter,
+    blocking_metrics,
+    candidate_pairs,
+)
+from record_linkage_spark.operators.classifier import (
+    LinearModel,
+    score_pairs,
+    train_logistic_regression,
+    tune_threshold,
+)
+from record_linkage_spark.operators.clustering import assign_entities
+from record_linkage_spark.operators.evaluate import evaluate_global
+from record_linkage_spark.operators.features import FEATURE_INPUT_COLS, add_features
+from record_linkage_spark.operators.ground_truth import (
+    build_ground_truth,
+    hydrate_pairs,
+)
+from record_linkage_spark.operators.rollup import rollup_conversations
+from record_linkage_spark.sources.checkpoints import Warehouse
+from record_linkage_spark.synth.transcripts import (
+    generate_transcripts,
+    hidden_key_table,
+    transcripts_table,
+)
+
+HYDRATE_COLS = sorted(set(FEATURE_INPUT_COLS) | {"text_len_bucket"})
+STAGES = [
+    "transcripts",
+    "hidden_keys",
+    "profiles",
+    "gt_pairs",
+    "candidates",
+    "scored_pairs",
+    "match_edges",
+    "clusters",
+]
+
+
+class LinkagePipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        n_entities: int = 2000,
+        dup_rate: float = 1.6,
+        strategy: str = "B1",
+        neg_ratio: float = NEG_TO_POS_RATIO,
+        transcripts_df: DataFrame | None = None,
+        keys_df: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.wh = Warehouse(root=warehouse, spark=spark)
+        self.n_entities = n_entities
+        self.dup_rate = dup_rate
+        self.strategy = strategy
+        self.neg_ratio = neg_ratio
+        self._transcripts_df = transcripts_df
+        self._keys_df = keys_df
+        self.model: LinearModel | None = None
+        self.report: dict = {}
+
+    def _cfg(self, **kw) -> dict:
+        return {
+            "seed": RANDOM_SEED,
+            "entities": self.n_entities,
+            "dup_rate": self.dup_rate,
+            "strategy": self.strategy,
+            **kw,
+        }
+
+    def run(self, resume: bool = True) -> dict:
+        wh = self.wh
+        os.makedirs(wh.root, exist_ok=True)
+
+        if self._transcripts_df is not None:
+            transcripts = wh.run_stage(
+                "transcripts", lambda: self._transcripts_df, self._cfg(), resume=resume
+            )
+            keys = wh.run_stage(
+                "hidden_keys", lambda: self._keys_df, self._cfg(), resume=resume
+            )
+        else:
+            raw = generate_transcripts(self.spark, self.n_entities, self.dup_rate)
+            transcripts = wh.run_stage(
+                "transcripts",
+                lambda: transcripts_table(raw),
+                self._cfg(),
+                resume=resume,
+            )
+            keys = wh.run_stage(
+                "hidden_keys",
+                lambda: hidden_key_table(raw).select("conv_id", "entity_key"),
+                self._cfg(),
+                inputs=["transcripts"],
+                resume=resume,
+            )
+
+        profiles = wh.run_stage(
+            "profiles",
+            lambda: rollup_conversations(transcripts).drop("turns"),
+            self._cfg(),
+            inputs=["transcripts"],
+            resume=resume,
+        )
+        gt = wh.run_stage(
+            "gt_pairs",
+            lambda: build_ground_truth(profiles, keys, self.neg_ratio),
+            self._cfg(neg_ratio=self.neg_ratio),
+            inputs=["profiles", "hidden_keys"],
+            resume=resume,
+        )
+
+        cands = wh.run_stage(
+            "candidates",
+            lambda: candidate_pairs(profiles, self.strategy),
+            self._cfg(),
+            inputs=["profiles"],
+            resume=resume,
+        )
+
+        def _score() -> DataFrame:
+            gt_hydrated = hydrate_pairs(gt, profiles, HYDRATE_COLS)
+            gt_feats = add_features(
+                apply_blocking_filter(gt_hydrated, self.strategy)
+            ).cache()
+            model = train_logistic_regression(
+                gt_feats.filter(F.col("split") == "train")
+            )
+            tau, _ = tune_threshold(
+                score_pairs(gt_feats.filter(F.col("split") == "val"), model)
+            )
+            model.threshold = tau
+            self.model = model
+            with open(os.path.join(wh.root, "model.json"), "w") as f:
+                json.dump(model.to_dict(), f, indent=2)
+            cand_hydrated = hydrate_pairs(
+                cands.select("id_A", "id_B"), profiles, HYDRATE_COLS
+            )
+            scored = score_pairs(add_features(cand_hydrated), model)
+            return scored.select("id_A", "id_B", "features", "score", "pred")
+
+        scored = wh.run_stage(
+            "scored_pairs",
+            _score,
+            self._cfg(neg_ratio=self.neg_ratio),
+            inputs=["gt_pairs", "candidates", "profiles"],
+            resume=resume,
+        )
+        if self.model is None:
+            try:
+                with open(os.path.join(wh.root, "model.json")) as f:
+                    self.model = LinearModel.from_dict(json.load(f))
+            except OSError:
+                pass
+
+        edges = wh.run_stage(
+            "match_edges",
+            lambda: scored.filter(F.col("pred") == 1).select(
+                F.col("id_A").alias("src"), F.col("id_B").alias("dst")
+            ),
+            self._cfg(),
+            inputs=["scored_pairs"],
+            resume=resume,
+        )
+        clusters = wh.run_stage(
+            "clusters",
+            lambda: assign_entities(profiles.select("conv_id"), edges),
+            self._cfg(),
+            inputs=["match_edges", "profiles"],
+            resume=resume,
+        )
+
+        # evaluation report (E3 analogue)
+        gt_scored = scored.join(
+            gt.select("id_A", "id_B", "label"), ["id_A", "id_B"]
+        )
+        bm = blocking_metrics(
+            gt.select("id_A", "id_B", "label"),
+            cands.select("id_A", "id_B"),
+            self.strategy,
+        )
+        gm = evaluate_global(
+            gt.select("id_A", "id_B", "label"), scored.select("id_A", "id_B", "pred")
+        )
+        self.report = {
+            "strategy": self.strategy,
+            "blocking": bm,
+            "global": gm,
+            "threshold": self.model.threshold if self.model else None,
+            "n_candidates": cands.count(),
+            "n_clusters": clusters.select("entity_id").distinct().count(),
+            "gt_candidate_rows": gt_scored.count(),
+        }
+        with open(os.path.join(wh.root, "pipeline_report.json"), "w") as f:
+            json.dump(self.report, f, indent=2)
+        return self.report
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--entities", type=int, default=2000)
+    ap.add_argument("--dup-rate", type=float, default=1.6)
+    ap.add_argument("--strategy", default="B1")
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args()
+
+    from record_linkage_spark.session import get_spark
+
+    spark = get_spark("linkage_pipeline")
+    pipe = LinkagePipeline(
+        spark,
+        args.warehouse,
+        n_entities=args.entities,
+        dup_rate=args.dup_rate,
+        strategy=args.strategy,
+    )
+    report = pipe.run(resume=not args.no_resume)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,170 @@
+"""Blocking truth tables ported 1:1 from the reference
+(``tests/test_blocking_generate.py:6-59``) onto the transcript analogue
+columns, plus generator-form (salted self-join) invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from record_linkage_spark.operators.blocking import (
+    apply_blocking_filter,
+    blocking_metrics,
+    candidate_pairs,
+)
+
+PAIR_SCHEMA = (
+    "id_A string, id_B string, "
+    "text_len_bucket_A int, text_len_bucket_B int, "
+    "first_text_norm_A string, first_text_norm_B string, "
+    "last_text_norm_A string, last_text_norm_B string, "
+    "primary_tool_A string, primary_tool_B string"
+)
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, PAIR_SCHEMA)
+
+
+def test_b1_passes_same_bucket_same_text(spark):
+    # reference: same year + case-insensitively same manufacturer -> pass
+    df = _pairs(
+        spark,
+        [("a", "b", 2, 2, "toyota camry le", "toyota camry le", "x", "x", None, None)],
+    )
+    assert apply_blocking_filter(df, "B1").count() == 1
+
+
+def test_b1_fails_on_bucket_mismatch(spark):
+    # reference: year mismatch -> fail
+    df = _pairs(
+        spark,
+        [("a", "b", 2, 3, "toyota camry le", "toyota camry le", "x", "x", None, None)],
+    )
+    assert apply_blocking_filter(df, "B1").count() == 0
+
+
+def test_b1_fails_on_low_jw(spark):
+    # same prefix3 but divergent tail below 0.95
+    df = _pairs(
+        spark,
+        [("a", "b", 2, 2, "toyabcdefgh", "toyzzzzyxwv", "x", "x", None, None)],
+    )
+    assert apply_blocking_filter(df, "B1").count() == 0
+
+
+def test_b1_fails_on_null_key(spark):
+    df = _pairs(spark, [("a", "b", 2, 2, None, None, "x", "x", None, None)])
+    assert apply_blocking_filter(df, "B1").count() == 0
+
+
+def test_b2_passes_with_model_and_fuel_agreement(spark):
+    # reference: B1 + model prefix + JW(model) + fuel exact -> pass
+    df = _pairs(
+        spark,
+        [
+            (
+                "a",
+                "b",
+                2,
+                2,
+                "toyota camry le",
+                "toyota camry le",
+                "thanks for the help",
+                "thanks for the helps",
+                "search",
+                "search",
+            )
+        ],
+    )
+    assert apply_blocking_filter(df, "B2").count() == 1
+
+
+def test_b2_fails_on_tool_mismatch(spark):
+    # reference: fuel mismatch -> fail
+    df = _pairs(
+        spark,
+        [
+            (
+                "a",
+                "b",
+                2,
+                2,
+                "toyota camry le",
+                "toyota camry le",
+                "thanks for the help",
+                "thanks for the help",
+                "search",
+                "browser",
+            )
+        ],
+    )
+    assert apply_blocking_filter(df, "B2").count() == 0
+
+
+def test_candidate_generator_matches_filter_form(spark):
+    """Generator-form pairs == filter-form pairs over the full cross join
+    (on a small profile table where O(n^2) is checkable)."""
+    profiles = spark.createDataFrame(
+        [
+            ("c1", 1, "hello world foo", "bye now", "search", 3),
+            ("c2", 1, "hello world foo", "bye now later", "search", 3),
+            ("c3", 1, "hello world bar", "bye now", "search", 3),
+            ("c4", 2, "hello world foo", "bye now", "search", 3),  # bucket differs
+            ("c5", 1, "completely different", "bye", "browser", 3),
+        ],
+        "conv_id string, text_len_bucket int, first_text_norm string, "
+        "last_text_norm string, primary_tool string, n_turns int",
+    )
+    got = {
+        (r.id_A, r.id_B)
+        for r in candidate_pairs(profiles, "B1", salt_target=2).collect()
+    }
+    # cross-check with brute force filter form
+    a = profiles.select(
+        F.col("conv_id").alias("id_A"),
+        *[F.col(c).alias(f"{c}_A") for c in profiles.columns if c != "conv_id"],
+    )
+    b = profiles.select(
+        F.col("conv_id").alias("id_B"),
+        *[F.col(c).alias(f"{c}_B") for c in profiles.columns if c != "conv_id"],
+    )
+    brute = a.crossJoin(b).filter(F.col("id_A") < F.col("id_B"))
+    exp = {
+        (r.id_A, r.id_B) for r in apply_blocking_filter(brute, "B1").collect()
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_candidate_generator_salting_invariance(spark):
+    """Salt fan-out must not change the candidate set (completeness of the
+    replicate-explode salted self-join)."""
+    rows = [
+        (f"c{i}", 1, "same text here always", "tail", "search", 3) for i in range(30)
+    ]
+    profiles = spark.createDataFrame(
+        rows,
+        "conv_id string, text_len_bucket int, first_text_norm string, "
+        "last_text_norm string, primary_tool string, n_turns int",
+    )
+    small_salt = {
+        (r.id_A, r.id_B) for r in candidate_pairs(profiles, "B1", salt_target=5).collect()
+    }
+    no_salt = {
+        (r.id_A, r.id_B)
+        for r in candidate_pairs(profiles, "B1", salt_target=10_000).collect()
+    }
+    assert small_salt == no_salt == {(f"c{i}", f"c{j}") for i in range(30) for j in range(30) if f"c{i}" < f"c{j}"}
+
+
+def test_blocking_metrics(spark):
+    gt = spark.createDataFrame(
+        [("a", "b", 1), ("c", "d", 1), ("e", "f", 0), ("g", "h", 0)],
+        "id_A string, id_B string, label int",
+    )
+    cand = spark.createDataFrame([("a", "b"), ("e", "f")], "id_A string, id_B string")
+    m = blocking_metrics(gt, cand, "B1")
+    assert m["positives_in_test"] == 2
+    assert m["positives_captured"] == 1
+    assert m["blocking_recall"] == 0.5
+    assert m["n_candidates"] == 2
+    assert m["reduction_ratio_vs_test"] == 0.5

@@ -1,0 +1,71 @@
+"""Warehouse checkpointing: lineage sidecars, config-hash resume, and
+resume-equals-single-run over the full pipeline."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from record_linkage_spark.sources.checkpoints import Warehouse, config_hash
+
+
+def test_write_read_and_lineage(spark, tmp_path):
+    wh = Warehouse(root=str(tmp_path), spark=spark)
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    wh.write("stage_a", df, cfg={"p": 1}, metrics={"n": 100})
+    assert wh.exists("stage_a")
+    lin = wh.lineage("stage_a")
+    assert lin["stage"] == "stage_a"
+    assert lin["config_hash"] == config_hash({"p": 1})
+    assert lin["row_count"] == 100
+    assert sum(p["rows"] for p in lin["partitions"]) == 100
+    assert lin["metrics"] == {"n": 100}
+    assert wh.read("stage_a").count() == 100
+
+
+def test_run_stage_resume_and_invalidation(spark, tmp_path):
+    wh = Warehouse(root=str(tmp_path), spark=spark)
+    calls = []
+
+    def make():
+        calls.append(1)
+        return spark.range(10)
+
+    wh.run_stage("s", make, cfg={"v": 1})
+    wh.run_stage("s", make, cfg={"v": 1})  # resumed — no recompute
+    assert len(calls) == 1
+    wh.run_stage("s", make, cfg={"v": 2})  # config changed — recompute
+    assert len(calls) == 2
+    wh.run_stage("s", make, cfg={"v": 2}, resume=False)  # forced
+    assert len(calls) == 3
+
+
+def test_pipeline_resume_equivalence(spark, tmp_path):
+    """resume-from-checkpoint equals single-run (SURVEY §5 item 4)."""
+    from record_linkage_spark.plans.pipeline import LinkagePipeline
+
+    wh1 = str(tmp_path / "wh1")
+    pipe = LinkagePipeline(spark, wh1, n_entities=80, dup_rate=1.8)
+    r1 = pipe.run(resume=True)
+
+    # delete downstream stages, keep upstream — rerun must reproduce exactly
+    import shutil
+
+    for stage in ["scored_pairs", "match_edges", "clusters"]:
+        shutil.rmtree(os.path.join(wh1, stage), ignore_errors=True)
+    pipe2 = LinkagePipeline(spark, wh1, n_entities=80, dup_rate=1.8)
+    r2 = pipe2.run(resume=True)
+
+    assert r1["global"] == r2["global"]
+    assert r1["n_candidates"] == r2["n_candidates"]
+    assert r1["n_clusters"] == r2["n_clusters"]
+
+    c1 = sorted(
+        map(tuple, spark.read.parquet(os.path.join(wh1, "clusters")).collect())
+    )
+    assert len(c1) > 0
+    with open(os.path.join(wh1, "pipeline_report.json")) as f:
+        rep = json.load(f)
+    assert rep["global"]["f1"] == r2["global"]["f1"]

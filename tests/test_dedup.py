@@ -1,0 +1,87 @@
+"""Dedup operators: exact, n-gram Jaccard, MinHash-LSH, SimHash."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from record_linkage_spark.operators.dedup import (
+    exact_duplicates,
+    hamming64,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_duplicates,
+    word_ngrams,
+)
+
+DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the QUICK brown fox, jumps over the lazy dog near the river bank"),  # exact after norm
+    (3, "The quick brown fox jumps over the lazy cat near the river bank"),  # near-dup
+    (4, "Completely different text about spark query engines and shuffles"),
+    (5, "Another unrelated document mentioning databases and indexes only"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark):
+    got = exact_duplicates(_docs(spark)).collect()
+    assert len(got) == 1
+    assert got[0].keep_id == 1 and got[0].dup_ids == [2] and got[0].n_copies == 2
+
+
+def test_word_ngrams(spark):
+    df = spark.createDataFrame([("a b c d",)], "t string")
+    row = df.select(word_ngrams(F.col("t"), 3).alias("g")).first()
+    assert set(row.g) == {"a b c", "b c d"}
+
+
+def test_ngram_jaccard_pairs(spark):
+    got = {
+        (r.id_A, r.id_B)
+        for r in ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()
+    }
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+    assert all(p[0] < 4 and p[1] < 4 for p in got)
+
+
+def test_minhash_near_duplicates(spark):
+    got = {
+        (r.id_A, r.id_B): r.jaccard
+        for r in minhash_near_duplicates(
+            _docs(spark), jaccard_threshold=0.6
+        ).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 1.0  # identical after norm
+    assert all(a < 4 and b < 4 for a, b in got)
+
+
+def test_simhash_properties(spark):
+    df = _docs(spark).withColumn("fp", simhash64(F.col("text")))
+    fps = {r.doc_id: r.fp for r in df.collect()}
+    assert fps[1] == fps[2]  # identical normalized text -> same fingerprint
+    d13 = (
+        spark.range(1)
+        .select(hamming64(F.lit(fps[1]), F.lit(fps[3])).alias("h"))
+        .first()
+        .h
+    )
+    d14 = (
+        spark.range(1)
+        .select(hamming64(F.lit(fps[1]), F.lit(fps[4])).alias("h"))
+        .first()
+        .h
+    )
+    assert d13 < d14  # near-dup closer than unrelated
+
+
+def test_simhash_near_duplicates(spark):
+    got = {
+        (r.id_A, r.id_B)
+        for r in simhash_near_duplicates(_docs(spark), max_hamming=8).collect()
+    }
+    assert (1, 2) in got
+    assert not any(4 in p or 5 in p for p in got)

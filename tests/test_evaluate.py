@@ -1,0 +1,48 @@
+"""Global-eval fixture ported 1:1 from the reference
+(``tests/test_compare_metrics.py:7-37``): 4 GT pairs, 2 candidates (one
+with swapped id order), preds [1,1] -> global preds [1,1,0,0],
+TP=FP=FN=TN=1, P=R=F1=0.5."""
+
+from __future__ import annotations
+
+from record_linkage_spark.operators.evaluate import (
+    confusion_metrics,
+    evaluate_global,
+    global_predictions,
+)
+
+
+def test_global_reconstruction_and_metrics(spark):
+    gt = spark.createDataFrame(
+        [("a", "b", 1), ("c", "d", 1), ("e", "f", 0), ("g", "h", 0)],
+        "id_A string, id_B string, label int",
+    )
+    # one candidate in swapped order — canonical key must still align it
+    cand = spark.createDataFrame(
+        [("b", "a", 1), ("e", "f", 1)], "id_A string, id_B string, pred int"
+    )
+    preds = global_predictions(gt, cand).orderBy("id_A")
+    got = {(r.id_A, r.id_B): r.pred for r in preds.collect()}
+    # swapped-order candidate overlays onto (a,b); non-candidates default 0
+    assert got == {("a", "b"): 1, ("c", "d"): 0, ("e", "f"): 1, ("g", "h"): 0}
+
+
+def test_reference_fixture_exact(spark):
+    gt = spark.createDataFrame(
+        [("a", "b", 1), ("c", "d", 1), ("e", "f", 0), ("g", "h", 0)],
+        "id_A string, id_B string, label int",
+    )
+    cand = spark.createDataFrame(
+        [("b", "a", 1), ("e", "f", 1)], "id_A string, id_B string, pred int"
+    )
+    m = evaluate_global(gt, cand)
+    assert (m["tp"], m["fp"], m["fn"], m["tn"]) == (1, 1, 1, 1)
+    assert m["precision"] == 0.5 and m["recall"] == 0.5 and m["f1"] == 0.5
+
+
+def test_confusion_all_correct(spark):
+    preds = spark.createDataFrame(
+        [(1, 1), (0, 0), (1, 1)], "label int, pred int"
+    )
+    m = confusion_metrics(preds)
+    assert m["f1"] == 1.0 and m["fp"] == 0 and m["fn"] == 0

@@ -1,0 +1,105 @@
+"""GT construction: key validation, positives self-join, stratified
+negatives with caps, hash split (reference ground_truth.py semantics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from record_linkage_spark.operators.ground_truth import (
+    build_ground_truth,
+    hydrate_pairs,
+    positive_pairs,
+    validate_keys,
+    with_split,
+)
+from record_linkage_spark.operators.rollup import rollup_conversations
+from record_linkage_spark.synth.transcripts import (
+    generate_transcripts,
+    hidden_key_table,
+    transcripts_table,
+)
+
+
+def _mk_key(entity: int, corrupt: bool = False) -> str:
+    digits = f"{entity:010d}"
+    weights = [7, 3, 1, 7, 3, 1, 7, 3, 1, 7]
+    chk = sum(int(d) * w for d, w in zip(digits, weights)) % 10
+    if corrupt:
+        chk = (chk + 1) % 10
+    return f"EK{digits}{chk}"
+
+
+def test_validate_keys(spark):
+    rows = [
+        ("c1", _mk_key(123)),            # valid
+        ("c2", _mk_key(123, corrupt=True)),  # bad checksum
+        ("c3", "EK111111111" ),          # wrong length
+        ("c4", _mk_key(123).lower()),    # case-normalized -> valid
+        ("c5", "EK00000000000"),         # placeholder (all-same payload)
+        ("c6", None),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, entity_key string")
+    kept = {r.conv_id for r in validate_keys(df).collect()}
+    assert kept == {"c1", "c4"}
+
+
+def test_positive_pairs_canonical(spark):
+    df = spark.createDataFrame(
+        [("c1", "K1"), ("c2", "K1"), ("c3", "K1"), ("c9", "K2")],
+        "conv_id string, entity_key string",
+    )
+    got = {(r.id_A, r.id_B) for r in positive_pairs(df).collect()}
+    assert got == {("c1", "c2"), ("c1", "c3"), ("c2", "c3")}
+
+
+def test_split_proportions_and_determinism(spark):
+    pairs = spark.createDataFrame(
+        [(f"a{i}", f"b{i}", i % 2) for i in range(4000)],
+        "id_A string, id_B string, label int",
+    )
+    s1 = with_split(pairs)
+    frac = {
+        r.split: r.n
+        for r in s1.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    n = sum(frac.values())
+    assert abs(frac["train"] / n - 0.70) < 0.03
+    assert abs(frac["val"] / n - 0.10) < 0.02
+    assert abs(frac["test"] / n - 0.20) < 0.03
+    # deterministic: same assignment on recompute with different partitioning
+    s2 = with_split(pairs.repartition(13))
+    j = s1.select("id_A", "id_B", "split").join(
+        s2.select("id_A", "id_B", F.col("split").alias("s2")), ["id_A", "id_B"]
+    )
+    assert j.filter(F.col("split") != F.col("s2")).count() == 0
+
+
+def test_build_ground_truth_end_to_end(spark):
+    raw = generate_transcripts(spark, n_entities=120, dup_rate=2.0)
+    profiles = rollup_conversations(transcripts_table(raw))
+    keys = hidden_key_table(raw).select("conv_id", "entity_key")
+    gt = build_ground_truth(profiles, keys, neg_ratio=2.0).cache()
+
+    dist = {r.label: r.n for r in gt.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    assert dist.get(1, 0) > 0 and dist.get(0, 0) > 0
+    # negatives never pair the same entity (valid keys differ)
+    truth = hidden_key_table(raw)
+    a = truth.select(F.col("conv_id").alias("id_A"), F.col("entity_id").alias("ea"))
+    b = truth.select(F.col("conv_id").alias("id_B"), F.col("entity_id").alias("eb"))
+    joined = gt.join(a, "id_A").join(b, "id_B")
+    assert joined.filter((F.col("label") == 0) & (F.col("ea") == F.col("eb"))).count() == 0
+    # positives always same entity
+    assert joined.filter((F.col("label") == 1) & (F.col("ea") != F.col("eb"))).count() == 0
+    # canonical ordering + no dupes
+    assert gt.filter(F.col("id_A") >= F.col("id_B")).count() == 0
+    assert gt.count() == gt.dropDuplicates(["id_A", "id_B"]).count()
+    # strata present
+    strata = {r.stratum for r in gt.select("stratum").distinct().collect()}
+    assert "positive" in strata and "hard" in strata
+
+    # hydration carries both sides' attributes
+    hyd = hydrate_pairs(gt.limit(50), profiles, ["n_turns", "first_text_norm"])
+    assert {"n_turns_A", "n_turns_B", "first_text_norm_A", "first_text_norm_B"} <= set(
+        hyd.columns
+    )
+    assert hyd.count() == 50

@@ -1,0 +1,93 @@
+"""Golden tests for the batched string-similarity kernels.
+
+JW golden values follow ``jellyfish.jaro_winkler_similarity`` semantics
+(the reference's comparator, ``src/blocking/generate.py:72,90``), verified
+char-exact against DuckDB's jaro_winkler_similarity as a second opinion.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from record_linkage_spark.functions.similarity import (
+    jaro_winkler_np,
+    jw_sim,
+    levenshtein_sim,
+    token_jaccard,
+    token_jaccard_np,
+)
+
+GOLDEN = [
+    ("martha", "marhta", 0.9611),
+    ("dwayne", "duane", 0.84),
+    ("dixon", "dicksonx", 0.8133),
+    ("jellyfish", "smellyfish", 0.8963),
+    ("toyota", "toyota", 1.0),
+    ("a", "a", 1.0),
+    ("", "", 0.0),
+    ("abc", "", 0.0),
+    ("ab", "ba", 0.0),  # window 0 -> no matches (jellyfish semantics)
+]
+
+
+def test_jw_golden_values():
+    got = jaro_winkler_np([c[0] for c in GOLDEN], [c[1] for c in GOLDEN])
+    for (a, b, exp), g in zip(GOLDEN, got):
+        assert abs(g - exp) < 5e-4, (a, b, exp, g)
+
+
+def test_jw_none_is_empty():
+    got = jaro_winkler_np([None, "x"], ["x", None])
+    assert (got == 0.0).all()
+
+
+def test_jw_matches_duckdb_randomized():
+    rng = np.random.default_rng(7)
+    vocab = list("abcdefghij xyz")
+    pairs = [
+        (
+            "".join(rng.choice(vocab, rng.integers(0, 20))),
+            "".join(rng.choice(vocab, rng.integers(0, 20))),
+        )
+        for _ in range(1500)
+    ]
+    df = pd.DataFrame(pairs, columns=["a", "b"])
+    oracle = (
+        duckdb.connect()
+        .execute("select jaro_winkler_similarity(a, b) s from df")
+        .df()["s"]
+        .to_numpy()
+    )
+    mine = jaro_winkler_np(df.a, df.b)
+    assert np.abs(oracle - mine).max() < 1e-9
+
+
+def test_token_jaccard_np():
+    got = token_jaccard_np([["a", "b"], ["a"], None, []], [["b", "c"], ["a"], ["a"], []])
+    assert got == pytest.approx([1 / 3, 1.0, 0.0, 0.0])
+
+
+def test_spark_kernels(spark):
+    df = spark.createDataFrame(
+        [("martha", "marhta", ["a", "b"], ["b", "c"]), ("kitten", "sitting", ["x"], ["x"])],
+        "a string, b string, ta array<string>, tb array<string>",
+    )
+    out = df.select(
+        jw_sim("a", "b").alias("jw"),
+        levenshtein_sim("a", "b").alias("lev"),
+        token_jaccard("ta", "tb").alias("jac"),
+    ).collect()
+    assert out[0].jw == pytest.approx(0.9611, abs=5e-4)
+    assert out[0].jac == pytest.approx(1 / 3)
+    assert out[1].lev == pytest.approx(1 - 3 / 7)
+    assert out[1].jac == pytest.approx(1.0)
+
+
+def test_levenshtein_sim_nulls(spark):
+    df = spark.createDataFrame([(None, "x"), ("", ""), ("ab", "ab")], "a string, b string")
+    vals = [r.v for r in df.select(levenshtein_sim("a", "b").alias("v")).collect()]
+    assert vals == [0.0, 0.0, 1.0]

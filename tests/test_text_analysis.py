@@ -1,0 +1,68 @@
+"""Text analysis: language ID heuristic, token counters, quality score,
+fingerprint."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from record_linkage_spark.operators.text_analysis import (
+    doc_fingerprint,
+    language_id,
+    quality_features,
+    token_count_bpe_ish,
+    token_count_ws,
+)
+
+
+def test_language_id(spark):
+    rows = [
+        ("the cat and the dog went to the market in the morning",),
+        ("der Hund und die Katze sind nicht in das Haus gegangen",),
+        ("le chat est dans la maison pour les vacances",),
+        ("zzz qqq xxx",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    got = [r.lang for r in df.select(language_id("text").alias("lang")).collect()]
+    assert got == ["en", "de", "fr", "und"]
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("Hello, world! It's 42 degrees.",), ("", ), (None,)], "text string")
+    rows = df.select(
+        token_count_ws("text").alias("ws"), token_count_bpe_ish("text").alias("bpe")
+    ).collect()
+    assert rows[0].ws == 5
+    # pieces: Hello , world ! It ' s 42 degrees .  -> 10
+    assert rows[0].bpe == 10
+    assert rows[1].ws == 0 and rows[2].ws == 0
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps over the lazy dog and runs far away."),
+            (2, "!!! ??? ... ;;;"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in quality_features(df).collect()}
+    assert rows[1].q_score > rows[2].q_score
+    assert rows[1].q_stopword_ratio > 0
+    assert rows[2].q_alpha_ratio == 0.0
+    assert 0.0 <= rows[1].q_score <= 1.0
+
+
+def test_doc_fingerprint(spark):
+    df = spark.createDataFrame(
+        [
+            ("one two three four five six seven eight nine ten",),
+            ("one two three four five six seven eight nine ten",),
+            ("totally different words compose this other document here now",),
+            (None,),
+        ],
+        "text string",
+    )
+    rows = [r.fp for r in df.select(doc_fingerprint("text").alias("fp")).collect()]
+    assert rows[0] == rows[1]
+    assert rows[0] != rows[2]
+    assert rows[3] is None
