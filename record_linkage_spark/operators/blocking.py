@@ -82,7 +82,14 @@ def candidate_pairs(
     """Generator form: all profile pairs passing the strategy's cascade.
 
     Returns (id_A, id_B, block_key). Equality keys drive a salted hash
-    self-join; JW + exact legs filter the joined pairs.
+    self-join; JW + exact legs filter the joined pairs (Arrow kernel runs
+    only on within-block pairs — `.explain` shows ArrowEvalPython above
+    the join, never below).
+
+    NOTE: `profiles` appears three times in the plan (both join sides +
+    the size aggregation). Feed a *materialized* table (checkpoint /
+    parquet stage, as the pipeline does) so the rollup isn't recomputed
+    per branch.
     """
     spec = STRATEGIES[strategy]
     key_exprs = [_KEY_EXPRS[name]().alias(name) for name in spec["equality"]]

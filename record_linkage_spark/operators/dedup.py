@@ -50,27 +50,50 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 
 def word_ngrams(text_col, n: int = 3) -> Column:
-    """Distinct word n-grams of normalized text (array<string>)."""
-    toks = _norm_tokens(text_col)
-    cnt = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), cnt),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
-    )
+    """Distinct word n-grams of normalized text (array<string>).
 
-
-def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature: for seed s, min over shingles of xxhash64(s, x).
-
-    Pure built-ins: transform over a seed sequence + array_min of hashed
-    shingles — vectorized JVM, no UDF. Empty shingle set -> nulls.
+    Implemented as arrays_zip of n shifted copies + one transform with
+    struct access — NOT slice-per-position inside a lambda: higher-order
+    lambdas run interpreted, and a per-element slice costs ~100x more than
+    a struct field read (measured 16s -> <1s on 500 docs x 400 tokens).
     """
-    sigs = [
-        F.array_min(F.transform(shingles, lambda x, s=s: F.xxhash64(F.lit(s), x)))
-        for s in range(num_hashes)
-    ]
+    toks = _norm_tokens(text_col)
+    size = F.size(toks)
+    shifted = [F.slice(toks, i + 1, F.greatest(size - i, F.lit(0))) for i in range(n)]
+    zipped = F.arrays_zip(*shifted)
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
+    )
+    cnt = F.greatest(size - (n - 1), F.lit(0))
+    return F.array_distinct(F.slice(grams, 1, cnt))
+
+
+_MH_PRIME = 2147483647  # 2^31 - 1
+
+
+def shingle_hashes(shingles: Column) -> Column:
+    """One xxhash64 per shingle, folded into [0, 2^31): the base for all k
+    MinHash functions (hash once, k affine transforms — not k re-hashes)."""
+    return F.transform(shingles, lambda x: F.pmod(F.xxhash64(x), F.lit(_MH_PRIME)))
+
+
+def minhash_signature(hashes: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature over pre-hashed shingles (see shingle_hashes).
+
+    h_i(x) = (a_i * h + b_i) mod p with p = 2^31-1, a_i odd, b_i mixed —
+    the standard universal-hash family; operands stay < 2^62 so the
+    arithmetic is ANSI-safe. IMPORTANT: pass a *materialized column* of
+    shingle hashes (withColumn), so the base hash isn't recomputed per
+    signature row.
+    """
+    def _affine(a: int, b: int):
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MH_PRIME))
+
+    sigs = []
+    for i in range(num_hashes):
+        a = 2 * i + 1
+        b = (i * 2654435761) % _MH_PRIME
+        sigs.append(F.array_min(F.transform(hashes, _affine(a, b))))
     return F.array(*sigs)
 
 
@@ -107,27 +130,46 @@ def minhash_near_duplicates(
         F.col(id_col).alias("doc_id"),
         word_ngrams(F.col(text_col), ngram).alias("shingles"),
     ).filter(F.size("shingles") > 0)
-    sig = base.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    # materialize base hashes once; the k signature mins are affine maps
+    base = base.withColumn("_h", shingle_hashes(F.col("shingles")))
+    sig = base.select(
+        "doc_id", minhash_signature(F.col("_h"), num_hashes).alias("sig")
+    )
+
+    # bucket join carries ONLY (doc_id, sig) — never the shingle arrays;
+    # at corpus scale the shuffle payload is 32 longs per row, not the text
     banded = sig.select(
         "doc_id",
-        "shingles",
+        "sig",
         F.explode(minhash_bands(F.col("sig"), num_bands, rows_per_band)).alias("bucket"),
     )
     a = banded.select(
-        F.col("bucket"),
-        F.col("doc_id").alias("id_A"),
-        F.col("shingles").alias("sh_A"),
+        F.col("bucket"), F.col("doc_id").alias("id_A"), F.col("sig").alias("sig_A")
     )
     b = banded.select(
-        F.col("bucket"),
-        F.col("doc_id").alias("id_B"),
-        F.col("shingles").alias("sh_B"),
+        F.col("bucket"), F.col("doc_id").alias("id_B"), F.col("sig").alias("sig_B")
     )
-    pairs = (
+    cand = (
         a.join(b, "bucket")
         .filter(F.col("id_A") < F.col("id_B"))
         .drop("bucket")
         .dropDuplicates(["id_A", "id_B"])
+    )
+    # cheap signature-agreement pre-filter (the MinHash Jaccard estimator),
+    # with slack so true-Jaccard borderline pairs survive to exact verify
+    agree = F.size(
+        F.filter(F.zip_with("sig_A", "sig_B", lambda x, y: x == y), lambda v: v)
+    )
+    cand = cand.withColumn(
+        "est_jaccard", agree / F.lit(float(num_hashes))
+    ).filter(F.col("est_jaccard") >= jaccard_threshold * 0.7)
+
+    # exact verification only for survivors: hydrate shingles by id
+    sh = base.select("doc_id", "shingles")
+    pairs = (
+        cand.select("id_A", "id_B")
+        .join(sh.select(F.col("doc_id").alias("id_A"), F.col("shingles").alias("sh_A")), "id_A")
+        .join(sh.select(F.col("doc_id").alias("id_B"), F.col("shingles").alias("sh_B")), "id_B")
     )
     inter = F.size(F.array_intersect("sh_A", "sh_B"))
     union = F.size(F.array_union("sh_A", "sh_B"))
@@ -168,27 +210,32 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash64(text_col, prefix_weighted: bool = False) -> Column:
+def simhash64(text_col) -> Column:
     """64-bit SimHash of normalized tokens, entirely with built-ins.
 
-    Classic bit-vote SimHash sums +-1 per bit over token hashes; here each
-    of the 64 bit-votes is an ``aggregate`` over the token array of
-    ``+1/-1`` from the token's xxhash64 bit — JVM-side, no Python. 64
-    aggregates over a small array is fine for codegen.
+    Classic bit-vote SimHash sums +-1 per bit over token hashes. The token
+    array is hashed ONCE (one xxhash64 per token); the 64 bit-votes are
+    aggregates of shiftright/and over those precomputed hashes — cheap
+    integer ops, no re-hashing. The fingerprint is assembled with
+    shiftleft + bitwiseOR (a ``1 << 63`` literal overflows a Java long and
+    ANSI mode rejects additive overflow; bitwise ops wrap safely).
     """
-    toks = _norm_tokens(text_col)
+    hashes = F.transform(_norm_tokens(text_col), lambda x: F.xxhash64(x))
+    return simhash64_from_hashes(hashes)
+
+
+def simhash64_from_hashes(hashes: Column) -> Column:
+    """Fingerprint from a (preferably materialized) array<long> of token
+    hashes — pair with a prior withColumn so hashing runs once per row."""
 
     def _vote(bit: int):
-        return lambda acc, x: acc + F.when(
-            F.shiftright(F.xxhash64(x), bit).bitwiseAND(F.lit(1)) == 1, 1
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
         ).otherwise(-1)
 
-    # assemble the fingerprint with shiftleft + bitwiseOR: bit 63 as a
-    # literal (1 << 63) overflows a Java long, and ANSI mode would reject
-    # additive overflow — bitwise ops wrap safely
     out = F.lit(0).cast("long")
     for i in range(64):
-        vote = F.aggregate(toks, F.lit(0), _vote(i))
+        vote = F.aggregate(hashes, F.lit(0), _vote(i))
         bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         out = out.bitwiseOR(F.shiftleft(bit, i))
     return out
@@ -213,8 +260,9 @@ def simhash_near_duplicates(
     self-join per band, verify full Hamming distance."""
     bits_per_band = 64 // num_bands
     fp = docs.select(
-        F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("fp")
-    )
+        F.col(id_col).alias("doc_id"),
+        F.transform(_norm_tokens(F.col(text_col)), lambda x: F.xxhash64(x)).alias("_th"),
+    ).select("doc_id", simhash64_from_hashes(F.col("_th")).alias("fp"))
     band_cols = [
         F.concat_ws(
             ":",

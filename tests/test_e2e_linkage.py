@@ -36,12 +36,18 @@ HYDRATE_COLS = sorted(set(FEATURE_INPUT_COLS) | {"text_len_bucket"})
 
 @pytest.fixture(scope="module")
 def linkage(spark):
-    raw = generate_transcripts(spark, n_entities=500, dup_rate=1.8)
+    raw = generate_transcripts(spark, n_entities=400, dup_rate=1.8)
     transcripts = transcripts_table(raw)
     profiles = rollup_conversations(transcripts).cache()
     keys = hidden_key_table(raw)
-    gt = build_ground_truth(profiles, keys.select("conv_id", "entity_key"), neg_ratio=3.0)
+    gt = build_ground_truth(profiles, keys.select("conv_id", "entity_key"), neg_ratio=2.0)
     hydrated = hydrate_pairs(gt, profiles, HYDRATE_COLS).cache()
+    # train once for the whole module: features over B1-blocked GT pairs,
+    # LR on train split, threshold tuned on val
+    feats = add_features(apply_blocking_filter(hydrated, "B1")).cache()
+    model = train_logistic_regression(feats.filter(F.col("split") == "train"))
+    tau, _ = tune_threshold(score_pairs(feats.filter(F.col("split") == "val"), model))
+    model.threshold = tau
     return {
         "raw": raw,
         "transcripts": transcripts,
@@ -49,26 +55,16 @@ def linkage(spark):
         "keys": keys,
         "gt": gt,
         "hydrated": hydrated,
+        "feats": feats,
+        "model": model,
     }
 
 
 def test_f1_on_labeled_pairs_at_blocking_key(spark, linkage):
     """Candidate-level F1 >= 0.99 on labeled pairs that share the blocking
     key — the BASELINE.json acceptance metric."""
-    hydrated = linkage["hydrated"]
-    candidates = apply_blocking_filter(hydrated, "B1")
-    feats = add_features(candidates).cache()
-
-    train = feats.filter(F.col("split") == "train")
-    val = feats.filter(F.col("split") == "val")
-    test = feats.filter(F.col("split") == "test")
-
-    model = train_logistic_regression(train)
-    scored_val = score_pairs(val, model)
-    tau, _ = tune_threshold(scored_val)
-    model.threshold = tau
-
-    scored_test = score_pairs(test, model)
+    feats, model = linkage["feats"], linkage["model"]
+    scored_test = score_pairs(feats.filter(F.col("split") == "test"), model)
     m = confusion_metrics(scored_test.select("label", "pred"))
     assert m["f1"] >= 0.99, m
 
@@ -90,12 +86,8 @@ def test_blocking_recall_reasonable(spark, linkage):
 def test_global_eval_and_clusters(spark, linkage):
     """Full path: train on GT, score candidates, global metrics + CC entity
     assignment agreeing with the hidden entity ids."""
-    hydrated, profiles = linkage["hydrated"], linkage["profiles"]
-    feats = add_features(apply_blocking_filter(hydrated, "B1")).cache()
-    model = train_logistic_regression(feats.filter(F.col("split") == "train"))
-    tau, _ = tune_threshold(score_pairs(feats.filter(F.col("split") == "val"), model))
-    model.threshold = tau
-
+    profiles = linkage["profiles"]
+    feats, model = linkage["feats"], linkage["model"]
     scored = score_pairs(feats, model)
     gm = evaluate_global(
         linkage["gt"].select("id_A", "id_B", "label"),
