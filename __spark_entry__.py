@@ -113,6 +113,41 @@ def q_p18_checksum(spark, sf):
     )
 
 
+def q_p21_serialize(spark, sf):
+    """P21: Ditto-style record serialization as one concat_ws expression
+    (ditto_format.py:55-74)."""
+    from record_linkage_spark.functions.text import serialize_record
+
+    c = _t(spark, sf, "customer")
+    ser = serialize_record(
+        [
+            ("name", F.col("c_name")),
+            ("segment", F.col("c_mktsegment")),
+            ("nation", F.col("c_nationkey")),
+        ]
+    )
+    return c.select("c_custkey", ser.alias("serialized"))
+
+
+def q_f12_field_diff(spark, sf):
+    """F12: null-safe count of differing fields between paired rows
+    (ground_truth.py:115-124)."""
+    from record_linkage_spark.functions.comparators import field_diff_count
+
+    pairs = q_j3_hydrate_pairs(spark, sf)
+    diff = field_diff_count([("name_A", "name_B"), ("bal_A", "bal_B")])
+    return pairs.select("id_A", "id_B", diff.cast("int").alias("n_diff"))
+
+
+def q_m9_top_idf_tokens(spark, sf):
+    """M9/W6: TF-IDF summarizer — per-doc top-k highest-idf tokens."""
+    from record_linkage_spark.operators.text_analysis import top_idf_tokens
+
+    d = _t(spark, sf, "documents")
+    out = top_idf_tokens(d, k=5)
+    return out.select("doc_id", F.concat_ws(" ", "top_tokens").alias("top_tokens"))
+
+
 # --------------------------------------------------------------------------
 # J: joins
 # --------------------------------------------------------------------------
@@ -527,28 +562,35 @@ def q_rl_profiles(spark, sf):
     )
 
 
-def q_rl_ground_truth(spark, sf):
-    """Labeled GT pairs from the hidden exact key."""
-    from record_linkage_spark.operators.ground_truth import build_ground_truth
+def _synth_profiles_keys(spark, n_entities=250, dup_rate=1.8):
+    """Materialized (profiles, keys) pair — profiles feed several plan
+    branches downstream (both join sides + size aggregations), so cut the
+    lineage once here instead of recomputing synth+rollup per branch."""
     from record_linkage_spark.operators.rollup import rollup_conversations
     from record_linkage_spark.synth.transcripts import (
         hidden_key_table,
         transcripts_table,
     )
 
-    raw = _synth(spark)
-    profiles = rollup_conversations(transcripts_table(raw))
-    keys = hidden_key_table(raw).select("conv_id", "entity_key")
+    raw = _synth(spark, n_entities=n_entities, dup_rate=dup_rate)
+    profiles = rollup_conversations(transcripts_table(raw)).localCheckpoint()
+    keys = hidden_key_table(raw).select("conv_id", "entity_key").localCheckpoint()
+    return profiles, keys
+
+
+def q_rl_ground_truth(spark, sf):
+    """Labeled GT pairs from the hidden exact key."""
+    from record_linkage_spark.operators.ground_truth import build_ground_truth
+
+    profiles, keys = _synth_profiles_keys(spark)
     return build_ground_truth(profiles, keys)
 
 
 def q_rl_candidates(spark, sf):
     """Salted blocking self-join candidate generation (B1 cascade)."""
     from record_linkage_spark.operators.blocking import candidate_pairs
-    from record_linkage_spark.operators.rollup import rollup_conversations
-    from record_linkage_spark.synth.transcripts import transcripts_table
 
-    profiles = rollup_conversations(transcripts_table(_synth(spark)))
+    profiles, _ = _synth_profiles_keys(spark)
     return candidate_pairs(profiles, "B1")
 
 
@@ -568,25 +610,37 @@ def q_rl_scored_pairs(spark, sf):
         build_ground_truth,
         hydrate_pairs,
     )
-    from record_linkage_spark.operators.rollup import rollup_conversations
-    from record_linkage_spark.synth.transcripts import (
-        hidden_key_table,
-        transcripts_table,
-    )
 
-    raw = _synth(spark)
-    profiles = rollup_conversations(transcripts_table(raw))
-    keys = hidden_key_table(raw).select("conv_id", "entity_key")
-    gt = build_ground_truth(profiles, keys)
+    profiles, keys = _synth_profiles_keys(spark)
+    gt = build_ground_truth(profiles, keys).localCheckpoint()
     cols = sorted(set(FEATURE_INPUT_COLS) | {"text_len_bucket"})
     feats = add_features(
         apply_blocking_filter(hydrate_pairs(gt, profiles, cols), "B1")
-    ).cache()
+    ).localCheckpoint()
     model = train_logistic_regression(feats.filter(F.col("split") == "train"))
     tau, _ = tune_threshold(score_pairs(feats.filter(F.col("split") == "val"), model))
     model.threshold = tau
     return score_pairs(feats, model).select(
         "id_A", "id_B", "label", F.round("score", 6).alias("score"), "pred"
+    )
+
+
+def q_rl_greedy_clusters(spark, sf):
+    """M7: reference's greedy within-block clustering via applyInPandas
+    (agreement path for the CC scale algorithm)."""
+    from record_linkage_spark.operators.clustering import (
+        greedy_within_block_clusters,
+    )
+    from record_linkage_spark.synth.transcripts import hidden_key_table
+
+    raw = _synth(spark)
+    recs = (
+        hidden_key_table(raw)
+        .select("conv_id", "entity_key")
+        .withColumn("prefix", F.substring("conv_id", 1, 4))
+    )
+    return greedy_within_block_clusters(
+        recs, "entity_key", ["prefix"], max_diff=0, id_col="conv_id"
     )
 
 
@@ -600,7 +654,9 @@ def q_rl_clusters(spark, sf):
     from record_linkage_spark.synth.transcripts import hidden_key_table
 
     raw = _synth(spark)
-    keys = hidden_key_table(raw).select("conv_id", "entity_key")
+    keys = (
+        hidden_key_table(raw).select("conv_id", "entity_key").localCheckpoint()
+    )
     edges = positive_pairs(validate_keys(keys)).select(
         F.col("id_A").alias("src"), F.col("id_B").alias("dst")
     )
@@ -633,6 +689,46 @@ def q_rl_lsh_topk(spark, sf):
     q = e.filter(F.col("vec_id") < 10)
     return lsh_topk(e, q, k=5).select(
         "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
+def q_rl_embedding_neardup(spark, sf):
+    """Embedding-cosine near-dup via RHP-LSH bucket self-join. The provided
+    embeddings are mutually distant (max pairwise cosine ~0.51), so plant
+    deterministic near-copies (one dimension nudged) and recover them."""
+    from record_linkage_spark.operators.similarity_search import (
+        embedding_near_duplicates,
+    )
+
+    e = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 200).select(
+        "vec_id", "embedding"
+    )
+    dup = e.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x + F.when(i == 0, F.lit(0.01)).otherwise(F.lit(0.0))
+        ).alias("embedding"),
+    )
+    return embedding_near_duplicates(
+        e.unionByName(dup), cosine_threshold=0.99
+    ).select("id_A", "id_B", F.round("cosine", 4).alias("cosine"))
+
+
+def q_rl_streaming_rollup(spark, sf):
+    """Structured Streaming ingestion: transcript files -> availableNow
+    micro-batch rollup -> profile table (foreachBatch upsert)."""
+    import tempfile
+
+    from record_linkage_spark.streaming.incremental import stream_profiles
+    from record_linkage_spark.synth.transcripts import transcripts_table
+
+    root = tempfile.mkdtemp(prefix="rl_stream_")
+    in_dir, out_dir, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
+    transcripts_table(_synth(spark, n_entities=100)).write.mode("overwrite").parquet(in_dir)
+    q = stream_profiles(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination()
+    return spark.read.option("basePath", out_dir).parquet(out_dir).select(
+        "conv_id", "n_turns", "n_tokens", "first_role"
     )
 
 
@@ -710,6 +806,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p14_prefix_key": q_p14_prefix_key,
         "p16_regex_filter": q_p16_regex_filter,
         "p18_checksum": q_p18_checksum,
+        "p21_serialize": q_p21_serialize,
+        "f12_field_diff": q_f12_field_diff,
+        "m9_top_idf_tokens": q_m9_top_idf_tokens,
         "j1_selfjoin_key": q_j1_selfjoin_key,
         "j2_capped_pairs": q_j2_capped_pairs,
         "j3_hydrate_pairs": q_j3_hydrate_pairs,
@@ -742,9 +841,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rl_candidates": q_rl_candidates,
         "rl_scored_pairs": q_rl_scored_pairs,
         "rl_clusters": q_rl_clusters,
+        "rl_greedy_clusters": q_rl_greedy_clusters,
         "rl_minhash": q_rl_minhash,
         "rl_simhash": q_rl_simhash,
         "rl_lsh_topk": q_rl_lsh_topk,
+        "rl_embedding_neardup": q_rl_embedding_neardup,
+        "rl_streaming_rollup": q_rl_streaming_rollup,
         "rl_multimodal_features": q_rl_multimodal_features,
         "rl_fingerprint": q_rl_fingerprint,
     }
@@ -808,6 +910,47 @@ def oracle_sql() -> dict[str, str]:
             " + 7*CAST(substring(lpad(CAST(doc_id AS VARCHAR), 8, '0'), 7, 1) AS INTEGER)"
             " + 3*CAST(substring(lpad(CAST(doc_id AS VARCHAR), 8, '0'), 8, 1) AS INTEGER)"
             ") % 10 AS INTEGER) AS check_digit FROM documents"
+        ),
+        "p21_serialize": (
+            "SELECT c_custkey, concat_ws(' ', "
+            "CASE WHEN c_name IS NOT NULL THEN 'COL name VAL ' || c_name END, "
+            "CASE WHEN c_mktsegment IS NOT NULL THEN 'COL segment VAL ' || c_mktsegment END, "
+            "CASE WHEN c_nationkey IS NOT NULL THEN 'COL nation VAL ' || CAST(c_nationkey AS VARCHAR) END"
+            ") AS serialized FROM customer"
+        ),
+        "f12_field_diff": (
+            "WITH pairs AS ("
+            "SELECT id_A, id_B, ca.c_name AS name_A, cb.c_name AS name_B, "
+            "round(ca.c_acctbal, 2) AS bal_A, round(cb.c_acctbal, 2) AS bal_B "
+            "FROM (SELECT id_A, id_B FROM ("
+            "SELECT a.c_custkey AS id_A, b.c_custkey AS id_B, "
+            "row_number() OVER (PARTITION BY a.c_nationkey, a.c_mktsegment "
+            "ORDER BY a.c_custkey, b.c_custkey) AS rn "
+            "FROM customer a JOIN customer b "
+            "ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment "
+            "WHERE a.c_custkey < b.c_custkey) WHERE rn <= 10) p "
+            "JOIN customer ca ON p.id_A = ca.c_custkey "
+            "JOIN customer cb ON p.id_B = cb.c_custkey) "
+            "SELECT id_A, id_B, CAST("
+            "CAST(name_A IS DISTINCT FROM name_B AS INTEGER) + "
+            "CAST(bal_A IS DISTINCT FROM bal_B AS INTEGER) AS INTEGER) AS n_diff FROM pairs"
+        ),
+        "m9_top_idf_tokens": (
+            "WITH toks AS (SELECT doc_id, unnest(list_distinct("
+            "CASE WHEN nullif(trim(regexp_replace(regexp_replace(lower(coalesce(text, '')), "
+            "'[^a-zàâäéèêëíìîïóòôöúùûüñß\\s]', ' ', 'g'), '\\s+', ' ', 'g')), '') IS NULL "
+            "THEN [] ELSE string_split(nullif(trim(regexp_replace(regexp_replace(lower(coalesce(text, '')), "
+            "'[^a-zàâäéèêëíìîïóòôöúùûüñß\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ''), ' ') END"
+            ")) AS token FROM documents), "
+            "dfreq AS (SELECT token, count(*) AS df FROM toks GROUP BY 1), "
+            "n AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM documents), "
+            "scored AS (SELECT doc_id, token, ln(c / df) AS idf "
+            "FROM toks JOIN dfreq USING (token) CROSS JOIN n), "
+            "ranked AS (SELECT doc_id, token, "
+            "row_number() OVER (PARTITION BY doc_id ORDER BY idf DESC, token ASC) AS rank "
+            "FROM scored) "
+            "SELECT doc_id, array_to_string(list_sort(list(token)), ' ') AS top_tokens "
+            "FROM ranked WHERE rank <= 5 GROUP BY doc_id"
         ),
         "j1_selfjoin_key": (
             "SELECT a.c_custkey AS id_A, b.c_custkey AS id_B, a.c_nationkey, a.c_mktsegment "

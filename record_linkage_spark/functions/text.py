@@ -81,3 +81,25 @@ def token_prefix(tokens, k: int) -> Column:
     """First-k tokens of an array<string> joined by space — the transcript
     analogue of the manufacturer-prefix block key."""
     return F.concat_ws(" ", F.slice(_col(tokens), 1, k))
+
+
+def serialize_record(field_cols: list[tuple[str, "Column | str"]]) -> Column:
+    """P21 — Ditto-style record serialization (``ditto_format.py:55-74``):
+    ``"COL <f> VAL <v>"`` for every non-null field, space-joined in the
+    given order; as one ``concat_ws`` expression (codegen, no Python)."""
+    parts = []
+    for name, c in field_cols:
+        c = _col(c)
+        parts.append(
+            F.when(
+                c.isNotNull(),
+                F.concat(F.lit(f"COL {name} VAL "), c.cast("string")),
+            )
+        )
+    return F.concat_ws(" ", *parts)
+
+
+def serialize_pair(left: Column, right: Column, label) -> Column:
+    """P21/S6 — tab-joined serialized pair + label line."""
+    lab = _col(label) if isinstance(label, str) else F.lit(label)
+    return F.concat_ws("\t", left, right, lab.cast("string"))

@@ -132,6 +132,14 @@ def candidate_pairs(
         F.col("conv_id").alias("id_B"),
         *[F.col(c).alias(f"{c}_B") for c in payload_cols],
     )
+    # explicit-N repartition on the join keys: the join reuses this exact
+    # partitioning (no extra exchange) and the JW post-filter runs fused
+    # in those N partitions. Without it AQE sizes the exchange by the
+    # join *input* bytes — blind to the pair blow-up the join produces —
+    # and the Arrow kernel ends up on a handful of cores.
+    n_parts = max(profiles.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    a = a.repartition(n_parts, *join_cols)
+    b = b.repartition(n_parts, *join_cols)
     pairs = a.join(b, join_cols).filter(F.col("id_A") < F.col("id_B"))
 
     for colname, thr in spec["jw"]:

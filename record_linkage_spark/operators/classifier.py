@@ -55,6 +55,29 @@ class LinearModel:
         )
 
 
+def _fit_lr_numpy(X, y, reg: float = 0.0, max_iter: int = 50, tol: float = 1e-8):
+    """Driver-side logistic regression via IRLS (Newton) — deterministic,
+    no Spark jobs. X: (n, d) float64, y: (n,) {0,1}. Returns (w, b)."""
+    import numpy as np
+
+    n, d = X.shape
+    Xb = np.hstack([X, np.ones((n, 1))])
+    beta = np.zeros(d + 1)
+    lam = np.full(d + 1, reg * n)
+    lam[-1] = 0.0  # don't regularize the intercept
+    for _ in range(max_iter):
+        z = Xb @ beta
+        p = 1.0 / (1.0 + np.exp(-np.clip(z, -30, 30)))
+        W = np.maximum(p * (1 - p), 1e-10)
+        grad = Xb.T @ (p - y) + lam * beta
+        H = (Xb * W[:, None]).T @ Xb + np.diag(lam + 1e-8)
+        step = np.linalg.solve(H, grad)
+        beta = beta - step
+        if float(np.abs(step).max()) < tol:
+            break
+    return beta[:-1], float(beta[-1])
+
+
 def train_logistic_regression(
     train_pairs: DataFrame,
     feature_names: list[str] | None = None,
@@ -62,25 +85,31 @@ def train_logistic_regression(
     val_pairs: DataFrame | None = None,
 ) -> LinearModel:
     """Fit LR on featurized labeled pairs; small grid over regParam picked
-    by validation F1 (reference's C x class_weight grid, M2)."""
-    from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.functions import array_to_vector
+    by validation F1 (reference's C x class_weight grid, M2,
+    ``logistic_regression.py:128-174``).
+
+    The labeled GT sample is small by construction (the reference fits
+    sklearn on one node), so the fit runs driver-side on the collected
+    feature matrix — ONE Spark job to collect instead of ~100 treeAggregate
+    jobs per regParam from ``pyspark.ml``; scoring stays fully distributed
+    via :func:`score_pairs` column expressions.
+    """
+    import numpy as np
 
     names = feature_names or FEATURE_NAMES
-    ds = train_pairs.select(
-        array_to_vector(F.array(*[F.col(n) for n in names])).alias("fv"),
+    rows = train_pairs.select(
+        F.array(*[F.col(n).cast("double") for n in names]).alias("fv"),
         F.col("label").cast("double").alias("label"),
-    ).cache()
+    ).collect()
+    X = np.array([r.fv for r in rows], dtype=np.float64)
+    y = np.array([r.label for r in rows], dtype=np.float64)
+    if X.size == 0:
+        return LinearModel(weights=[0.0] * len(names), intercept=0.0)
 
     best: tuple[float, LinearModel] | None = None
     for reg in reg_grid:
-        lr = LogisticRegression(
-            featuresCol="fv", labelCol="label", regParam=reg, maxIter=100
-        )
-        m = lr.fit(ds)
-        model = LinearModel(
-            weights=[float(w) for w in m.coefficients], intercept=float(m.intercept)
-        )
+        w, b = _fit_lr_numpy(X, y, reg=reg)
+        model = LinearModel(weights=[float(v) for v in w], intercept=b)
         if val_pairs is None:
             best = (0.0, model)
             break
@@ -89,7 +118,6 @@ def train_logistic_regression(
         model.threshold = thr
         if best is None or f1 > best[0]:
             best = (f1, model)
-    ds.unpersist()
     assert best is not None
     return best[1]
 

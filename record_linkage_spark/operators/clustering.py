@@ -84,15 +84,24 @@ def connected_components(
         match_edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     ).localCheckpoint()
 
+    def _sig(e: DataFrame):
+        # canonical edge sets are equal iff (count, order-insensitive hash
+        # sum) match — one aggregate job per iteration instead of two
+        # exceptAll shuffles
+        # decimal sum: long-sum of 64-bit hashes overflows under ANSI mode
+        r = e.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(20,0)")).alias("h"),
+        ).first()
+        return (r.n, r.h)
+
+    prev_sig = _sig(edges)
     for _ in range(max_iterations):
-        new_edges = _small_star(_large_star(edges)).localCheckpoint()
-        changed = (
-            new_edges.exceptAll(edges).limit(1).count()
-            + edges.exceptAll(new_edges).limit(1).count()
-        )
-        edges = new_edges
-        if changed == 0:
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        new_sig = _sig(edges)
+        if new_sig == prev_sig:
             break
+        prev_sig = new_sig
 
     # at fixpoint every edge is (node, component_min); nodes that ARE the
     # min map to themselves
@@ -100,6 +109,70 @@ def connected_components(
     roots = edges.select(F.col("v").alias("conv_id"), F.col("v").alias("entity_id"))
     return members.union(roots).groupBy("conv_id").agg(
         F.min("entity_id").alias("entity_id")
+    )
+
+
+def greedy_within_block_clusters(
+    records: DataFrame,
+    block_col: str,
+    attr_cols: list[str],
+    max_diff: int = 3,
+    order_col: str | None = None,
+    id_col: str = "conv_id",
+) -> DataFrame:
+    """M7 — the reference's greedy within-key clustering
+    (``ground_truth.py:95-177``): inside each exact-key block, scan rows in
+    recency order; a row joins the FIRST existing cluster whose
+    representative differs in at most ``max_diff`` of ``attr_cols``
+    (NaN==NaN — None equals None), else it founds a new cluster whose
+    representative it becomes. Returns (id, cluster_rep).
+
+    Runs as ``applyInPandas`` per block — blocks are same-exact-key groups,
+    bounded by construction (an entity has few records), so the grouped
+    pass is skew-safe; the large-star/small-star CC
+    (:func:`connected_components`) is the scale path for transitive
+    clustering over arbitrary match graphs.
+    """
+    import pandas as pd  # noqa: F401 — required by applyInPandas workers
+
+    cols = [id_col, block_col, *attr_cols] + ([order_col] if order_col else [])
+    src = records.select(*dict.fromkeys(cols))
+
+    def cluster(pdf):
+        if order_col:
+            pdf = pdf.sort_values(order_col, ascending=False, kind="mergesort")
+        else:
+            pdf = pdf.sort_values(id_col, kind="mergesort")
+        reps: list[tuple] = []  # (rep_id, rep_attrs)
+        out_ids, out_reps = [], []
+        for row in pdf.itertuples(index=False):
+            attrs = tuple(getattr(row, c) for c in attr_cols)
+            rid = getattr(row, id_col)
+            assigned = None
+            for rep_id, rep_attrs in reps:
+                diff = 0
+                for x, y in zip(attrs, rep_attrs):
+                    # NaN==NaN / None==None counts as equal (reference
+                    # ground_truth.py:118-119)
+                    both_missing = (x is None or x != x) and (y is None or y != y)
+                    if not both_missing and x != y:
+                        diff += 1
+                        if diff > max_diff:
+                            break
+                if diff <= max_diff:
+                    assigned = rep_id
+                    break
+            if assigned is None:
+                reps.append((rid, attrs))
+                assigned = rid
+            out_ids.append(rid)
+            out_reps.append(assigned)
+        import pandas as pd
+
+        return pd.DataFrame({id_col: out_ids, "cluster_rep": out_reps})
+
+    return src.groupBy(block_col).applyInPandas(
+        cluster, schema=f"{id_col} string, cluster_rep string"
     )
 
 

@@ -19,8 +19,13 @@ verification predicate runs only on within-bucket pairs.
 
 from __future__ import annotations
 
+import re
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from record_linkage_spark.functions.text import norm_text_with_urls
 
@@ -30,12 +35,39 @@ def _norm_tokens(text_col) -> Column:
     return F.when(s.isNull(), F.array().cast("array<string>")).otherwise(F.split(s, " "))
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread a narrow input (e.g. a single local parquet file) across the
+    cluster before a CPU-heavy per-row stage. No-op when the input already
+    has enough partitions (the 100 TB case — never add a gratuitous
+    shuffle there)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
+        return df.repartition(target)
+    return df
+
+
+# --- batch text normalization mirroring functions.text.norm_text_with_urls ---
+# Java regex \s / \S are ASCII-only; re.ASCII keeps Python parity.
+_URL_RE = re.compile(r"(http\S+|www\S+)", re.ASCII)
+_NON_ALNUM_RE = re.compile(r"[^a-z0-9\s]", re.ASCII)
+_WS_RE = re.compile(r"\s+", re.ASCII)
+
+
+def _norm_token_lists(text: pd.Series) -> list[list[str]]:
+    s = text.fillna("").astype(str).str.lower()
+    s = s.str.replace(_URL_RE, " ", regex=True)
+    s = s.str.replace(_NON_ALNUM_RE, " ", regex=True)
+    s = s.str.replace(_WS_RE, " ", regex=True).str.strip()
+    return [t.split(" ") if t else [] for t in s]
+
+
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup by md5 of normalized text: returns
     (text_hash, n_copies, keep_id, dup_ids) for groups with >1 doc."""
     h = F.md5(F.coalesce(norm_text_with_urls(F.col(text_col)), F.lit("")))
     g = (
-        docs.select(F.col(id_col).alias("doc_id"), h.alias("text_hash"))
+        _ensure_parallelism(docs)
+        .select(F.col(id_col).alias("doc_id"), h.alias("text_hash"))
         .groupBy("text_hash")
         .agg(
             F.count("*").alias("n_copies"),
@@ -97,6 +129,89 @@ def minhash_signature(hashes: Column, num_hashes: int = 32) -> Column:
     return F.array(*sigs)
 
 
+def minhash_signature_kernel(ngram: int = 3, num_hashes: int = 32):
+    """Arrow-batched MinHash kernel: text -> array<long> signature in ONE
+    vectorized pass (normalize, shingle, hash, k affine minima via
+    ``np.minimum.reduceat``). Rows with no shingles return NULL.
+
+    This replaces the per-element interpreted higher-order-function path
+    (``word_ngrams`` + ``minhash_signature`` column expressions, kept for
+    the expression-level API): Catalyst's lambda interpreter costs ~50us
+    per array element, which measured ~60s for 5k docs; this kernel does
+    the same batch in well under a second. Hashing uses pandas'
+    deterministic siphash (fixed key) — any uniform hash family is valid
+    for MinHash, and determinism across executors/runs is what matters.
+    """
+    a_coef = (np.arange(num_hashes, dtype=np.int64) * 2 + 1).reshape(-1, 1)
+    b_coef = (
+        (np.arange(num_hashes, dtype=np.int64) * 2654435761) % _MH_PRIME
+    ).reshape(-1, 1)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def kernel(text: pd.Series) -> pd.Series:
+        token_lists = _norm_token_lists(text)
+        shingles: list[str] = []
+        counts = np.zeros(len(token_lists), dtype=np.int64)
+        for i, toks in enumerate(token_lists):
+            if len(toks) < ngram:
+                continue
+            grams = {
+                " ".join(toks[j : j + ngram]) for j in range(len(toks) - ngram + 1)
+            }
+            counts[i] = len(grams)
+            shingles.extend(grams)
+        if not shingles:
+            return pd.Series([None] * len(token_lists))
+        flat = (
+            pd.util.hash_array(np.asarray(shingles, dtype=object)).astype(np.int64)
+            % _MH_PRIME
+        )
+        vals = (flat[None, :] * a_coef + b_coef) % _MH_PRIME  # (k, n_shingles)
+        nz = counts > 0
+        offsets = np.concatenate([[0], np.cumsum(counts[nz])[:-1]])
+        mins = np.minimum.reduceat(vals, offsets, axis=1)  # (k, n_nonzero)
+        out: list[list[int] | None] = [None] * len(token_lists)
+        for j, i in enumerate(np.nonzero(nz)[0]):
+            out[i] = mins[:, j].tolist()
+        return pd.Series(out)
+
+    return kernel
+
+
+def simhash64_kernel():
+    """Arrow-batched SimHash kernel: text -> 64-bit fingerprint (long).
+
+    Vectorized bit votes: hash every token of the batch once, expand to a
+    (n_tokens, 64) ±1 matrix, segment-sum per row with
+    ``np.add.reduceat``. Same reasoning as minhash_signature_kernel —
+    the column-expression path (``simhash64``) is O(64 · n_tokens)
+    interpreted ops per row. Empty rows return NULL.
+    """
+    shifts = np.arange(64, dtype=np.uint64)
+
+    @F.pandas_udf(T.LongType())
+    def kernel(text: pd.Series) -> pd.Series:
+        token_lists = _norm_token_lists(text)
+        counts = np.array([len(t) for t in token_lists], dtype=np.int64)
+        flat_tokens = [tok for toks in token_lists for tok in toks]
+        if not flat_tokens:
+            return pd.Series([None] * len(token_lists), dtype="object")
+        h = pd.util.hash_array(np.asarray(flat_tokens, dtype=object))  # uint64
+        bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+        votes_pm = bits * 2 - 1  # ±1 votes
+        nz = counts > 0
+        offsets = np.concatenate([[0], np.cumsum(counts[nz])[:-1]])
+        sums = np.add.reduceat(votes_pm, offsets, axis=0)  # (n_nonzero, 64)
+        fp_bits = (sums > 0).astype(np.uint64)
+        fps = (fp_bits << shifts[None, :]).sum(axis=1, dtype=np.uint64).view(np.int64)
+        out: list[int | None] = [None] * len(token_lists)
+        for j, i in enumerate(np.nonzero(nz)[0]):
+            out[i] = int(fps[j])
+        return pd.Series(out, dtype="object")
+
+    return kernel
+
+
 def minhash_bands(sig: Column, num_bands: int = 8, rows_per_band: int = 4) -> Column:
     """LSH banding: hash each band of the signature to a bucket id string."""
     bands = [
@@ -126,15 +241,18 @@ def minhash_near_duplicates(
     self-join -> true-Jaccard verification. Returns (id_A, id_B, jaccard).
     """
     rows_per_band = num_hashes // num_bands
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        word_ngrams(F.col(text_col), ngram).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
-    # materialize base hashes once; the k signature mins are affine maps
-    base = base.withColumn("_h", shingle_hashes(F.col("shingles")))
-    sig = base.select(
-        "doc_id", minhash_signature(F.col("_h"), num_hashes).alias("sig")
+    kernel = minhash_signature_kernel(ngram, num_hashes)
+    sig = (
+        _ensure_parallelism(docs)
+        .select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+        .select("doc_id", "_text", kernel(F.col("_text")).alias("sig"))
+        .filter(F.col("sig").isNotNull())
     )
+
+    # sig is read by both band-join sides and the verification hydration —
+    # cache so the Arrow kernel runs once per row (at warehouse scale this
+    # would be a checkpointed stage table instead)
+    sig = sig.cache()
 
     # bucket join carries ONLY (doc_id, sig) — never the shingle arrays;
     # at corpus scale the shuffle payload is 32 longs per row, not the text
@@ -164,8 +282,17 @@ def minhash_near_duplicates(
         "est_jaccard", agree / F.lit(float(num_hashes))
     ).filter(F.col("est_jaccard") >= jaccard_threshold * 0.7)
 
-    # exact verification only for survivors: hydrate shingles by id
-    sh = base.select("doc_id", "shingles")
+    # exact verification only for survivors: re-shingle just the touched
+    # docs (semi-join reduction first, so the n-gram expression runs on
+    # candidate rows only)
+    ids = (
+        cand.select(F.col("id_A").alias("doc_id"))
+        .union(cand.select("id_B"))
+        .distinct()
+    )
+    sh = sig.join(ids, "doc_id", "left_semi").select(
+        "doc_id", word_ngrams(F.col("_text"), ngram).alias("shingles")
+    )
     pairs = (
         cand.select("id_A", "id_B")
         .join(sh.select(F.col("doc_id").alias("id_A"), F.col("shingles").alias("sh_A")), "id_A")
@@ -192,7 +319,7 @@ def ngram_jaccard_pairs(
     """Blocked n-gram-Jaccard near-dup: block on the first tokens, verify
     true Jaccard within blocks (cheap deterministic baseline for MinHash)."""
     toks = _norm_tokens(F.col(text_col))
-    base = docs.select(
+    base = _ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
         word_ngrams(F.col(text_col), ngram).alias("shingles"),
         F.concat_ws(" ", F.slice(toks, 1, block_prefix_tokens)).alias("bk"),
@@ -259,10 +386,12 @@ def simhash_near_duplicates(
     (pigeonhole: any pair within max_hamming <= num_bands-1 shares a band),
     self-join per band, verify full Hamming distance."""
     bits_per_band = 64 // num_bands
-    fp = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.transform(_norm_tokens(F.col(text_col)), lambda x: F.xxhash64(x)).alias("_th"),
-    ).select("doc_id", simhash64_from_hashes(F.col("_th")).alias("fp"))
+    kernel = simhash64_kernel()
+    fp = (
+        _ensure_parallelism(docs)
+        .select(F.col(id_col).alias("doc_id"), kernel(F.col(text_col)).alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
     band_cols = [
         F.concat_ws(
             ":",

@@ -29,7 +29,7 @@ from record_linkage_spark.functions.comparators import exact_match, gauss_sim
 from record_linkage_spark.functions.similarity import (
     jaro_winkler_pairs,
     levenshtein_sim,
-    token_jaccard,
+    token_jaccard_sets,
 )
 
 # profile columns a pair table must carry (suffixed _A/_B) to build features
@@ -44,7 +44,7 @@ FEATURE_INPUT_COLS = [
     "n_tool_turns",
     "n_tokens",
     "duration_sec",
-    "norm_tokens",
+    "token_hash_set",
 ]
 
 FEATURE_NAMES = [
@@ -105,7 +105,7 @@ def add_features(pairs: DataFrame) -> DataFrame:
             2.0,
         ),
         "lev_prefix": levenshtein_sim("token_prefix_A", "token_prefix_B"),
-        "jac_tokens": token_jaccard("norm_tokens_A", "norm_tokens_B"),
+        "jac_tokens": token_jaccard_sets("token_hash_set_A", "token_hash_set_B"),
     }
     for name in FEATURE_NAMES:
         df = df.withColumn(name, feats[name])

@@ -195,12 +195,21 @@ def with_split(pairs: DataFrame) -> DataFrame:
 
 
 def hydrate_pairs(
-    pairs: DataFrame, profiles: DataFrame, cols: list[str]
+    pairs: DataFrame, profiles: DataFrame, cols: list[str],
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Attach both sides' attributes (J3, ``ground_truth.py:323-334``):
     two equi-joins against the profile table, flattened to _A/_B columns.
     A semi-join reduction of the profile table is applied first so only
-    records that appear in some pair are shuffled (``dedupe.py:343-345``)."""
+    records that appear in some pair are shuffled (``dedupe.py:343-345``).
+
+    The pair side is repartitioned to an explicit count first: pair rows
+    are bytes-tiny, so AQE would otherwise coalesce them onto a few cores
+    — and the downstream feature kernels inherit that parallelism."""
+    n_parts = num_partitions or max(
+        pairs.sparkSession.sparkContext.defaultParallelism * 2, 8
+    )
+    pairs = pairs.repartition(n_parts, "id_A")
     ids = (
         pairs.select(F.col("id_A").alias("conv_id"))
         .union(pairs.select("id_B"))

@@ -26,6 +26,8 @@ PROFILE_COLS = [
     "conv_id",
     "turns",
     "norm_tokens",
+    "token_set",
+    "token_hash_set",
     "n_tokens",
     "first_text",
     "last_text",
@@ -56,10 +58,15 @@ def rollup_conversations(
     conversations and is skew-safe (a conversation fits in one row).
     """
     t = transcripts
-    if num_partitions:
-        t = t.repartition(num_partitions, "conv_id")
-    else:
-        t = t.repartition("conv_id")
+    if not num_partitions:
+        # explicit partition count: repartition(col) alone lets AQE size
+        # the exchange by shuffle *bytes*, which under-parallelizes the
+        # CPU-heavy downstream (profiles are bytes-small but every
+        # subsequent kernel stage inherits the partitioning)
+        num_partitions = max(
+            transcripts.sparkSession.sparkContext.defaultParallelism * 2, 8
+        )
+    t = t.repartition(num_partitions, "conv_id")
     # explicit per-partition ordering before the grouped aggregation
     t = t.sortWithinPartitions("conv_id", "turn_idx")
 
@@ -81,6 +88,21 @@ def rollup_conversations(
     prof = (
         g.withColumn("n_turns", F.size(turns))
         .withColumn("norm_tokens", norm_tokens(all_text))
+        # distinct token set precomputed per PROFILE (thousands of rows),
+        # not per PAIR (millions): the pairwise Jaccard then needs one
+        # array_intersect and two O(1) size() calls instead of building
+        # intersect + union hash sets per pair
+        .withColumn("token_set", F.array_sort(F.array_distinct(F.col("norm_tokens"))))
+        # hashed variant for the scoring hot path: Jaccard over array<long>
+        # is ~4x cheaper than over array<string> (8-byte compares, no
+        # UTF8String allocation) and equals token-set Jaccard modulo
+        # 64-bit hash collisions
+        .withColumn(
+            "token_hash_set",
+            F.array_sort(
+                F.array_distinct(F.transform("norm_tokens", lambda x: F.xxhash64(x)))
+            ),
+        )
         .withColumn("n_tokens", F.size("norm_tokens"))
         .withColumn("first_text", F.element_at(turns, 1)["text"])
         .withColumn("last_text", F.element_at(turns, -1)["text"])

@@ -119,3 +119,43 @@ def doc_fingerprint(text_col, window: int = 8) -> Column:
     return F.when(F.size(toks) == 0, F.lit(None).cast("long")).otherwise(
         F.array_min(win_hashes)
     )
+
+
+def doc_token_idf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """A8 — corpus doc-frequency / idf per token (TF-IDF prerequisite,
+    ``vendor/.../ditto_light/summarize.py:33-52``): explode distinct
+    tokens, aggregate document frequency, idf = ln(N / df)."""
+    toks = F.array_distinct(_tokens(F.col(text_col)))
+    ex = docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("token"))
+    n_docs = docs.count()
+    return (
+        ex.groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("df"))
+        .withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df")))
+    )
+
+
+def top_idf_tokens(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """M9/W6 — TF-IDF summarizer: keep each document's k highest-idf
+    (most informative) tokens, as the reference's token-budget summarizer
+    does (``summarize.py:86-101``). One corpus-level doc-freq aggregation,
+    one explode + window rank per document; ties break lexicographically
+    for determinism."""
+    idf = doc_token_idf(docs, id_col, text_col)
+    toks = F.array_distinct(_tokens(F.col(text_col)))
+    ex = docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("token"))
+    from pyspark.sql import Window
+
+    scored = ex.join(F.broadcast(idf), "token")
+    w = Window.partitionBy("doc_id").orderBy(F.desc("idf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("token")).alias("top_tokens"))
+    )

@@ -32,7 +32,12 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # partition coalescing sizes stages by shuffle BYTES; this engine's
+        # stages are bytes-small but CPU-heavy (Arrow similarity kernels,
+        # pair blow-ups after joins), so coalescing starves them of cores
+        # (measured: a 64-partition rollup collapsed to 3). We size
+        # spark.sql.shuffle.partitions to the cluster explicitly instead.
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

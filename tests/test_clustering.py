@@ -77,3 +77,68 @@ def test_agreement_with_greedy_transitive_closure(spark):
         got_clusters.setdefault(ent, []).append(member)
     got_clusters = {k: sorted(v) for k, v in got_clusters.items()}
     assert got_clusters == exp_clusters
+
+
+def test_greedy_within_block_clusters(spark):
+    """M7 semantics (ground_truth.py:95-177): first-wins greedy clustering
+    within blocks, NaN==NaN field comparison, max_diff threshold."""
+    from record_linkage_spark.operators.clustering import (
+        greedy_within_block_clusters,
+    )
+
+    rows = [
+        # block k1: a,b identical attrs -> one cluster rep a; c differs in
+        # both fields -> its own cluster
+        ("a", "k1", "x", "p"),
+        ("b", "k1", "x", "p"),
+        ("c", "k1", "y", "q"),
+        # block k2: null==null counts equal, d/e cluster together
+        ("d", "k2", None, "p"),
+        ("e", "k2", None, "p"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, key string, f1 string, f2 string")
+    out = greedy_within_block_clusters(
+        df, "key", ["f1", "f2"], max_diff=0, id_col="conv_id"
+    )
+    got = {r.conv_id: r.cluster_rep for r in out.collect()}
+    assert got["a"] == got["b"] == "a"
+    assert got["c"] == "c"
+    assert got["d"] == got["e"] == "d"
+
+    # max_diff=1 lets one differing field through: c (differs in 2) still
+    # alone, but a row differing in 1 joins
+    rows2 = rows + [("f", "k1", "x", "z")]
+    df2 = spark.createDataFrame(rows2, "conv_id string, key string, f1 string, f2 string")
+    out2 = greedy_within_block_clusters(
+        df2, "key", ["f1", "f2"], max_diff=1, id_col="conv_id"
+    )
+    got2 = {r.conv_id: r.cluster_rep for r in out2.collect()}
+    assert got2["f"] == "a"
+
+
+def test_greedy_agrees_with_cc_on_transitive_free_blocks(spark):
+    """Where blocks contain exact-equal attribute groups (no transitive
+    chains), greedy clusters == connected components of the exact-match
+    edge set (SURVEY §7 item 6)."""
+    from record_linkage_spark.operators.clustering import (
+        connected_components,
+        greedy_within_block_clusters,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("a", "k", "x"), ("b", "k", "x"), ("c", "k", "y"),
+        ("d", "k", "y"), ("e", "k", "z"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, key string, f1 string")
+    greedy = greedy_within_block_clusters(df, "key", ["f1"], max_diff=0)
+    g = {r.conv_id: r.cluster_rep for r in greedy.collect()}
+
+    a = df.select(F.col("conv_id").alias("src"), "key", "f1")
+    b = df.select(F.col("conv_id").alias("dst"), "key", "f1")
+    edges = a.join(b, ["key", "f1"]).filter(F.col("src") < F.col("dst"))
+    cc = connected_components(edges.select("src", "dst"))
+    c = {r.conv_id: r.entity_id for r in cc.collect()}
+    c["e"] = "e"  # singleton not in any edge
+    assert g == {"a": "a", "b": "a", "c": "c", "d": "c", "e": "e"}
+    assert {k: v for k, v in c.items()} == g

@@ -91,3 +91,57 @@ def test_levenshtein_sim_nulls(spark):
     df = spark.createDataFrame([(None, "x"), ("", ""), ("ab", "ab")], "a string, b string")
     vals = [r.v for r in df.select(levenshtein_sim("a", "b").alias("v")).collect()]
     assert vals == [0.0, 0.0, 1.0]
+
+
+def test_jw_chunked_and_collapsed_paths():
+    """>_JW_CHUNK pairs with heavy duplication exercises the unique-pair
+    collapse, the equal-string fast path, AND the chunked matrix path;
+    results must match DuckDB's jaro_winkler exactly."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    pool = [
+        " ".join(
+            "".join(rng.choice(list("abcdef"), rng.integers(1, 10)))
+            for _ in range(rng.integers(1, 6))
+        )
+        for _ in range(60)
+    ]
+    n = 6000
+    a = [pool[i] for i in rng.integers(0, 60, n)]
+    b = [a[i] if i % 5 == 0 else pool[rng.integers(0, 60)] for i in range(n)]
+    df = pd.DataFrame({"a": a, "b": b})
+    oracle = (
+        duckdb.connect()
+        .execute("select jaro_winkler_similarity(a, b) s from df")
+        .df()["s"]
+        .to_numpy()
+    )
+    mine = jaro_winkler_np(df.a, df.b)
+    assert np.abs(oracle - mine).max() < 1e-9
+
+
+def test_token_jaccard_sets_matches_generic(spark):
+    """token_jaccard_sets on pre-distinct arrays == token_jaccard."""
+    from pyspark.sql import functions as F
+
+    from record_linkage_spark.functions.similarity import token_jaccard_sets
+
+    df = spark.createDataFrame(
+        [
+            (["a", "b", "c"], ["b", "c", "d"]),
+            (["x"], ["x"]),
+            (["x"], ["y"]),
+            ([], []),
+            (None, ["a"]),
+        ],
+        "ta array<string>, tb array<string>",
+    )
+    out = df.select(
+        token_jaccard("ta", "tb").alias("generic"),
+        token_jaccard_sets("ta", "tb").alias("sets"),
+    ).collect()
+    for r in out:
+        assert r.generic == pytest.approx(r.sets)

@@ -66,3 +66,42 @@ def test_doc_fingerprint(spark):
     assert rows[0] == rows[1]
     assert rows[0] != rows[2]
     assert rows[3] is None
+
+
+def test_top_idf_tokens(spark):
+    from record_linkage_spark.operators.text_analysis import top_idf_tokens
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common rare unique"),
+            (2, "common rare other"),
+            (3, "common filler words"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r.top_tokens for r in top_idf_tokens(docs, k=2).collect()}
+    # 'common' appears in all docs (idf 0) -> never in top-2 when rarer
+    # tokens exist
+    assert "unique" in out[1] and "common" not in out[1]
+    assert "common" not in out[2]
+
+
+def test_serialize_record(spark):
+    from pyspark.sql import functions as F
+
+    from record_linkage_spark.functions.text import serialize_pair, serialize_record
+
+    df = spark.createDataFrame(
+        [("n1", "seg", 5), ("n2", None, 7)],
+        "name string, seg string, k int",
+    )
+    ser = serialize_record([("name", "name"), ("seg", "seg"), ("k", "k")])
+    rows = df.select(ser.alias("s")).collect()
+    assert rows[0].s == "COL name VAL n1 COL seg VAL seg COL k VAL 5"
+    # null field skipped entirely (ditto_format.py:55-74 semantics)
+    assert rows[1].s == "COL name VAL n2 COL k VAL 7"
+
+    pair = df.select(
+        serialize_pair(ser, ser, F.lit(1)).alias("p")
+    ).collect()[0].p
+    assert pair.count("\t") == 2 and pair.endswith("\t1")
