@@ -113,6 +113,31 @@ def q_p18_checksum(spark, sf):
     )
 
 
+def q_p11_canon_map(spark, sf):
+    """P11: small canonicalization map as when/otherwise chain
+    (mediated_schema.py:183-187)."""
+    d = _t(spark, sf, "documents")
+    canon = (
+        F.when(F.col("lang") == "en", "english")
+        .when(F.col("lang") == "de", "german")
+        .when(F.col("lang") == "fr", "french")
+        .otherwise(F.col("lang"))
+    )
+    return d.select("doc_id", canon.alias("lang_canon"))
+
+
+def q_f8_date_parse(spark, sf):
+    """F8: to_timestamp / date arithmetic (NULL on failure semantics)."""
+    o = _t(spark, sf, "orders")
+    ts = F.to_timestamp(F.col("o_orderdate").cast("string"))
+    return o.select(
+        "o_orderkey",
+        F.year(ts).cast("int").alias("yr"),
+        F.month(ts).cast("int").alias("mo"),
+        F.date_format(ts, "yyyy-MM").alias("ym"),
+    )
+
+
 def q_p21_serialize(spark, sf):
     """P21: Ditto-style record serialization as one concat_ws expression
     (ditto_format.py:55-74)."""
@@ -692,6 +717,18 @@ def q_rl_lsh_topk(spark, sf):
     )
 
 
+def q_rl_ivf_topk(spark, sf):
+    """IVF approximate nearest neighbors: deterministic k-means coarse
+    quantizer + probed exact re-rank (scale path beside LSH)."""
+    from record_linkage_spark.operators.similarity_search import ivf_topk
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 10)
+    return ivf_topk(e, q, k=5, n_centroids=8, n_probe=3).select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
 def q_rl_embedding_neardup(spark, sf):
     """Embedding-cosine near-dup via RHP-LSH bucket self-join. The provided
     embeddings are mutually distant (max pairwise cosine ~0.51), so plant
@@ -729,6 +766,39 @@ def q_rl_streaming_rollup(spark, sf):
     q.awaitTermination()
     return spark.read.option("basePath", out_dir).parquet(out_dir).select(
         "conv_id", "n_turns", "n_tokens", "first_role"
+    )
+
+
+def q_rl_stateful_summaries(spark, sf):
+    """applyInPandasWithState custom stateful operator: per-conversation
+    running summaries over a transcript stream (update mode)."""
+    import tempfile
+
+    from record_linkage_spark.streaming.incremental import TRANSCRIPT_SCHEMA
+    from record_linkage_spark.streaming.stateful import (
+        stateful_conversation_summaries,
+    )
+    from record_linkage_spark.synth.transcripts import transcripts_table
+
+    root = tempfile.mkdtemp(prefix="rl_stateful_")
+    transcripts_table(_synth(spark, n_entities=100)).write.mode("overwrite").parquet(
+        f"{root}/in"
+    )
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(f"{root}/in")
+    name = "rl_stateful_sink"
+    q = (
+        stateful_conversation_summaries(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT conv_id, max(n_turns) AS n_turns, max(n_tokens) AS n_tokens "
+        f"FROM {name} GROUP BY conv_id"
     )
 
 
@@ -806,6 +876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p14_prefix_key": q_p14_prefix_key,
         "p16_regex_filter": q_p16_regex_filter,
         "p18_checksum": q_p18_checksum,
+        "p11_canon_map": q_p11_canon_map,
+        "f8_date_parse": q_f8_date_parse,
         "p21_serialize": q_p21_serialize,
         "f12_field_diff": q_f12_field_diff,
         "m9_top_idf_tokens": q_m9_top_idf_tokens,
@@ -845,8 +917,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rl_minhash": q_rl_minhash,
         "rl_simhash": q_rl_simhash,
         "rl_lsh_topk": q_rl_lsh_topk,
+        "rl_ivf_topk": q_rl_ivf_topk,
         "rl_embedding_neardup": q_rl_embedding_neardup,
         "rl_streaming_rollup": q_rl_streaming_rollup,
+        "rl_stateful_summaries": q_rl_stateful_summaries,
         "rl_multimodal_features": q_rl_multimodal_features,
         "rl_fingerprint": q_rl_fingerprint,
     }
@@ -910,6 +984,18 @@ def oracle_sql() -> dict[str, str]:
             " + 7*CAST(substring(lpad(CAST(doc_id AS VARCHAR), 8, '0'), 7, 1) AS INTEGER)"
             " + 3*CAST(substring(lpad(CAST(doc_id AS VARCHAR), 8, '0'), 8, 1) AS INTEGER)"
             ") % 10 AS INTEGER) AS check_digit FROM documents"
+        ),
+        "p11_canon_map": (
+            "SELECT doc_id, CASE WHEN lang = 'en' THEN 'english' "
+            "WHEN lang = 'de' THEN 'german' WHEN lang = 'fr' THEN 'french' "
+            "ELSE lang END AS lang_canon FROM documents"
+        ),
+        "f8_date_parse": (
+            "SELECT o_orderkey, "
+            "CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS INTEGER) AS yr, "
+            "CAST(month(CAST(o_orderdate AS TIMESTAMP)) AS INTEGER) AS mo, "
+            "strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS ym "
+            "FROM orders"
         ),
         "p21_serialize": (
             "SELECT c_custkey, concat_ws(' ', "

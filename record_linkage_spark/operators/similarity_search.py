@@ -181,3 +181,105 @@ def embedding_near_duplicates(
         .filter(F.col("cosine") >= cosine_threshold)
         .select("id_A", "id_B", "cosine")
     )
+
+
+def _assign_cells(vectors: DataFrame, centroids: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the (tiny) centroid table,
+    exact cosine per (vector, centroid), keep the argmax."""
+    scored = (
+        vectors.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("_sim", cosine_sim("_v", "centroid"))
+    )
+    w = Window.partitionBy("_vid").orderBy(F.desc("_sim"), F.asc("cell"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("_vid"), F.col("_v"), F.col("cell"))
+    )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse quantizer for IVF: hash-seeded initial
+    centroids (orderBy xxhash64(id) — parallelism-invariant, no rand()),
+    then Lloyd iterations expressed as DataFrame ops: assign ->
+    posexplode -> per-(cell, dim) mean -> re-assemble. Returns
+    (cell:int, centroid:array<double>). Centroids are tiny (k x dim) —
+    the only driver-side state, re-broadcast each iteration."""
+    base = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    init = (
+        base.orderBy(F.xxhash64(F.col("vid").cast("string")), "vid")
+        .limit(n_centroids)
+        .select(F.col("v").alias("centroid"))
+    )
+    w = Window.orderBy(F.xxhash64(F.concat_ws(",", F.transform("centroid", lambda x: x.cast("string")))))
+    centroids = init.withColumn("cell", F.row_number().over(w) - 1).select("cell", "centroid")
+
+    for _ in range(iterations):
+        assigned = _assign_cells(base, centroids, "vid", "v")
+        means = (
+            assigned.select("cell", F.posexplode("_v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("centroid")
+            )
+        )
+        # empty cells drop out; localCheckpoint keeps the loop's lineage flat
+        centroids = means.localCheckpoint()
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into inverted
+    lists (cells), probe each query's n_probe nearest cells only, exact
+    cosine re-rank within the probed lists. The scale path when the
+    corpus is too large for brute force and RHP-LSH recall is not
+    enough: scanning n_probe/n_centroids of the corpus per query.
+    Returns (query_id, neighbor_id, cosine, rank)."""
+    centroids = train_ivf_centroids(corpus, n_centroids, iterations, id_col, vec_col)
+    corpus_cells = _assign_cells(corpus, centroids, id_col, vec_col).select(
+        F.col("_vid").alias("neighbor_id"), F.col("_v").alias("cv"), "cell"
+    )
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    q_scored = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "_sim", cosine_sim("qv", "centroid")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("cell"))
+    probes = (
+        q_scored.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+
+    cands = (
+        corpus_cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cosine", cosine_sim("qv", "cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

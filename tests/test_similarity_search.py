@@ -77,3 +77,41 @@ def test_embedding_near_duplicates(spark):
     got = {(r.id_A, r.id_B) for r in embedding_near_duplicates(df, 0.99).collect()}
     assert (0, 1) in got and (0, 2) in got
     assert not any(3 in p for p in got)
+
+
+def test_ivf_topk_recovers_planted_neighbors(spark):
+    """IVF with enough probes finds the same top-1 as brute force for
+    planted near-duplicate vectors."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from record_linkage_spark.operators.similarity_search import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    # 8 well-separated base directions in 16-dim + a near-copy of each
+    rows = []
+    for i in range(8):
+        v = [0.0] * 16
+        v[i * 2] = 1.0
+        v[i * 2 + 1] = 0.3
+        rows.append((i, v))
+        rows.append((100 + i, [x + (0.01 if j == 0 else 0.0) for j, x in enumerate(v)]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.filter(F.col("vec_id") < 8)
+
+    bf = {
+        r.query_id: r.neighbor_id
+        for r in brute_force_topk(corpus, queries, k=1).collect()
+    }
+    ivf = {
+        r.query_id: r.neighbor_id
+        for r in ivf_topk(
+            corpus, queries, k=1, n_centroids=4, n_probe=4, iterations=2
+        ).collect()
+    }
+    # probing all cells == exhaustive: must match brute force exactly
+    assert ivf == bf
+    assert all(bf[i] == 100 + i for i in bf)
