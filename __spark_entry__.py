@@ -619,6 +619,25 @@ def q_rl_candidates(spark, sf):
     return candidate_pairs(profiles, "B1")
 
 
+def q_rl_candidates_b2(spark, sf):
+    """B2 cascade candidates (tighter: + last3 + JW(last) + exact tool)."""
+    from record_linkage_spark.operators.blocking import candidate_pairs
+
+    profiles, _ = _synth_profiles_keys(spark)
+    return candidate_pairs(profiles, "B2")
+
+
+def q_rl_sorted_neighborhood(spark, sf):
+    """Sorted-neighborhood blocking: range-partitioned global rank +
+    bucket join, window pairs over the token_prefix order."""
+    from record_linkage_spark.operators.blocking import sorted_neighborhood_pairs
+
+    profiles, _ = _synth_profiles_keys(spark)
+    return sorted_neighborhood_pairs(profiles, "token_prefix", window=4).select(
+        "id_A", "id_B", "rank_A", "rank_B"
+    )
+
+
 def q_rl_scored_pairs(spark, sf):
     """Feature vectors + FS-LR scores for blocked GT pairs."""
     from record_linkage_spark.operators.blocking import apply_blocking_filter
@@ -911,6 +930,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rl_profiles": q_rl_profiles,
         "rl_ground_truth": q_rl_ground_truth,
         "rl_candidates": q_rl_candidates,
+        "rl_candidates_b2": q_rl_candidates_b2,
+        "rl_sorted_neighborhood": q_rl_sorted_neighborhood,
         "rl_scored_pairs": q_rl_scored_pairs,
         "rl_clusters": q_rl_clusters,
         "rl_greedy_clusters": q_rl_greedy_clusters,

@@ -231,3 +231,98 @@ def blocking_metrics(
         else None,
         "seed": RANDOM_SEED,
     }
+
+
+def sorted_neighborhood_pairs(
+    profiles: DataFrame,
+    key_expr: Column | str = "token_prefix",
+    window: int = 5,
+    id_col: str = "conv_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (the north_star's second key family
+    beside equality blocks): records are totally ordered by
+    (sort key, id) and every pair within ``window`` positions becomes a
+    candidate — catching near-miss keys that equality blocking splits.
+
+    Scale-safe global ranking without a single-partition window:
+      1. range-partition + sort by (key, id), materialized so every
+         downstream job sees the same partition boundaries;
+      2. per-partition counts -> cumulative offsets (one tiny collect —
+         range partitions are ordered, so offset(pid) + local index IS
+         the global rank; ranks depend only on the total order, not on
+         where sampled boundaries fall, so output is
+         parallelism-invariant);
+      3. local indexes attached per partition with ``mapInPandas``;
+      4. neighbor pairs via a bucket join: bucket = rank // window; a
+         pair at distance <= window lands in the same or adjacent
+         bucket, so the left side explodes to [b, b+1] and the exact
+         distance filter runs on the joined rows.
+
+    Returns (id_A, id_B, rank_A, rank_B) with rank_A < rank_B.
+    """
+    import pandas as pd
+    from pyspark import TaskContext
+
+    key = F.col(key_expr) if isinstance(key_expr, str) else key_expr
+    base = profiles.select(
+        F.col(id_col).alias("rid"), key.cast("string").alias("k")
+    ).filter(F.col("k").isNotNull() & (F.col("k") != ""))
+
+    n_parts = num_partitions or max(
+        profiles.sparkSession.sparkContext.defaultParallelism, 4
+    )
+    ranked_src = (
+        base.repartitionByRange(n_parts, "k", "rid")
+        .sortWithinPartitions("k", "rid")
+        .localCheckpoint()
+    )
+
+    pid_counts = (
+        ranked_src.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    counts = {r.pid: r["count"] for r in pid_counts}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    def attach(batches):
+        ctx = TaskContext.get()
+        off = offsets.get(ctx.partitionId() if ctx else 0, 0)
+        seen = 0
+        for pdf in batches:
+            out = pdf.copy()
+            out["rank"] = range(off + seen, off + seen + len(pdf))
+            seen += len(pdf)
+            yield out
+
+    ranked = ranked_src.mapInPandas(attach, schema="rid string, k string, rank long")
+
+    left = ranked.select(
+        F.col("rid").alias("id_A"),
+        F.col("rank").alias("rank_A"),
+        F.explode(
+            F.array(
+                (F.col("rank") / window).cast("long"),
+                (F.col("rank") / window).cast("long") + 1,
+            )
+        ).alias("bucket"),
+    )
+    right = ranked.select(
+        F.col("rid").alias("id_B"),
+        F.col("rank").alias("rank_B"),
+        (F.col("rank") / window).cast("long").alias("bucket"),
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(
+            (F.col("rank_B") > F.col("rank_A"))
+            & (F.col("rank_B") - F.col("rank_A") <= window)
+        )
+        .select("id_A", "id_B", "rank_A", "rank_B")
+    )

@@ -84,6 +84,17 @@ def connected_components(
         match_edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     ).localCheckpoint()
 
+    # size the iteration's shuffles to the edge set: blocking bounds
+    # components to a few members, so the edge table is often tiny
+    # relative to spark.sql.shuffle.partitions and each of the ~4
+    # shuffles per round would pay full-width task-scheduling overhead.
+    # ~100k edges per partition; large graphs keep the session's
+    # parallelism (conf restored after the loop).
+    spark = edges.sparkSession
+    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
+    n_edges = edges.count()
+    loop_parts = max(min(default_parts, n_edges // 100_000 + 1), 1)
+
     def _sig(e: DataFrame):
         # canonical edge sets are equal iff (count, order-insensitive hash
         # sum) match — one aggregate job per iteration instead of two
@@ -96,12 +107,18 @@ def connected_components(
         return (r.n, r.h)
 
     prev_sig = _sig(edges)
-    for _ in range(max_iterations):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
-        new_sig = _sig(edges)
-        if new_sig == prev_sig:
-            break
-        prev_sig = new_sig
+    try:
+        if loop_parts < default_parts:
+            spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        for _ in range(max_iterations):
+            edges = _small_star(_large_star(edges)).localCheckpoint()
+            new_sig = _sig(edges)
+            if new_sig == prev_sig:
+                break
+            prev_sig = new_sig
+    finally:
+        if loop_parts < default_parts:
+            spark.conf.set("spark.sql.shuffle.partitions", str(default_parts))
 
     # at fixpoint every edge is (node, component_min); nodes that ARE the
     # min map to themselves

@@ -168,3 +168,29 @@ def test_blocking_metrics(spark):
     assert m["blocking_recall"] == 0.5
     assert m["n_candidates"] == 2
     assert m["reduction_ratio_vs_test"] == 0.5
+
+
+def test_sorted_neighborhood_pairs_matches_naive(spark):
+    """Scale-safe global rank + bucket join == the naive sorted-window
+    definition, and is invariant to the partition count."""
+    from record_linkage_spark.operators.blocking import sorted_neighborhood_pairs
+
+    rows = [(f"id{i:03d}", f"k{(i * 37) % 50:03d}") for i in range(120)]
+    df = spark.createDataFrame(rows, "conv_id string, token_prefix string")
+    w = 4
+
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    expected = {
+        (order[i][0], order[j][0])
+        for i in range(len(order))
+        for j in range(i + 1, min(i + w + 1, len(order)))
+    }
+
+    for parts in (3, 11):
+        got = {
+            (r.id_A, r.id_B)
+            for r in sorted_neighborhood_pairs(
+                df, "token_prefix", window=w, num_partitions=parts
+            ).collect()
+        }
+        assert got == expected
