@@ -669,6 +669,25 @@ def q_rl_scored_pairs(spark, sf):
     )
 
 
+def q_rl_incremental_link(spark, sf):
+    """Incremental linkage: a NEW slice of conversations blocked+scored
+    against the existing base; equals the batch run restricted to pairs
+    touching the new ids (asserted in tests)."""
+    from record_linkage_spark.operators.classifier import LinearModel
+    from record_linkage_spark.operators.incremental_link import link_increment
+
+    profiles, _ = _synth_profiles_keys(spark)
+    is_new = F.substring("conv_id", 1, 8).cast("int") >= 180
+    model = LinearModel(
+        weights=[2.0, 1.0, 1.5, 0.8, 0.6, 0.3, 0.5, 1.2, 0.4, 0.3, 0.8, 0.8, 0.8, 0.4, 1.0, 2.0],
+        intercept=-6.0,
+        threshold=0.5,
+    )
+    return link_increment(
+        profiles.filter(is_new), profiles.filter(~is_new), model
+    ).select("id_A", "id_B", F.round("score", 6).alias("score"), "pred")
+
+
 def q_rl_greedy_clusters(spark, sf):
     """M7: reference's greedy within-block clustering via applyInPandas
     (agreement path for the CC scale algorithm)."""
@@ -935,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rl_scored_pairs": q_rl_scored_pairs,
         "rl_clusters": q_rl_clusters,
         "rl_greedy_clusters": q_rl_greedy_clusters,
+        "rl_incremental_link": q_rl_incremental_link,
         "rl_minhash": q_rl_minhash,
         "rl_simhash": q_rl_simhash,
         "rl_lsh_topk": q_rl_lsh_topk,

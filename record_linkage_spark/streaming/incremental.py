@@ -91,3 +91,52 @@ def windowed_turn_counts(
         .groupBy(F.window("ts", "5 minutes"), F.col("role"))
         .agg(F.count("*").alias("n_turns"))
     )
+
+
+def stream_link(
+    spark: SparkSession,
+    input_dir: str,
+    base_profiles_dir: str,
+    matches_dir: str,
+    checkpoint_dir: str,
+    model,
+    strategy: str = "B1",
+):
+    """Incremental linkage stream: new transcript files -> per-batch
+    rollup -> blocked+scored against the stored profile base
+    (operators.incremental_link) -> match edges appended to
+    ``matches_dir``; the new profiles are appended to the base so later
+    batches link against them too. Returns the StreamingQuery."""
+    from record_linkage_spark.operators.incremental_link import (
+        HYDRATE_COLS,
+        link_increment,
+    )
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        new_profiles = rollup_conversations(batch_df).drop("turns").localCheckpoint()
+        cols = ["conv_id", *HYDRATE_COLS]
+        if os.path.exists(base_profiles_dir):
+            base = spark.read.parquet(base_profiles_dir).select(*cols)
+        else:
+            base = new_profiles.select(*cols).limit(0)
+        edges = link_increment(
+            new_profiles.select(*cols), base, model, strategy
+        ).filter(F.col("pred") == 1)
+        edges.write.mode("append").parquet(matches_dir)
+        new_profiles.select(*cols).write.mode("append").parquet(base_profiles_dir)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
