@@ -194,3 +194,26 @@ def test_sorted_neighborhood_pairs_matches_naive(spark):
             ).collect()
         }
         assert got == expected
+
+
+def test_salted_join_complete_under_heavy_skew(spark):
+    """One mega-block far above the salt target: the salted self-join
+    (one-side explode) must still emit every within-block pair exactly
+    once. 600 rows in a single block, salt_target=100 -> fan-out 6."""
+    from pyspark.sql import functions as F
+
+    from record_linkage_spark.operators.blocking import candidate_pairs
+
+    n = 600
+    df = spark.range(n).select(
+        F.concat(F.lit("c"), F.lpad(F.col("id").cast("string"), 4, "0")).alias("conv_id"),
+        F.lit(1).alias("text_len_bucket"),
+        F.lit("same text for every record").alias("first_text_norm"),
+        F.lit("same").alias("last_text_norm"),
+        F.lit("t").alias("primary_tool"),
+    )
+    out = candidate_pairs(df, "B1", salt_target=100)
+    cnt = out.count()
+    assert cnt == n * (n - 1) // 2
+    # and exactly once: distinct == total
+    assert out.select("id_A", "id_B").distinct().count() == cnt
