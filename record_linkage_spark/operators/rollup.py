@@ -10,17 +10,60 @@ after an explicit repartition on the group key, then ``groupBy(conv_id) +
 collect_list(struct(turn_idx, ...))`` re-sorted with ``sort_array`` —
 ``sort_array`` on a struct orders by its first field (turn_idx), so
 per-turn text equality under stable turn ordering holds regardless of
-which executor saw which rows. All derivations are higher-order array
-functions / built-ins — no Python in this stage at all.
+which executor saw which rows. Turn-array derivations are higher-order
+array functions / built-ins; the token columns come from ONE Arrow
+kernel pass (see _tokenize_kernel for why that beats the expression
+route here).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from record_linkage_spark.config import BLOCK_TOKEN_PREFIX_K
-from record_linkage_spark.functions.text import norm_text, norm_tokens, token_prefix
+from record_linkage_spark.functions.text import norm_text, token_prefix
+
+
+def _tokenize_kernel():
+    """One Arrow pass producing all token-derived profile columns.
+
+    The JVM expression route recomputes the 3-regex normalization chain
+    per consumer (the turns-array lambdas force the whole projection into
+    interpreted mode, which has no subexpression elimination) — measured
+    ~6s at 64k conversations vs <1s here. Normalization mirrors
+    functions.text.norm_tokens exactly (ASCII regexes, tested); the hash
+    set uses pandas' deterministic siphash — only pairwise agreement
+    matters for Jaccard, and determinism across executors/runs holds.
+
+    Factory (not a module-level decorator): pandas_udf parses its DDL
+    schema eagerly and needs an active SparkSession.
+    """
+
+    @F.pandas_udf(
+        "norm_tokens array<string>, token_set array<string>, token_hash_set array<long>"
+    )
+    def kernel(text: pd.Series) -> pd.DataFrame:
+        from record_linkage_spark.operators.dedup import _norm_token_lists
+
+        token_lists = _norm_token_lists(text)
+        tsets = [sorted(set(t)) for t in token_lists]
+        hsets = [
+            sorted(
+                int(h)
+                for h in pd.util.hash_array(np.asarray(ts, dtype=object)).view(np.int64)
+            )
+            if ts
+            else []
+            for ts in tsets
+        ]
+        return pd.DataFrame(
+            {"norm_tokens": token_lists, "token_set": tsets, "token_hash_set": hsets}
+        )
+
+    return kernel
 
 PROFILE_COLS = [
     "conv_id",
@@ -87,22 +130,15 @@ def rollup_conversations(
 
     prof = (
         g.withColumn("n_turns", F.size(turns))
-        .withColumn("norm_tokens", norm_tokens(all_text))
-        # distinct token set precomputed per PROFILE (thousands of rows),
-        # not per PAIR (millions): the pairwise Jaccard then needs one
-        # array_intersect and two O(1) size() calls instead of building
-        # intersect + union hash sets per pair
-        .withColumn("token_set", F.array_sort(F.array_distinct(F.col("norm_tokens"))))
-        # hashed variant for the scoring hot path: Jaccard over array<long>
-        # is ~4x cheaper than over array<string> (8-byte compares, no
-        # UTF8String allocation) and equals token-set Jaccard modulo
-        # 64-bit hash collisions
-        .withColumn(
-            "token_hash_set",
-            F.array_sort(
-                F.array_distinct(F.transform("norm_tokens", lambda x: F.xxhash64(x)))
-            ),
-        )
+        # token columns from ONE Arrow kernel call (deduplicated by the
+        # PythonUDF extraction rule, so the struct is computed once):
+        # norm_tokens plus the per-profile precomputed distinct token set
+        # and its hashed variant — the scoring hot path's Jaccard input
+        # (array<long> intersects are ~4x cheaper than array<string>)
+        .withColumn("_tok", _tokenize_kernel()(all_text))
+        .withColumn("norm_tokens", F.col("_tok.norm_tokens"))
+        .withColumn("token_set", F.col("_tok.token_set"))
+        .withColumn("token_hash_set", F.col("_tok.token_hash_set"))
         .withColumn("n_tokens", F.size("norm_tokens"))
         .withColumn("first_text", F.element_at(turns, 1)["text"])
         .withColumn("last_text", F.element_at(turns, -1)["text"])
