@@ -151,8 +151,19 @@ def negative_pairs(
     neg_ratio: float = NEG_TO_POS_RATIO,
 ) -> DataFrame:
     """Stratified negatives: NEG_HARD_FRACTION from the tight block key,
-    rest from a loose key; quotas filled by deterministic hash ranking
-    (reference's rng.choice quota, ``ground_truth.py:251-257``)."""
+    rest from a loose key; quotas filled by deterministic hash-threshold
+    sampling (reference's rng.choice quota, ``ground_truth.py:251-257``).
+
+    Scale note: an ``orderBy(hash).limit(quota)`` here would compile to
+    TakeOrderedAndProject — up to ``quota`` rows collected per partition
+    onto the driver, an OOM at 10^12-turn scale where quota is huge.
+    Instead each stratum counts its candidates (distributed aggregate,
+    scalar result) and keeps pairs whose pair-hash bucket falls under
+    quota/count — fully distributed, deterministic, and order-independent.
+    The quota is met in expectation (binomial noise ~ sqrt(quota), i.e.
+    <<1% relative at any realistic quota); tests assert labels/strata,
+    not an exact count.
+    """
     hard_cols = [
         F.col("text_len_bucket").cast("string"),
         F.substring("first_text_norm", 1, 3),
@@ -164,10 +175,22 @@ def negative_pairs(
     med_quota = total - hard_quota
 
     def take(df: DataFrame, stratum: str, quota: int) -> DataFrame:
-        ranked = df.join(
+        cand = df.join(
             positives.select("id_A", "id_B"), ["id_A", "id_B"], "left_anti"
-        ).orderBy(_pair_hash("id_A", "id_B", "quota"))
-        return ranked.limit(quota).select(
+        )
+        # distributed count (scalar to driver); the subsequent filter re-walks
+        # the same plan object, so shuffle files are reused across the two jobs
+        n_cand = cand.count()
+        if n_cand > quota:
+            thresh = min(1_000_000, int(quota / n_cand * 1_000_000) + 1)
+            cand = cand.filter(
+                F.pmod(
+                    _pair_hash("id_A", "id_B", "quota:" + stratum),
+                    F.lit(1_000_000),
+                )
+                < F.lit(thresh)
+            )
+        return cand.select(
             "id_A", "id_B", F.lit(0).alias("label"), F.lit(stratum).alias("stratum")
         )
 

@@ -39,52 +39,58 @@ OUTPUT_SCHEMA = T.StructType(
 )
 
 
-def _update(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (conv_id,) = key
-    if state.hasTimedOut:
-        n_turns, n_tokens, max_idx, _ = state.get
-        state.remove()
+def _make_update(timeout_ms: int):
+    """Build the state-update function with the timeout captured BY VALUE.
+
+    A module-level function would be pickled by reference: Python workers
+    re-import this module and would see whatever default the module holds,
+    not the caller's timeout. A closure is serialized by cloudpickle with
+    the actual ``timeout_ms`` embedded, so executors honor it.
+    """
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (conv_id,) = key
+        if state.hasTimedOut:
+            n_turns, n_tokens, max_idx, _ = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [conv_id],
+                    "n_turns": [n_turns],
+                    "n_tokens": [n_tokens],
+                    "max_turn_idx": [max_idx],
+                    "finalized": [True],
+                }
+            )
+            return
+
+        n_turns, n_tokens, max_idx, last_ts = (
+            state.get if state.exists else (0, 0, -1, 0.0)
+        )
+        for pdf in pdfs:
+            n_turns += len(pdf)
+            texts = pdf["text"].fillna("")
+            n_tokens += int(texts.str.split().str.len().sum())
+            max_idx = max(max_idx, int(pdf["turn_idx"].max()))
+            ts_max = pdf["ts"].max()
+            if pd.notna(ts_max):
+                last_ts = max(last_ts, ts_max.timestamp())
+        state.update((n_turns, n_tokens, max_idx, last_ts))
+        if timeout_ms:
+            state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(
             {
                 "conv_id": [conv_id],
                 "n_turns": [n_turns],
                 "n_tokens": [n_tokens],
                 "max_turn_idx": [max_idx],
-                "finalized": [True],
+                "finalized": [False],
             }
         )
-        return
 
-    n_turns, n_tokens, max_idx, last_ts = (
-        state.get if state.exists else (0, 0, -1, 0.0)
-    )
-    for pdf in pdfs:
-        n_turns += len(pdf)
-        texts = pdf["text"].fillna("")
-        n_tokens += int(texts.str.split().str.len().sum())
-        max_idx = max(max_idx, int(pdf["turn_idx"].max()))
-        ts_max = pdf["ts"].max()
-        if pd.notna(ts_max):
-            last_ts = max(last_ts, ts_max.timestamp())
-    state.update((n_turns, n_tokens, max_idx, last_ts))
-    if _TIMEOUT_MS[0]:
-        state.setTimeoutDuration(_TIMEOUT_MS[0])
-    yield pd.DataFrame(
-        {
-            "conv_id": [conv_id],
-            "n_turns": [n_turns],
-            "n_tokens": [n_tokens],
-            "max_turn_idx": [max_idx],
-            "finalized": [False],
-        }
-    )
-
-
-# module-level switch read by executors through the closure; a list so
-# tests / callers can set it before building the query
-_TIMEOUT_MS = [0]
+    return _update
 
 
 def stateful_conversation_summaries(
@@ -102,14 +108,13 @@ def stateful_conversation_summaries(
     ``availableNow`` batch-drain runs — a pending timeout keeps the
     trigger alive ("cleaning up state") and the query never terminates.
     """
-    _TIMEOUT_MS[0] = idle_timeout_ms
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
         if idle_timeout_ms
         else GroupStateTimeout.NoTimeout
     )
     return turn_stream.groupBy("conv_id").applyInPandasWithState(
-        _update,
+        _make_update(idle_timeout_ms),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",

@@ -103,3 +103,15 @@ def test_build_ground_truth_end_to_end(spark):
         hyd.columns
     )
     assert hyd.count() == 50
+
+
+def test_ground_truth_plan_has_no_driver_topk(spark):
+    """Negative sampling must stay distributed: no TakeOrderedAndProject
+    (per-partition top-K collected onto the driver) anywhere in the plan."""
+    raw = generate_transcripts(spark, n_entities=120, dup_rate=2.0)
+    profiles = rollup_conversations(transcripts_table(raw))
+    keys = hidden_key_table(raw).select("conv_id", "entity_key")
+    gt = build_ground_truth(profiles, keys, neg_ratio=2.0)
+    plan = gt._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" not in plan
+    assert "CollectLimit" not in plan
