@@ -490,11 +490,22 @@ def q_f4_gauss_comparator(spark, sf):
 # --------------------------------------------------------------------------
 
 def q_dedup_exact(spark, sf):
-    """Exact dedup groups by md5 of normalized text."""
+    """Exact dedup groups by md5 of normalized text.
+
+    The synthetic documents table has no natural exact duplicates, so a
+    bare run returns 0 rows and the oracle comparison is vacuous. Plant a
+    deterministic duplicated slice (doc_id < 25, re-idd at +1,000,000 —
+    mirrored in the oracle SQL) so the operator's grouping/keep-id logic
+    is actually exercised against non-empty output."""
     from record_linkage_spark.operators.dedup import exact_duplicates
 
     d = _t(spark, sf, "documents")
-    return exact_duplicates(d).select("text_hash", "n_copies", "keep_id")
+    planted = d.filter(F.col("doc_id") < 25).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    return exact_duplicates(d.unionByName(planted)).select(
+        "text_hash", "n_copies", "keep_id"
+    )
 
 
 def q_dedup_token_jaccard(spark, sf):
@@ -1209,9 +1220,11 @@ def oracle_sql() -> dict[str, str]:
             "END, 6) AS gauss FROM lineitem"
         ),
         "dedup_exact": (
+            "WITH all_docs AS (SELECT doc_id, text FROM documents "
+            "UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 25) "
             "SELECT md5(coalesce(" + NORM_URL_SQL.format(c="text") + ", '')) AS text_hash, "
             "CAST(count(*) AS BIGINT) AS n_copies, min(doc_id) AS keep_id "
-            "FROM documents GROUP BY 1 HAVING count(*) > 1"
+            "FROM all_docs GROUP BY 1 HAVING count(*) > 1"
         ),
         "dedup_token_jaccard": (
             "WITH base AS (SELECT doc_id, "

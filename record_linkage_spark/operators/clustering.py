@@ -28,22 +28,31 @@ from pyspark.sql import functions as F
 from record_linkage_spark.config import CC_MAX_ITERATIONS
 
 
-def _canon(edges: DataFrame) -> DataFrame:
-    """Undirected canonical form: (u, v) with u > v, no loops, distinct."""
-    return (
-        edges.select(
-            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
-        )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
+def _canon(edges: DataFrame, n_parts: int | None = None) -> DataFrame:
+    """Undirected canonical form: (u, v) with u > v, no loops, distinct.
+
+    n_parts: explicit shuffle width for the dedup — a repartition on
+    (u, v) satisfies distinct's clustering requirement, so the dedup runs
+    at that width without touching session-level shuffle-partition conf
+    (which would leak to concurrent queries on the same SparkSession).
+    """
+    e = edges.select(
+        F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    if n_parts:
+        e = e.repartition(n_parts, "u", "v")
+    return e.distinct()
 
 
-def _large_star(canon: DataFrame) -> DataFrame:
+def _large_star(canon: DataFrame, n_parts: int | None = None) -> DataFrame:
     """Input/output: canonical (u, v) edges."""
     sym = canon.select(F.col("u").alias("a"), F.col("v").alias("b")).union(
         canon.select(F.col("v").alias("a"), F.col("u").alias("b"))
     )
+    if n_parts:
+        # clustering on "a" feeds BOTH the groupBy and the join below with
+        # no further exchange (the shared shuffle is reused by Catalyst)
+        sym = sym.repartition(n_parts, "a")
     m = (
         sym.groupBy("a")
         .agg(F.min("b").alias("_minb"))
@@ -55,11 +64,13 @@ def _large_star(canon: DataFrame) -> DataFrame:
         .filter(F.col("b") > F.col("a"))  # re-point only larger neighbors
         .select(F.col("b").alias("src"), F.col("m").alias("dst"))
     )
-    return _canon(out)
+    return _canon(out, n_parts)
 
 
-def _small_star(canon: DataFrame) -> DataFrame:
+def _small_star(canon: DataFrame, n_parts: int | None = None) -> DataFrame:
     """Input/output: canonical (u, v) edges (u > v: v is a smaller nbr)."""
+    if n_parts:
+        canon = canon.repartition(n_parts, "u")
     m = (
         canon.groupBy("u")
         .agg(F.min("v").alias("_minv"))
@@ -69,7 +80,7 @@ def _small_star(canon: DataFrame) -> DataFrame:
     joined = canon.join(m, "u")
     re_pointed = joined.select(F.col("v").alias("src"), F.col("m").alias("dst"))
     self_links = m.select(F.col("u").alias("src"), F.col("m").alias("dst"))
-    return _canon(re_pointed.union(self_links))
+    return _canon(re_pointed.union(self_links), n_parts)
 
 
 def connected_components(
@@ -88,12 +99,17 @@ def connected_components(
     # components to a few members, so the edge table is often tiny
     # relative to spark.sql.shuffle.partitions and each of the ~4
     # shuffles per round would pay full-width task-scheduling overhead.
-    # ~100k edges per partition; large graphs keep the session's
-    # parallelism (conf restored after the loop).
+    # ~100k edges per partition, applied as explicit repartitions on the
+    # groupBy/dedup keys INSIDE the star passes (a per-query override —
+    # never session-conf mutation, which would leak to queries planned
+    # concurrently on the same SparkSession). Large graphs keep the
+    # session's parallelism (loop_parts=None → no forced repartition).
     spark = edges.sparkSession
     default_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
     n_edges = edges.count()
     loop_parts = max(min(default_parts, n_edges // 100_000 + 1), 1)
+    if loop_parts >= default_parts:
+        loop_parts = None
 
     def _sig(e: DataFrame):
         # canonical edge sets are equal iff (count, order-insensitive hash
@@ -107,18 +123,12 @@ def connected_components(
         return (r.n, r.h)
 
     prev_sig = _sig(edges)
-    try:
-        if loop_parts < default_parts:
-            spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-        for _ in range(max_iterations):
-            edges = _small_star(_large_star(edges)).localCheckpoint()
-            new_sig = _sig(edges)
-            if new_sig == prev_sig:
-                break
-            prev_sig = new_sig
-    finally:
-        if loop_parts < default_parts:
-            spark.conf.set("spark.sql.shuffle.partitions", str(default_parts))
+    for _ in range(max_iterations):
+        edges = _small_star(_large_star(edges, loop_parts), loop_parts).localCheckpoint()
+        new_sig = _sig(edges)
+        if new_sig == prev_sig:
+            break
+        prev_sig = new_sig
 
     # at fixpoint every edge is (node, component_min); nodes that ARE the
     # min map to themselves

@@ -38,10 +38,22 @@ def _norm_tokens(text_col) -> Column:
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Spread a narrow input (e.g. a single local parquet file) across the
     cluster before a CPU-heavy per-row stage. No-op when the input already
-    has enough partitions (the 100 TB case — never add a gratuitous
-    shuffle there)."""
+    has enough files behind it (the 100 TB case — never add a gratuitous
+    shuffle there).
+
+    Width is probed via ``inputFiles()`` (file listing only) — NOT
+    ``df.rdd.getNumPartitions()``, which forces a full plan-to-RDD
+    translation, defeating later Catalyst reuse on the branch and paying
+    plan analysis cost on big plans. Non-file sources (in-memory synth,
+    post-shuffle frames) return no files and are left untouched — they
+    already carry the session's parallelism.
+    """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(target // 2, 2):
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    if 0 < n_files < max(target // 2, 2):
         return df.repartition(target)
     return df
 
@@ -250,9 +262,12 @@ def minhash_near_duplicates(
     )
 
     # sig is read by both band-join sides and the verification hydration —
-    # cache so the Arrow kernel runs once per row (at warehouse scale this
-    # would be a checkpointed stage table instead)
-    sig = sig.cache()
+    # localCheckpoint so the Arrow kernel runs once per row (at warehouse
+    # scale this would be a checkpointed stage table instead). Not cache():
+    # cached blocks pin executor storage until an explicit unpersist, which
+    # no caller of this lazy result could reliably issue; localCheckpoint
+    # blocks are released by the ContextCleaner when the result is dropped.
+    sig = sig.localCheckpoint()
 
     # bucket join carries ONLY (doc_id, sig) — never the shingle arrays;
     # at corpus scale the shuffle payload is 32 longs per row, not the text

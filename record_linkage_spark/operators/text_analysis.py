@@ -127,11 +127,16 @@ def doc_token_idf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     tokens, aggregate document frequency, idf = ln(N / df)."""
     toks = F.array_distinct(_tokens(F.col(text_col)))
     ex = docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("token"))
-    n_docs = docs.count()
+    # corpus size computed IN the plan (broadcast single-row cross join),
+    # not via an eager docs.count() — keeps the operator lazy/composable
+    # and avoids an extra job per call
+    n_docs = docs.agg(F.count("*").cast("double").alias("_n_docs"))
     return (
         ex.groupBy("token")
         .agg(F.count("*").cast("bigint").alias("df"))
-        .withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df")))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("idf", F.log(F.col("_n_docs") / F.col("df")))
+        .drop("_n_docs")
     )
 
 
