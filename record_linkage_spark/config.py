@@ -65,3 +65,9 @@ JW_MAX_LEN = 48
 
 # --- clustering ------------------------------------------------------------
 CC_MAX_ITERATIONS = 25
+
+# --- M4 dedupe-style affine-gap comparator (src/matching/dedupe.py) -------
+AFFINE_MAX_LEN = 48                 # cap like JW_MAX_LEN; text beyond is truncated
+AFFINE_MISMATCH = 5.0               # substitution cost (match = 0)
+AFFINE_GAP_OPEN = 5.0               # gap-open cost (Gotoh)
+AFFINE_GAP_EXTEND = 1.0             # gap-extend cost

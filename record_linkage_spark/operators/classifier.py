@@ -104,12 +104,16 @@ def train_logistic_regression(
     X = np.array([r.fv for r in rows], dtype=np.float64)
     y = np.array([r.label for r in rows], dtype=np.float64)
     if X.size == 0:
-        return LinearModel(weights=[0.0] * len(names), intercept=0.0)
+        return LinearModel(
+            weights=[0.0] * len(names), intercept=0.0, feature_names=tuple(names)
+        )
 
     best: tuple[float, LinearModel] | None = None
     for reg in reg_grid:
         w, b = _fit_lr_numpy(X, y, reg=reg)
-        model = LinearModel(weights=[float(v) for v in w], intercept=b)
+        model = LinearModel(
+            weights=[float(v) for v in w], intercept=b, feature_names=tuple(names)
+        )
         if val_pairs is None:
             best = (0.0, model)
             break

@@ -111,3 +111,86 @@ def add_features(pairs: DataFrame) -> DataFrame:
         df = df.withColumn(name, feats[name])
     df = df.withColumn("features", F.array(*[F.col(n) for n in FEATURE_NAMES]))
     return df.drop("_jw_first", "_jw_last")
+
+
+# --- M4: Dedupe-style feature set -----------------------------------------
+
+# profile columns the dedupe-style vector needs (suffixed _A/_B)
+DEDUPE_FEATURE_INPUT_COLS = [
+    "first_text_norm",
+    "last_text_norm",
+    "token_prefix",
+    "first_role",
+    "primary_tool",
+    "n_turns",
+    "n_tokens",
+    "duration_sec",
+]
+
+DEDUPE_FEATURE_NAMES = [
+    "ag_first",        # affine-gap sim, first_text_norm (String field)
+    "ag_last",         # affine-gap sim, last_text_norm (String field)
+    "ag_prefix",       # affine-gap sim, token_prefix (String field)
+    "cat_first_role",  # Categorical: exact
+    "cat_tool",        # Categorical: exact
+    "price_n_turns",   # Price-style: |log ratio| clamped
+    "price_n_tokens",  # Price-style
+    "price_duration",  # Price-style
+    "miss_any",        # has_missing indicator
+]
+
+
+def _price_sim(a, b):
+    """Dedupe's Price field compares |log10(a) - log10(b)|; map to a [0,1]
+    similarity: 1 - min(|log10((a+1)/(b+1))|, 1). Null/negative -> 0."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    la = F.log10(a.cast("double") + F.lit(1.0))
+    lb = F.log10(b.cast("double") + F.lit(1.0))
+    d = F.abs(la - lb)
+    return F.when(
+        a.isNull() | b.isNull() | (a < 0) | (b < 0), F.lit(0.0)
+    ).otherwise(F.lit(1.0) - F.least(d, F.lit(1.0)))
+
+
+def add_dedupe_features(pairs: DataFrame) -> DataFrame:
+    """Hydrated pair table -> M4 "Dedupe-style" comparison vector.
+
+    Mirrors the reference's dedupe field classes
+    (``src/matching/dedupe.py:157-194``): String fields scored with a
+    normalized affine-gap comparator (independent Gotoh kernel,
+    ``functions/similarity.py``), Categorical fields as exact agreement,
+    Price fields as log-ratio proximity, plus a has_missing indicator —
+    re-targeted at transcript-profile columns. Three Arrow kernel calls
+    (the affine-gap legs); everything else whole-stage codegen.
+    """
+    from record_linkage_spark.functions.similarity import affine_gap_pairs
+
+    feats = {
+        "ag_first": affine_gap_pairs(
+            F.col("first_text_norm_A"), F.col("first_text_norm_B")
+        ),
+        "ag_last": affine_gap_pairs(
+            F.col("last_text_norm_A"), F.col("last_text_norm_B")
+        ),
+        "ag_prefix": affine_gap_pairs(
+            F.col("token_prefix_A"), F.col("token_prefix_B")
+        ),
+        "cat_first_role": exact_match("first_role_A", "first_role_B"),
+        "cat_tool": exact_match("primary_tool_A", "primary_tool_B"),
+        "price_n_turns": _price_sim("n_turns_A", "n_turns_B"),
+        "price_n_tokens": _price_sim("n_tokens_A", "n_tokens_B"),
+        "price_duration": _price_sim("duration_sec_A", "duration_sec_B"),
+        "miss_any": (
+            F.col("first_text_norm_A").isNull()
+            | F.col("first_text_norm_B").isNull()
+            | F.col("primary_tool_A").isNull()
+            | F.col("primary_tool_B").isNull()
+        ).cast("double"),
+    }
+    df = pairs
+    for name in DEDUPE_FEATURE_NAMES:
+        df = df.withColumn(name, feats[name])
+    return df.withColumn(
+        "features", F.array(*[F.col(n) for n in DEDUPE_FEATURE_NAMES])
+    )

@@ -145,3 +145,79 @@ def test_token_jaccard_sets_matches_generic(spark):
     ).collect()
     for r in out:
         assert r.generic == pytest.approx(r.sets)
+
+
+class TestAffineGap:
+    def test_golden_values(self):
+        from record_linkage_spark.functions.similarity import affine_gap_np
+
+        got = affine_gap_np(
+            ["hello", "hello", "abc", "", "kitten", None],
+            ["hello", "helo", "xyz", "x", "sitting", "x"],
+        )
+        assert got[0] == 1.0          # identical
+        assert 0.6 < got[1] < 0.8     # one deletion
+        assert got[2] < 0.2           # all mismatches
+        assert got[3] == 0.0          # empty side
+        assert got[5] == 0.0          # null side
+
+    def test_matches_scalar_gotoh(self):
+        import random
+
+        import numpy as np
+
+        from record_linkage_spark.config import (
+            AFFINE_GAP_EXTEND,
+            AFFINE_GAP_OPEN,
+            AFFINE_MISMATCH,
+        )
+        from record_linkage_spark.functions.similarity import affine_gap_np
+
+        def gotoh(s1, s2, mis=AFFINE_MISMATCH, op=AFFINE_GAP_OPEN, ext=AFFINE_GAP_EXTEND):
+            l1, l2 = len(s1), len(s2)
+            if l1 == 0 or l2 == 0:
+                return 0.0
+            if s1 == s2:
+                return 1.0
+            INF = 1e18
+            M = [[INF] * (l2 + 1) for _ in range(l1 + 1)]
+            X = [[INF] * (l2 + 1) for _ in range(l1 + 1)]
+            Y = [[INF] * (l2 + 1) for _ in range(l1 + 1)]
+            M[0][0] = 0.0
+            for j in range(1, l2 + 1):
+                Y[0][j] = op + j * ext
+            for i in range(1, l1 + 1):
+                X[i][0] = op + i * ext
+                for j in range(1, l2 + 1):
+                    sub = 0.0 if s1[i - 1] == s2[j - 1] else mis
+                    M[i][j] = min(M[i-1][j-1], X[i-1][j-1], Y[i-1][j-1]) + sub
+                    X[i][j] = min(min(M[i-1][j], Y[i-1][j]) + op + ext, X[i-1][j] + ext)
+                    Y[i][j] = min(min(M[i][j-1], X[i][j-1]) + op + ext, Y[i][j-1] + ext)
+            D = min(M[l1][l2], X[l1][l2], Y[l1][l2])
+            worst = 2 * op + (l1 + l2) * ext
+            return max(0.0, min(1.0, 1 - D / worst))
+
+        rng = random.Random(7)
+        alpha = "abcde "
+        cases = [("hello", "helo"), ("kitten", "sitting"), ("martha", "marhta")]
+        for _ in range(300):
+            s1 = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 14)))
+            s2 = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 14)))
+            cases.append((s1, s2))
+        got = affine_gap_np([c[0] for c in cases], [c[1] for c in cases])
+        exp = np.array([gotoh(*c) for c in cases])
+        assert np.allclose(got, exp, atol=1e-9)
+
+    def test_spark_udf_matches_kernel(self, spark):
+        import numpy as np
+
+        from record_linkage_spark.functions.similarity import (
+            affine_gap_np,
+            affine_sim,
+        )
+
+        rows = [("hello world", "helo world"), ("abc", "abd"), (None, "x"), ("same", "same")]
+        df = spark.createDataFrame(rows, ["a", "b"])
+        got = [r.s for r in df.select(affine_sim("a", "b").alias("s")).collect()]
+        exp = affine_gap_np([r[0] for r in rows], [r[1] for r in rows])
+        assert np.allclose(got, exp)
