@@ -680,6 +680,84 @@ def q_rl_scored_pairs(spark, sf):
     )
 
 
+def q_rl_dedupe_scored(spark, sf):
+    """M4 dedupe-style matcher: affine-gap (Gotoh) string fields +
+    categorical/log-ratio fields, scored by the same codegen LR
+    (reference ``src/matching/dedupe.py:153-263``'s role)."""
+    from record_linkage_spark.operators.classifier import (
+        score_pairs,
+        train_logistic_regression,
+    )
+    from record_linkage_spark.operators.features import (
+        DEDUPE_FEATURE_INPUT_COLS,
+        DEDUPE_FEATURE_NAMES,
+        add_dedupe_features,
+    )
+    from record_linkage_spark.operators.ground_truth import (
+        build_ground_truth,
+        hydrate_pairs,
+    )
+
+    profiles, keys = _synth_profiles_keys(spark)
+    gt = build_ground_truth(profiles, keys).localCheckpoint()
+    feats = add_dedupe_features(
+        hydrate_pairs(gt, profiles, DEDUPE_FEATURE_INPUT_COLS)
+    ).localCheckpoint()
+    model = train_logistic_regression(
+        feats.filter(F.col("split") == "train"),
+        feature_names=DEDUPE_FEATURE_NAMES,
+    )
+    return score_pairs(feats, model).select(
+        "id_A", "id_B", "label", F.round("score", 6).alias("score"), "pred"
+    )
+
+
+def q_rl_text_scored(spark, sf):
+    """M5-shaped batch scorer: pairs Ditto-serialized (P21) and scored in
+    ``mapInPandas`` batches with broadcast weights (reference
+    ``src/matching/ditto.py:171-218``'s harness; hashing-LR stand-in)."""
+    from record_linkage_spark.operators.batch_scorer import (
+        PAIR_TEXT_FIELDS,
+        add_pair_text,
+        score_serialized_pairs,
+        train_hashing_scorer,
+    )
+    from record_linkage_spark.operators.ground_truth import (
+        build_ground_truth,
+        hydrate_pairs,
+    )
+
+    profiles, keys = _synth_profiles_keys(spark)
+    gt = build_ground_truth(profiles, keys).localCheckpoint()
+    hyd = add_pair_text(
+        hydrate_pairs(gt, profiles, PAIR_TEXT_FIELDS)
+    ).localCheckpoint()
+    model = train_hashing_scorer(hyd.filter(F.col("split") == "train"))
+    return score_serialized_pairs(hyd, model).select(
+        "id_A", "id_B", F.round("score", 6).alias("score"), "pred"
+    )
+
+
+def q_rl_compare_report(spark, sf):
+    """E3 multi-strategy x multi-model report: one row per (B1/B2 x
+    {lr, dedupe, textmodel}), the reference's 6-row
+    ``pipeline_report.json`` (``src/evaluation/compare.py:178-197``).
+    inference_time is wall-clock and excluded from the returned columns."""
+    from record_linkage_spark.operators.ground_truth import build_ground_truth
+    from record_linkage_spark.plans.compare import compare_report
+
+    profiles, keys = _synth_profiles_keys(spark, n_entities=120)
+    gt = build_ground_truth(profiles, keys)
+    rows = compare_report(gt, profiles)
+    stable = [
+        {k: v for k, v in r.items() if k != "inference_time_sec"} for r in rows
+    ]
+    return spark.createDataFrame(stable).select(
+        "strategy", "model", "blocking_recall", "n_test_pairs", "n_candidates",
+        "tp", "fp", "fn", "tn", "f1_global", "f1_candidates",
+    )
+
+
 def q_rl_incremental_link(spark, sf):
     """Incremental linkage: a NEW slice of conversations blocked+scored
     against the existing base; equals the batch run restricted to pairs
@@ -963,6 +1041,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rl_candidates_b2": q_rl_candidates_b2,
         "rl_sorted_neighborhood": q_rl_sorted_neighborhood,
         "rl_scored_pairs": q_rl_scored_pairs,
+        "rl_dedupe_scored": q_rl_dedupe_scored,
+        "rl_text_scored": q_rl_text_scored,
+        "rl_compare_report": q_rl_compare_report,
         "rl_clusters": q_rl_clusters,
         "rl_greedy_clusters": q_rl_greedy_clusters,
         "rl_incremental_link": q_rl_incremental_link,

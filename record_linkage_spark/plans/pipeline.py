@@ -218,6 +218,27 @@ class LinkagePipeline:
             json.dump(self.report, f, indent=2)
         return self.report
 
+    def run_compare(
+        self,
+        strategies: tuple[str, ...] = ("B1", "B2"),
+        models: tuple[str, ...] | None = None,
+    ) -> list[dict]:
+        """Multi-strategy x multi-model report (reference E3's 6-row
+        ``pipeline_report.json``, ``src/evaluation/compare.py:178-197``).
+        Reads the checkpointed profiles/gt stages; run() must have
+        completed (or be resumable) first."""
+        from record_linkage_spark.plans.compare import (
+            MODELS,
+            compare_report,
+            write_report,
+        )
+
+        profiles = self.wh.read("profiles")
+        gt = self.wh.read("gt_pairs")
+        rows = compare_report(gt, profiles, strategies, models or MODELS)
+        write_report(rows, os.path.join(self.wh.root, "compare_report.json"))
+        return rows
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -226,6 +247,12 @@ def main() -> None:
     ap.add_argument("--dup-rate", type=float, default=1.6)
     ap.add_argument("--strategy", default="B1")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument(
+        "--compare",
+        action="store_true",
+        help="after the pipeline, emit the (strategy x model) comparison "
+        "report over B1/B2 x {lr, dedupe, textmodel}",
+    )
     args = ap.parse_args()
 
     from record_linkage_spark.session import get_spark
@@ -239,6 +266,8 @@ def main() -> None:
         strategy=args.strategy,
     )
     report = pipe.run(resume=not args.no_resume)
+    if args.compare:
+        report = {"pipeline": report, "compare": pipe.run_compare()}
     print(json.dumps(report, indent=2))
 
 
