@@ -27,8 +27,15 @@ LINEAGE_FILE = "_LINEAGE.json"
 
 
 def _iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg Spark runtime jar is on the JVM classpath.
+
+    Must force a real classload: a bare ``spark._jvm.org.apache.iceberg.X``
+    is a lazy py4j path object that never touches the classloader, so it
+    "succeeds" even with no jar present."""
     try:
-        spark._jvm.org.apache.iceberg.Schema  # noqa: SLF001
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
         return True
     except Exception:
         return False
@@ -56,20 +63,41 @@ def _file_row_counts(path: str) -> list[dict]:
 
 @dataclass
 class Warehouse:
-    """Parquet-backed stage store (Iceberg-shaped API surface)."""
+    """Stage store: Parquet by default, real Iceberg tables when the
+    runtime has the jars (``fmt="auto"`` probes; ``fmt="iceberg"``
+    forces). The sandbox ships no Iceberg jars, so the gate resolves to
+    parquet here; on a cluster with a configured Iceberg catalog the same
+    pipeline commits snapshots via ``writeTo(...).createOrReplace()``."""
 
     root: str
     spark: SparkSession
-    fmt: str = "parquet"
+    fmt: str = "auto"
+    catalog: str = "spark_catalog"
+    database: str = "rl_warehouse"
     extra_lineage: dict = field(default_factory=dict)
+
+    def resolved_fmt(self) -> str:
+        if self.fmt == "auto":
+            return "iceberg" if _iceberg_available(self.spark) else "parquet"
+        return self.fmt
 
     def table_path(self, name: str) -> str:
         return os.path.join(self.root, name)
 
+    def table_ident(self, name: str) -> str:
+        return f"{self.catalog}.{self.database}.{name}"
+
     def lineage_path(self, name: str) -> str:
+        if self.resolved_fmt() == "iceberg":
+            os.makedirs(os.path.join(self.root, "_lineage"), exist_ok=True)
+            return os.path.join(self.root, "_lineage", f"{name}.json")
         return os.path.join(self.table_path(name), LINEAGE_FILE)
 
     def exists(self, name: str) -> bool:
+        if self.resolved_fmt() == "iceberg":
+            return self.spark.catalog.tableExists(
+                self.table_ident(name)
+            ) and os.path.exists(self.lineage_path(name))
         p = self.table_path(name)
         return os.path.exists(os.path.join(p, "_SUCCESS")) and os.path.exists(
             self.lineage_path(name)
@@ -83,7 +111,44 @@ class Warehouse:
             return None
 
     def read(self, name: str) -> DataFrame:
+        if self.resolved_fmt() == "iceberg":
+            return self.spark.table(self.table_ident(name))
         return self.spark.read.parquet(self.table_path(name))
+
+    def _write_parquet(
+        self, name: str, df: DataFrame, partition_by: list[str] | None
+    ) -> list[dict]:
+        path = self.table_path(name)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        return _file_row_counts(path)
+
+    def _write_iceberg(
+        self, name: str, df: DataFrame, partition_by: list[str] | None
+    ) -> list[dict]:
+        """Commit an Iceberg snapshot (atomic replace). Per-file row counts
+        come from the snapshot's manifests via the files metadata table."""
+        self.spark.sql(
+            f"CREATE DATABASE IF NOT EXISTS {self.catalog}.{self.database}"
+        )
+        writer = df.writeTo(self.table_ident(name)).using("iceberg")
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        writer.createOrReplace()
+        try:
+            files = self.spark.sql(
+                f"SELECT file_path, record_count FROM {self.table_ident(name)}.files"
+            ).collect()
+            return [
+                {"file": os.path.basename(r.file_path), "rows": int(r.record_count)}
+                for r in files
+            ]
+        except Exception:
+            return []
 
     def write(
         self,
@@ -94,15 +159,15 @@ class Warehouse:
         metrics: dict | None = None,
         partition_by: list[str] | None = None,
     ) -> DataFrame:
-        path = self.table_path(name)
         t0 = time.time()
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(path)
+        fmt = self.resolved_fmt()
+        if fmt == "iceberg":
+            partitions = self._write_iceberg(name, df, partition_by)
+        else:
+            partitions = self._write_parquet(name, df, partition_by)
         lineage = {
             "stage": name,
-            "format": self.fmt,
+            "format": fmt,
             "config_hash": config_hash(cfg or {}),
             "config": cfg or {},
             "inputs": [
@@ -113,7 +178,7 @@ class Warehouse:
                 for i in (inputs or [])
             ],
             "schema": df.schema.simpleString(),
-            "partitions": _file_row_counts(path),
+            "partitions": partitions,
             "metrics": metrics or {},
             "write_seconds": round(time.time() - t0, 3),
             "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),

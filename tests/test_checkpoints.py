@@ -69,3 +69,38 @@ def test_pipeline_resume_equivalence(spark, tmp_path):
     with open(os.path.join(wh1, "pipeline_report.json")) as f:
         rep = json.load(f)
     assert rep["global"]["f1"] == r2["global"]["f1"]
+
+
+def test_format_gate_resolves_parquet_without_jars(spark, tmp_path):
+    """No Iceberg jars in this container -> auto resolves to parquet."""
+    wh = Warehouse(root=str(tmp_path), spark=spark)
+    assert wh.fmt == "auto"
+    assert wh.resolved_fmt() == "parquet"
+
+
+def test_format_gate_selects_iceberg_writer(spark, tmp_path, monkeypatch):
+    """With Iceberg available the writer must take the writeTo branch
+    (jars absent here, so the branch itself is mocked)."""
+    import record_linkage_spark.sources.checkpoints as cp
+
+    calls = {}
+    monkeypatch.setattr(cp, "_iceberg_available", lambda s: True)
+    wh = Warehouse(root=str(tmp_path), spark=spark)
+    assert wh.resolved_fmt() == "iceberg"
+    assert wh.table_ident("profiles") == "spark_catalog.rl_warehouse.profiles"
+
+    def fake_iceberg(name, df, partition_by):
+        calls["name"] = name
+        calls["partition_by"] = partition_by
+        return [{"file": "snap-0.parquet", "rows": df.count()}]
+
+    monkeypatch.setattr(wh, "_write_iceberg", fake_iceberg)
+    monkeypatch.setattr(wh, "read", lambda name: spark.range(3).toDF("id"))
+    df = spark.range(3).toDF("id")
+    wh.write("stage_x", df, cfg={"a": 1})
+    assert calls["name"] == "stage_x"
+    lin = wh.lineage("stage_x")
+    assert lin["format"] == "iceberg"
+    assert lin["row_count"] == 3
+    # parquet path untouched on disk for the table itself
+    assert not (tmp_path / "stage_x" / "_SUCCESS").exists()
