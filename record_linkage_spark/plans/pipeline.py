@@ -237,6 +237,17 @@ class LinkagePipeline:
         gt = self.wh.read("gt_pairs")
         rows = compare_report(gt, profiles, strategies, models or MODELS)
         write_report(rows, os.path.join(self.wh.root, "compare_report.json"))
+        # fold the per-(strategy x model) rows into pipeline_report.json too
+        # — the reference's pipeline_report.json IS this multi-row report
+        report_path = os.path.join(self.wh.root, "pipeline_report.json")
+        try:
+            with open(report_path) as f:
+                merged = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            merged = {}
+        merged["strategies"] = rows
+        with open(report_path, "w") as f:
+            json.dump(merged, f, indent=2)
         return rows
 
 

@@ -32,24 +32,42 @@ from record_linkage_spark.operators.rollup import rollup_conversations
 from record_linkage_spark.synth.transcripts import generate_transcripts, transcripts_table
 
 cores = {cores}
-spark = get_spark("bench_scaling", master=f"local[{{cores}}]", shuffle_partitions=max(cores * 2, 8))
+# ParallelGC + a big heap: the timed pass allocates heavily across all
+# task threads of ONE JVM (codegen rows + array intersections); G1's
+# concurrent cycles at 32 threads on a default heap cost ~25% throughput
+# (measured), turning a scaling measurement into a GC measurement.
+spark = get_spark("bench_scaling", master=f"local[{{cores}}]", shuffle_partitions=max(cores * 2, 8),
+                  extra_conf={{"spark.driver.extraJavaOptions": "-XX:+UseParallelGC"}})
 raw = generate_transcripts(spark, n_entities={entities}, dup_rate=1.6)
 profiles = rollup_conversations(transcripts_table(raw)).localCheckpoint()
 n_convs = profiles.count()
-# same hash-bucket pair workload as bench.py's headline: deterministic,
-# identical at any parallelism (no rand / monotonic ids anywhere)
-n_groups = max(n_convs // 40, 1)
+# same hash-bucket pair workload family as bench.py's headline but 4x
+# deeper buckets (~160 profiles -> ~12.7k pairs each): the timed pass
+# must be long enough (>>10x fixed per-pass cost: scheduling, Arrow
+# worker ramp, final agg barrier) that Amdahl overhead doesn't masquerade
+# as a scaling loss. Deterministic, identical at any parallelism (no
+# rand / monotonic ids anywhere).
+n_groups = max(n_convs // 160, 1)
 bucket = F.pmod(F.xxhash64(F.lit(7), F.col("conv_id")), F.lit(n_groups))
 pa = profiles.select(F.col("conv_id").alias("id_A"), bucket.alias("b"))
 pb = profiles.select(F.col("conv_id").alias("id_B"), bucket.alias("b"))
 pairs = pa.join(pb, "b").filter(F.col("id_A") < F.col("id_B")).select("id_A", "id_B")
-cols = sorted(set(FEATURE_INPUT_COLS) | {{"text_len_bucket"}})
 # hydration is one-time pipeline setup (dominated by a serial broadcast
 # build of the 64k-profile dim table) — materialize it untimed so the
 # measured section is the *pairwise scoring* path the north_rule's
 # throughput criterion names: Arrow JW kernels + codegen comparators +
 # set-Jaccard + FS-LR score + aggregate.
-hydrated = hydrate_pairs(pairs, profiles, cols).localCheckpoint()
+hyd = hydrate_pairs(pairs, profiles, FEATURE_INPUT_COLS, num_partitions=96)
+# slim the checkpointed payload to exactly what the kernels read: texts
+# truncated to the JW kernel's 48-char cap (bit-identical scores); the
+# token hash set stays as the one large column (Jaccard needs it all).
+proj = []
+for c in hyd.columns:
+    if c.startswith("first_text_norm") or c.startswith("last_text_norm"):
+        proj.append(F.substring(c, 1, 48).alias(c))
+    else:
+        proj.append(F.col(c))
+hydrated = hyd.select(*proj).localCheckpoint()
 hydrated.count()
 model = LinearModel(
     weights=[2.0, 1.0, 1.5, 0.8, 0.6, 0.3, 0.5, 1.2, 0.4, 0.3, 0.8, 0.8, 0.8, 0.4, 1.0, 2.0],
@@ -89,7 +107,7 @@ def run_one(cores: int, entities: int, repo: str) -> dict:
         capture_output=True,
         text=True,
         timeout=3600,
-        env={**os.environ, "SPARK_DRIVER_MEM": "24g"},
+        env={**os.environ, "SPARK_DRIVER_MEM": "64g"},
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
