@@ -949,6 +949,57 @@ def q_rl_fingerprint(spark, sf):
     return d.select("doc_id", doc_fingerprint("text").alias("fp"))
 
 
+def q_dk_inject(spark, sf):
+    """M10: domain-knowledge injection (heuristic NER stand-in + number
+    canonicalization + long-id tagging) — pure Catalyst, SQL-portable.
+
+    The synthetic documents are lowercase prose, so none of the tagging
+    rules fire on them (they only pin the identity path); a planted slice
+    (mirrored in the oracle SQL) exercises every rule: PRODUCT tagging,
+    ID tagging, fraction/zero-pad number canonicalization, DATE tagging,
+    structure-token passthrough. Fractions use .25 (binary-exact) so the
+    %.2f format can't diverge between JVM and C printf."""
+    from record_linkage_spark.functions.knowledge import inject_domain_knowledge
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    planted = (
+        d.filter(F.col("doc_id") < 50)
+        .select(
+            (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+            F.concat(
+                F.lit("COL name VAL Apple Gadget sn"),
+                F.lpad(F.col("doc_id").cast("string"), 7, "0"),
+                F.lit(" COL price VAL "),
+                F.col("doc_id").cast("string"),
+                F.lit(".25 COL qty VAL 0042 COL date VAL 2021-03-15"),
+                F.lit(" [SEP] plain words only"),
+            ).alias("text"),
+        )
+    )
+    both = d.select("doc_id", "text").unionByName(planted)
+    return both.select("doc_id", inject_domain_knowledge("text").alias("dk_text"))
+
+
+def q_rl_augment(spark, sf):
+    """M8: deterministic hash-seeded augmentation over Ditto-serialized
+    records (rows-only: per-row numpy RNG has no SQL twin)."""
+    from record_linkage_spark.functions.augment import augment_serialized
+    from record_linkage_spark.functions.text import serialize_record
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    ser = d.select(
+        "doc_id",
+        serialize_record(
+            [("text", F.col("text")), ("lang", F.col("lang")), ("source", F.col("source"))]
+        ).alias("ser"),
+    )
+    return ser.select(
+        "doc_id",
+        augment_serialized("ser", "all").alias("aug_all"),
+        augment_serialized("ser", "drop_token").alias("aug_drop_token"),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1056,6 +1107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rl_stateful_summaries": q_rl_stateful_summaries,
         "rl_multimodal_features": q_rl_multimodal_features,
         "rl_fingerprint": q_rl_fingerprint,
+        "dk_inject": q_dk_inject,
+        "rl_augment": q_rl_augment,
     }
 
 
@@ -1379,5 +1432,29 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(regexp_extract_all(coalesce(text, ''), "
             "'(\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+)', 1)) AS BIGINT) AS n_bpe "
             "FROM documents"
+        ),
+        # M10 DK injection — same rule chain as functions/knowledge.py; the
+        # long-id rule is written lookahead-free (RE2) as length+digit tests
+        "dk_inject": (
+            "WITH all_docs AS ("
+            "SELECT doc_id, text FROM documents WHERE text IS NOT NULL "
+            "UNION ALL "
+            "SELECT doc_id + 2000000 AS doc_id, "
+            "'COL name VAL Apple Gadget sn' || lpad(CAST(doc_id AS VARCHAR), 7, '0') "
+            "|| ' COL price VAL ' || CAST(doc_id AS VARCHAR) "
+            "|| '.25 COL qty VAL 0042 COL date VAL 2021-03-15 [SEP] plain words only' AS text "
+            "FROM documents WHERE text IS NOT NULL AND doc_id < 50) "
+            "SELECT doc_id, array_to_string(flatten(list_transform("
+            "string_split_regex(text, '\\s+'), t -> CASE "
+            "WHEN t IN ('COL', 'VAL', '[SEP]', '[CLS]') THEN [t] "
+            "WHEN regexp_matches(t, '^\\d{4}[-/]\\d{1,2}[-/]\\d{1,2}$') THEN ['DATE', t] "
+            "WHEN regexp_matches(t, '^\\d+(\\.\\d+)?$') AND length(t) <= 15 THEN "
+            "CASE WHEN CAST(t AS DOUBLE) = floor(CAST(t AS DOUBLE)) "
+            "THEN [CAST(CAST(CAST(t AS DOUBLE) AS BIGINT) AS VARCHAR)] "
+            "ELSE [printf('%.2f', CAST(t AS DOUBLE))] END "
+            "WHEN length(t) >= 7 AND regexp_matches(t, '\\d') THEN ['ID', t] "
+            "WHEN regexp_matches(t, '^[A-Z][a-z]') THEN ['PRODUCT', t] "
+            "ELSE [t] END)), ' ') AS dk_text "
+            "FROM all_docs"
         ),
     }
