@@ -1000,6 +1000,48 @@ def q_rl_augment(spark, sf):
     )
 
 
+def q_sn_pairs(spark, sf):
+    """Sorted-neighborhood blocking over the documents table with a fully
+    SQL-expressible total order (rank = row_number over (key, padded id)),
+    so the scale-safe range-partition + bucket-join implementation can be
+    value-checked against a DuckDB window-function twin. Ids are
+    zero-padded so string order == numeric order on both sides."""
+    from record_linkage_spark.operators.blocking import sorted_neighborhood_pairs
+
+    d = (
+        _t(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.format_string("d%04d", F.col("doc_id")).alias("conv_id"),
+            F.lower(F.substring("text", 1, 12)).alias("token_prefix"),
+        )
+    )
+    return sorted_neighborhood_pairs(d, "token_prefix", window=4).select(
+        "id_A", "id_B", "rank_A", "rank_B"
+    )
+
+
+def q_cc_components(spark, sf):
+    """Connected components (large-star/small-star) over a deterministic
+    planted graph on document ids — chains of ~7 (edge i -> i-1 unless
+    i % 7 == 0) merged by bridge edges (i -> i+3 where i % 11 == 0), both
+    endpoint-filtered to existing ids. The DuckDB twin computes the same
+    components with a recursive-CTE min-label closure, value-checking the
+    iterative Spark operator end to end (entity_id = component min)."""
+    from record_linkage_spark.operators.clustering import assign_entities
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    chain = d.filter(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") - 1).alias("dst")
+    )
+    bridge = d.filter(F.col("doc_id") % 11 == 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 3).alias("dst")
+    )
+    ids = d.select(F.col("doc_id").alias("dst"))
+    edges = chain.unionByName(bridge).join(ids, "dst", "left_semi")
+    return assign_entities(d.select(F.col("doc_id").alias("conv_id")), edges)
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1109,6 +1151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rl_fingerprint": q_rl_fingerprint,
         "dk_inject": q_dk_inject,
         "rl_augment": q_rl_augment,
+        "sn_pairs": q_sn_pairs,
+        "cc_components": q_cc_components,
     }
 
 
@@ -1456,5 +1500,42 @@ def oracle_sql() -> dict[str, str]:
             "WHEN regexp_matches(t, '^[A-Z][a-z]') THEN ['PRODUCT', t] "
             "ELSE [t] END)), ' ') AS dk_text "
             "FROM all_docs"
+        ),
+        # sorted-neighborhood: global rank via window function; pairs within
+        # `window`=4 positions of the (key, padded-id) total order
+        "sn_pairs": (
+            "WITH base AS ("
+            "SELECT printf('d%04d', doc_id) AS rid, "
+            "lower(substr(text, 1, 12)) AS k "
+            "FROM documents WHERE text IS NOT NULL "
+            "AND lower(substr(text, 1, 12)) IS NOT NULL "
+            "AND lower(substr(text, 1, 12)) != ''), "
+            "ranked AS ("
+            "SELECT rid, k, row_number() OVER (ORDER BY k, rid) - 1 AS r "
+            "FROM base) "
+            "SELECT a.rid AS id_A, b.rid AS id_B, "
+            "a.r AS rank_A, b.r AS rank_B "
+            "FROM ranked a JOIN ranked b "
+            "ON b.r > a.r AND b.r - a.r <= 4"
+        ),
+        # connected components via recursive-CTE min-label closure over the
+        # same planted chain+bridge graph; entity_id = min id reachable
+        "cc_components": (
+            "WITH RECURSIVE edges AS ("
+            "SELECT doc_id AS src, doc_id - 1 AS dst FROM documents "
+            "WHERE doc_id % 7 != 0 "
+            "AND doc_id - 1 IN (SELECT doc_id FROM documents) "
+            "UNION ALL "
+            "SELECT doc_id, doc_id + 3 FROM documents "
+            "WHERE doc_id % 11 = 0 "
+            "AND doc_id + 3 IN (SELECT doc_id FROM documents)), "
+            "und AS ("
+            "SELECT src, dst FROM edges UNION SELECT dst, src FROM edges), "
+            "reach(id, lbl) AS ("
+            "SELECT doc_id, doc_id FROM documents "
+            "UNION "
+            "SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.id) "
+            "SELECT id AS conv_id, MIN(lbl) AS entity_id "
+            "FROM reach GROUP BY id"
         ),
     }
