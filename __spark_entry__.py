@@ -875,7 +875,7 @@ def q_rl_embedding_neardup(spark, sf):
     )
     return embedding_near_duplicates(
         e.unionByName(dup), cosine_threshold=0.99
-    ).select("id_A", "id_B", F.round("cosine", 4).alias("cosine"))
+    ).select("id_A", "id_B", F.round("cosine", 2).alias("cosine"))
 
 
 def q_rl_streaming_rollup(spark, sf):
@@ -1042,6 +1042,83 @@ def q_cc_components(spark, sf):
     return assign_entities(d.select(F.col("doc_id").alias("conv_id")), edges)
 
 
+def _messy_copies(docs, n: int = 60, id_offset: int = 3_000_000):
+    """Duplicates that are messy in raw text but identical after the dedup
+    normalizer (upper-case, leading/trailing junk punctuation, a URL, and
+    doubled whitespace) — the planted ground truth for the dedup oracle
+    twins. DuckDB reproduces the construction textually, then both engines
+    must agree that normalization erases the mess."""
+    return docs.filter(F.col("doc_id") < n).select(
+        (F.col("doc_id") + F.lit(id_offset)).alias("doc_id"),
+        F.concat(
+            F.lit("  !! "),
+            F.upper(F.col("text")),
+            F.lit("  ... http://spam.example/x?q=1 "),
+        ).alias("text"),
+    )
+
+
+def q_minhash_exactset(spark, sf):
+    """Production MinHash-LSH (Arrow signature kernel -> band bucket join
+    -> estimator pre-filter -> exact-Jaccard verify) at threshold 1.0.
+
+    At tau = 1.0 the output is DETERMINISTIC with no probabilistic recall
+    gap: jaccard == 1.0 means identical distinct-shingle sets, identical
+    sets always produce identical signatures (the min over the same hash
+    set), so every qualifying pair is guaranteed bucketed together and the
+    verify stage admits exactly those pairs. The DuckDB oracle never sees
+    a signature — it independently groups documents by their normalized
+    distinct-3-gram set, so kernel hashing, banding, the bucket self-join,
+    and the verify join are all value-checked from the outside. Planted
+    messy copies (case/punct/URL/whitespace noise) make the check
+    non-vacuous and exercise the normalizer."""
+    from record_linkage_spark.operators.dedup import minhash_near_duplicates
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull()).select(
+        "doc_id", "text"
+    )
+    return minhash_near_duplicates(
+        d.unionByName(_messy_copies(d)), jaccard_threshold=1.0
+    ).select("id_A", "id_B", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash_hd(spark, sf):
+    """SimHash near-dup over the portable md5-derived token hash
+    (``simhash_portable_fp``: codegen explode+groupBy bit votes), paired
+    with the production pigeonhole band join. With max_hamming = 3 <=
+    num_bands - 1, banding guarantees EVERY pair at Hamming <= 3 shares a
+    band, so the LSH output equals the brute-force answer exactly — the
+    DuckDB oracle recomputes each fingerprint from scratch and brute-forces
+    all O(n^2) pairs, independently verifying hashing, bit votes, banding
+    recall, and the Hamming verify stage."""
+    from record_linkage_spark.operators.dedup import (
+        simhash_near_duplicates,
+        simhash_portable_fp,
+    )
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull()).select(
+        "doc_id", "text"
+    )
+    docs = d.unionByName(_messy_copies(d))
+    fp = simhash_portable_fp(docs)
+    return simhash_near_duplicates(
+        docs, max_hamming=3, num_bands=4, fingerprints=fp
+    ).select("id_A", "id_B", "hamming")
+
+
+def q_fp_winnow(spark, sf):
+    """Winnowing fingerprint in portable mode: min md5 hex string over all
+    8-token windows — the same tokenizer/window/min logic as the xxhash64
+    production variant (``rl_fingerprint``), value-checked byte-for-byte
+    against a DuckDB list-comprehension twin."""
+    from record_linkage_spark.operators.text_analysis import doc_fingerprint
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", doc_fingerprint("text", portable=True).alias("fp")
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1153,6 +1230,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rl_augment": q_rl_augment,
         "sn_pairs": q_sn_pairs,
         "cc_components": q_cc_components,
+        "minhash_exactset": q_minhash_exactset,
+        "simhash_hd": q_simhash_hd,
+        "fp_winnow": q_fp_winnow,
     }
 
 
@@ -1172,6 +1252,40 @@ def oracle_sql() -> dict[str, str]:
     name_pairs = (
         "SELECT c_custkey, s_suppkey, c_name, s_name FROM customer "
         "JOIN supplier ON c_nationkey = s_nationkey"
+    )
+    # base ∪ planted messy copies — textual mirror of _messy_copies()
+    messy_docs = (
+        "SELECT doc_id, text FROM documents WHERE text IS NOT NULL "
+        "UNION ALL SELECT doc_id + 3000000 AS doc_id, "
+        "'  !! ' || upper(text) || '  ... http://spam.example/x?q=1 ' AS text "
+        "FROM documents WHERE text IS NOT NULL AND doc_id < 60"
+    )
+    norm_t = NORM_URL_SQL.format(c="text")
+    # portable 60-bit simhash recomputed from scratch: md5_60 token hash,
+    # per-bit ones-count votes, bit set when 2*c_b > n (vote > 0)
+    sh_sums = ", ".join(
+        f"sum((_h >> {b}) & 1) AS _c{b}" for b in range(60)
+    )
+    sh_fp = " + ".join(
+        f"(CASE WHEN _c{b} * 2 > _n THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+        for b in range(60)
+    )
+    simhash_hd_sql = (
+        f"WITH all_docs AS ({messy_docs}), "
+        f"tok AS (SELECT doc_id, unnest(string_split({norm_t}, ' ')) AS _t "
+        f"FROM all_docs WHERE {norm_t} IS NOT NULL), "
+        "h AS (SELECT doc_id, ('0x' || substr(md5(_t), 1, 15))::BIGINT AS _h FROM tok), "
+        f"votes AS (SELECT doc_id, count(*) AS _n, {sh_sums} FROM h GROUP BY doc_id), "
+        f"fp AS (SELECT doc_id, {sh_fp} AS fp FROM votes) "
+        "SELECT a.doc_id AS id_A, b.doc_id AS id_B, "
+        "CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming "
+        "FROM fp a JOIN fp b ON a.doc_id < b.doc_id "
+        "WHERE bit_count(xor(a.fp, b.fp)) <= 3"
+    )
+    # text_analysis tokenizer (accent-preserving charset, no URL strip)
+    ta_norm = (
+        "trim(regexp_replace(regexp_replace(lower(coalesce({c}, '')), "
+        "'[^a-zàâäéèêëíìîïóòôöúùûüñß\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
     )
     return {
         "p1_missing_pct": (
@@ -1537,5 +1651,55 @@ def oracle_sql() -> dict[str, str]:
             "SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.id) "
             "SELECT id AS conv_id, MIN(lbl) AS entity_id "
             "FROM reach GROUP BY id"
+        ),
+        # MinHash-LSH at tau=1.0: oracle groups docs by their normalized
+        # distinct-3-gram set (never sees a signature) — identical sets
+        # always collide in MinHash, so LSH output == set-equality pairs
+        "minhash_exactset": (
+            f"WITH all_docs AS ({messy_docs}), "
+            f"toks AS (SELECT doc_id, string_split({norm_t}, ' ') AS t "
+            f"FROM all_docs WHERE {norm_t} IS NOT NULL), "
+            "grams AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct("
+            "[array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]"
+            ")), chr(30))) AS k FROM toks WHERE len(t) >= 3) "
+            "SELECT a.doc_id AS id_A, b.doc_id AS id_B, "
+            "CAST(1.0 AS DOUBLE) AS jaccard "
+            "FROM grams a JOIN grams b ON a.k = b.k AND a.doc_id < b.doc_id"
+        ),
+        # brute-force twin of the pigeonhole-banded SimHash join
+        "simhash_hd": simhash_hd_sql,
+        # portable winnowing fingerprint: lexicographic min md5 over all
+        # 8-token windows, LEFT JOIN keeps empty-token docs as NULL fp
+        "fp_winnow": (
+            "WITH norm AS (SELECT doc_id, " + ta_norm.format(c="text") + " AS s "
+            "FROM documents), "
+            "fps AS (SELECT doc_id, list_aggregate("
+            "[md5(array_to_string(t[i:i+7], ' ')) "
+            "for i in range(1, greatest(len(t) - 7, 1) + 1)], 'min') AS fp "
+            "FROM (SELECT doc_id, string_split(s, ' ') AS t FROM norm "
+            "WHERE s IS NOT NULL AND s != '')) "
+            "SELECT n.doc_id, f.fp FROM norm n LEFT JOIN fps f ON n.doc_id = f.doc_id"
+        ),
+        # brute-force cosine over base ∪ nudged copies (natural max cosine
+        # ~0.51 << 0.99, planted copies bucket with certainty, so the LSH
+        # output is the exact >=0.99 pair set)
+        "rl_embedding_neardup": (
+            "WITH base AS (SELECT vec_id, "
+            "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+            "FROM embeddings WHERE vec_id < 200), "
+            "dup AS (SELECT vec_id + 1000000 AS vec_id, "
+            "list_concat([v[1] + 0.01], v[2:]) AS v FROM base), "
+            "al AS (SELECT * FROM base UNION ALL SELECT * FROM dup) "
+            "SELECT a.vec_id AS id_A, b.vec_id AS id_B, "
+            "round(CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE), 2) AS cosine "
+            "FROM al a JOIN al b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.v, b.v) >= 0.99"
+        ),
+        # mapInPandas batch plumbing: recompute every row's payload length
+        # from the synthesis rule ('payload-' || md5(id), utf-8)
+        "rl_multimodal_features": (
+            "SELECT CAST(i AS BIGINT) AS media_id, 'image' AS kind, "
+            "CAST(length('payload-' || md5(CAST(i AS VARCHAR))) AS INTEGER) AS n_bytes "
+            "FROM range(0, 200) t(i)"
         ),
     }

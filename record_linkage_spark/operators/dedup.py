@@ -390,23 +390,79 @@ def hamming64(a, b) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def md5_60(col) -> Column:
+    """Cross-engine-portable 60-bit token hash: the first 15 hex chars of
+    md5, parsed as an integer. Unlike xxhash64 (JVM-only) or the siphash
+    kernels (Python-only), an independent engine (DuckDB:
+    ``('0x' || substr(md5(t), 1, 15))::BIGINT``) reproduces it exactly, so
+    operators built on it can be value-checked end-to-end by a SQL oracle.
+    60 bits keeps the value inside a signed long in both engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def simhash_portable_fp(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """SimHash fingerprints over the portable ``md5_60`` token hash,
+    computed entirely in whole-stage-codegen expressions: explode tokens,
+    hash once, groupBy doc with 60 conditional-sum bit votes, reassemble
+    the fingerprint with shiftleft+OR. Bit b is set when the ones-count
+    c_b satisfies 2*c_b > n (vote > 0) — identical semantics to
+    ``simhash64_from_hashes``/``simhash64_kernel``, but over a hash an
+    external SQL engine can recompute, which is what makes the
+    ``simhash_hd`` oracle twin possible. The explode+groupBy shape is also
+    the 100 TB plan: one shuffle on doc_id, no per-element interpreted
+    lambdas (the Column-expression ``simhash64`` pays ~50us per token per
+    bit in Catalyst's lambda interpreter)."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_norm_tokens(F.col(text_col))).alias("_t"),
+    ).withColumn("_h", md5_60("_t"))
+    aggs = [F.count("*").alias("_n")] + [
+        F.sum(F.shiftright("_h", b).bitwiseAND(F.lit(1))).alias(f"_c{b}")
+        for b in range(60)
+    ]
+    votes = tok.groupBy("doc_id").agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for b in range(60):
+        bit = F.when(
+            F.col(f"_c{b}") * 2 > F.col("_n"), F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fp = fp.bitwiseOR(F.shiftleft(bit, b))
+    return votes.select("doc_id", fp.alias("fp"))
+
+
 def simhash_near_duplicates(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
     num_bands: int = 4,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dup: band the 64-bit fingerprint into num_bands chunks
     (pigeonhole: any pair within max_hamming <= num_bands-1 shares a band),
-    self-join per band, verify full Hamming distance."""
+    self-join per band, verify full Hamming distance.
+
+    With max_hamming <= num_bands - 1 the pigeonhole guarantee makes the
+    output EXACTLY the set of pairs at Hamming <= max_hamming — no
+    probabilistic recall gap — which is why the ``simhash_hd`` contract
+    query can be checked against a brute-force SQL oracle.
+
+    ``fingerprints``: optional precomputed (doc_id, fp) table (e.g. from
+    ``simhash_portable_fp``); default computes the xxhash-family Arrow
+    kernel fingerprint from ``text_col``."""
     bits_per_band = 64 // num_bands
-    kernel = simhash64_kernel()
-    fp = (
-        _ensure_parallelism(docs)
-        .select(F.col(id_col).alias("doc_id"), kernel(F.col(text_col)).alias("fp"))
-        .filter(F.col("fp").isNotNull())
-    )
+    if fingerprints is not None:
+        fp = fingerprints.select("doc_id", "fp")
+    else:
+        kernel = simhash64_kernel()
+        fp = (
+            _ensure_parallelism(docs)
+            .select(F.col(id_col).alias("doc_id"), kernel(F.col(text_col)).alias("fp"))
+            .filter(F.col("fp").isNotNull())
+        )
     band_cols = [
         F.concat_ws(
             ":",

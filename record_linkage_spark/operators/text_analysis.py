@@ -105,18 +105,31 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("q_score", score)
 
 
-def doc_fingerprint(text_col, window: int = 8) -> Column:
+def doc_fingerprint(text_col, window: int = 8, portable: bool = False) -> Column:
     """Winnowing-style fingerprint: min token-window hash over the document
     (deterministic rolling signature; equal fingerprints -> near-identical
-    prefixes/windows, used as a cheap duplicate-candidate key)."""
+    prefixes/windows, used as a cheap duplicate-candidate key).
+
+    ``portable=False`` (production): xxhash64 window hashes, long result —
+    the fast JVM path. ``portable=True``: md5 hex-string window hashes with
+    a lexicographic min, string result — byte-identical reproducible from
+    an independent SQL engine (DuckDB ``list_aggregate([...md5...],'min')``),
+    used by the ``fp_winnow`` oracle-checked contract query. Both variants
+    share the tokenizer, window walk, and min-selection logic."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     toks = _tokens(c)
     n = F.greatest(F.size(toks) - (window - 1), F.lit(1))
+    if portable:
+        hash_fn = lambda s: F.md5(s)  # noqa: E731
+        null_t = "string"
+    else:
+        hash_fn = lambda s: F.xxhash64(s)  # noqa: E731
+        null_t = "long"
     win_hashes = F.transform(
         F.sequence(F.lit(1), n),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, window))),
+        lambda i: hash_fn(F.concat_ws(" ", F.slice(toks, i, window))),
     )
-    return F.when(F.size(toks) == 0, F.lit(None).cast("long")).otherwise(
+    return F.when(F.size(toks) == 0, F.lit(None).cast(null_t)).otherwise(
         F.array_min(win_hashes)
     )
 

@@ -85,3 +85,86 @@ def test_simhash_near_duplicates(spark):
     }
     assert (1, 2) in got
     assert not any(4 in p or 5 in p for p in got)
+
+
+def test_simhash_portable_fp_matches_semantics(spark):
+    from record_linkage_spark.operators.dedup import (
+        md5_60,
+        simhash_portable_fp,
+    )
+
+    fp = simhash_portable_fp(_docs(spark))
+    fps = {r.doc_id: r.fp for r in fp.collect()}
+    # identical-after-normalization docs -> identical fingerprint
+    assert fps[1] == fps[2]
+    # 60-bit hash family: fingerprint never sets bits 60..63
+    assert all(0 <= v < (1 << 60) for v in fps.values())
+    # token hash itself stays inside the signed-long 60-bit window
+    h = (
+        spark.createDataFrame([("token",)], "t string")
+        .select(md5_60("t").alias("h"))
+        .first()
+        .h
+    )
+    assert 0 <= h < (1 << 60)
+
+
+def test_simhash_banded_equals_bruteforce_on_portable_fp(spark):
+    """Pigeonhole recall guarantee: with max_hamming <= num_bands - 1 the
+    banded join returns EXACTLY the brute-force Hamming<=h pair set."""
+    from record_linkage_spark.operators.dedup import (
+        simhash_near_duplicates,
+        simhash_portable_fp,
+    )
+
+    docs = _docs(spark)
+    fp = simhash_portable_fp(docs).localCheckpoint()
+    got = {
+        (r.id_A, r.id_B, r.hamming)
+        for r in simhash_near_duplicates(
+            docs, max_hamming=3, num_bands=4, fingerprints=fp
+        ).collect()
+    }
+    a = fp.select(F.col("doc_id").alias("id_A"), F.col("fp").alias("fa"))
+    b = fp.select(F.col("doc_id").alias("id_B"), F.col("fp").alias("fb"))
+    brute = {
+        (r.id_A, r.id_B, r.hamming)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_A") < F.col("id_B"))
+        .withColumn("hamming", hamming64("fa", "fb"))
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert got == brute
+    assert (1, 2, 0) in got
+
+
+def test_doc_fingerprint_portable(spark):
+    from record_linkage_spark.operators.text_analysis import doc_fingerprint
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the bank"),
+            (2, "THE quick BROWN fox jumps over the lazy dog near the bank"),
+            (3, "short text"),  # fewer tokens than the window -> one window
+            (4, ""),  # no tokens -> NULL fingerprint
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r.fp
+        for r in df.select(
+            "doc_id", doc_fingerprint("text", portable=True).alias("fp")
+        ).collect()
+    }
+    assert rows[1] == rows[2]  # case-insensitive tokenizer
+    assert len(rows[1]) == 32 and all(c in "0123456789abcdef" for c in rows[1])
+    assert rows[3] is not None and rows[4] is None
+    # portable and production variants agree on null/equality structure
+    prod = {
+        r.doc_id: r.fp
+        for r in df.select(
+            "doc_id", doc_fingerprint("text").alias("fp")
+        ).collect()
+    }
+    assert prod[1] == prod[2] and prod[4] is None
