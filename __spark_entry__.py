@@ -1106,6 +1106,64 @@ def q_simhash_hd(spark, sf):
     ).select("id_A", "id_B", "hamming")
 
 
+def q_pii_scrub(spark, sf):
+    """Training-data PII redaction: emails / SSN-shaped ids / IPv4 /
+    phone-shaped digit runs -> typed placeholders, pure chained
+    regexp_replace (RE2-compatible patterns so DuckDB replays them
+    byte-for-byte). The corpus has no natural PII, so a planted slice
+    (mirrored in the oracle) carries one instance of each pattern plus
+    an ordering trap (the SSN shape must be tagged before the looser
+    phone pattern could eat it)."""
+    from record_linkage_spark.operators.curation import scrub_pii
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    planted = d.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + F.lit(4_000_000)).alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(
+                " contact bob.smith+x@mail.example.org or 555-123-4567"
+                " ssn 123-45-6789 host 10.0.42.7 done"
+            ),
+        ).alias("text"),
+    )
+    docs = d.select("doc_id", "text").unionByName(planted)
+    return docs.select("doc_id", scrub_pii("text").alias("scrubbed"))
+
+
+def q_doc_repetition(spark, sf):
+    """Gopher-style repetition/boilerplate signals (token dup fraction,
+    top-token share, duplicate-segment fraction) — explode+groupBy
+    word-count shuffle shape. A planted highly-repetitive slice gives the
+    signals non-trivial values; DuckDB recomputes all four from scratch."""
+    from record_linkage_spark.operators.curation import repetition_features
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    planted = d.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + F.lit(5_000_000)).alias("doc_id"),
+        F.concat(
+            F.lit("buy now. buy now. buy now. "), F.substring("text", 1, 60)
+        ).alias("text"),
+    )
+    return repetition_features(d.select("doc_id", "text").unionByName(planted))
+
+
+def q_decontam_overlap(spark, sf):
+    """Benchmark decontamination: corpus docs sharing any token 8-gram
+    with a 'benchmark' set (here: interior substrings of 26 corpus docs,
+    so overlaps are guaranteed and exactly recomputable). Only
+    (doc_id, gram) pairs move; the benchmark gram set broadcasts."""
+    from record_linkage_spark.operators.curation import decontaminate
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull()).select(
+        "doc_id", "text"
+    )
+    bench = d.filter(F.col("doc_id") < 26).select(
+        F.substring("text", 20, 150).alias("text")
+    )
+    return decontaminate(d, bench, ngram=8)
+
+
 def q_fp_winnow(spark, sf):
     """Winnowing fingerprint in portable mode: min md5 hex string over all
     8-token windows — the same tokenizer/window/min logic as the xxhash64
@@ -1233,6 +1291,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_exactset": q_minhash_exactset,
         "simhash_hd": q_simhash_hd,
         "fp_winnow": q_fp_winnow,
+        "pii_scrub": q_pii_scrub,
+        "doc_repetition": q_doc_repetition,
+        "decontam_overlap": q_decontam_overlap,
     }
 
 
@@ -1701,5 +1762,63 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(i AS BIGINT) AS media_id, 'image' AS kind, "
             "CAST(length('payload-' || md5(CAST(i AS VARCHAR))) AS INTEGER) AS n_bytes "
             "FROM range(0, 200) t(i)"
+        ),
+        # PII redaction: identical RE2 patterns replayed with 'g'
+        "pii_scrub": (
+            "WITH all_docs AS ("
+            "SELECT doc_id, text FROM documents WHERE text IS NOT NULL "
+            "UNION ALL SELECT doc_id + 4000000 AS doc_id, "
+            "text || ' contact bob.smith+x@mail.example.org or 555-123-4567"
+            " ssn 123-45-6789 host 10.0.42.7 done' AS text "
+            "FROM documents WHERE text IS NOT NULL AND doc_id < 40) "
+            "SELECT doc_id, "
+            "regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'\\b\\d{3}-\\d{2}-\\d{4}\\b', '<ID>', 'g'), "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), "
+            "'\\+?\\d[\\d().-]{7,}\\d', '<PHONE>', 'g') AS scrubbed "
+            "FROM all_docs"
+        ),
+        # repetition signals recomputed from scratch (unnest word count +
+        # list ops for the segment stat)
+        "doc_repetition": (
+            "WITH all_docs AS ("
+            "SELECT doc_id, text FROM documents WHERE text IS NOT NULL "
+            "UNION ALL SELECT doc_id + 5000000 AS doc_id, "
+            "'buy now. buy now. buy now. ' || substr(text, 1, 60) AS text "
+            "FROM documents WHERE text IS NOT NULL AND doc_id < 30), "
+            "base AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM all_docs), "
+            "tok AS (SELECT doc_id, unnest(list_filter("
+            "string_split_regex(trim(t), '\\s+'), x -> x != '')) AS tok FROM base), "
+            "pt AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2), "
+            "ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, "
+            "count(*) AS nd, max(c) AS top FROM pt GROUP BY 1), "
+            "sg AS (SELECT doc_id, list_filter(list_transform("
+            "string_split(t, '.'), s -> trim(s)), s -> s != '') AS segs FROM base), "
+            "ss AS (SELECT doc_id, len(segs) AS ns, "
+            "len(list_distinct(segs)) AS nsd FROM sg) "
+            "SELECT t.doc_id, n_tokens, "
+            "round(1.0 - nd / CAST(n_tokens AS DOUBLE), 6) AS dup_token_frac, "
+            "round(top / CAST(n_tokens AS DOUBLE), 6) AS top_token_frac, "
+            "CASE WHEN ns > 0 THEN round(1.0 - nsd / CAST(ns AS DOUBLE), 6) "
+            "ELSE 0.0 END AS dup_line_frac "
+            "FROM ts t JOIN ss s ON t.doc_id = s.doc_id"
+        ),
+        # contamination scan: 8-gram overlap counts recomputed brute-force
+        "decontam_overlap": (
+            "WITH corpus AS (SELECT doc_id, "
+            "list_filter(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'), "
+            "x -> x != '') AS t FROM documents WHERE text IS NOT NULL), "
+            "bench AS (SELECT list_filter(string_split_regex(trim(lower("
+            "substr(text, 20, 150))), '\\s+'), x -> x != '') AS t "
+            "FROM documents WHERE text IS NOT NULL AND doc_id < 26), "
+            "cg AS (SELECT doc_id, unnest(list_distinct("
+            "[array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)])) AS gram "
+            "FROM corpus), "
+            "bg AS (SELECT DISTINCT unnest(list_distinct("
+            "[array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)])) AS gram "
+            "FROM bench) "
+            "SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams "
+            "FROM cg c JOIN bg b ON c.gram = b.gram GROUP BY c.doc_id"
         ),
     }

@@ -1,0 +1,150 @@
+"""Training-data curation operators: PII scrubbing, repetition /
+boilerplate detection, and benchmark decontamination.
+
+These are the data-hygiene passes a large-scale LLM training pipeline
+runs alongside dedup (the reference pipeline stops at entity resolution;
+these extend the same engine to the corpus-curation jobs it would sit
+inside). All three are Catalyst-native — regex/array expressions and
+explode+groupBy aggregations, no Python in the hot path — and each is
+SQL-portable, so the driver's DuckDB oracle value-checks them end to end
+(`pii_scrub`, `doc_repetition`, `decontam_overlap` contract queries).
+
+Scale notes (100 TB):
+- ``scrub_pii`` is a pure map — no shuffle, fuses into the scan.
+- ``repetition_features`` is one explode + two aggregations keyed on
+  (doc_id, token) then doc_id — the same shuffle shape as word count;
+  skew is bounded because a single document's tokens always hash to one
+  (doc_id, token) group, never a global hot key.
+- ``decontaminate`` ships only (doc_id, gram-hash) pairs into the join
+  — never document text — and the benchmark side of the join is tiny by
+  definition (a benchmark suite, not a corpus), so Spark broadcasts it;
+  the corpus side never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Patterns are RE2-compatible (no lookarounds/backrefs) so an external
+# SQL engine can replay them byte-for-byte. Order matters: SSN-shaped ids
+# must be tagged before the looser phone pattern can eat them.
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d().-]{7,}\d", "<PHONE>"),
+]
+
+
+def scrub_pii(text_col) -> Column:
+    """Redact emails, SSN-shaped ids, IPv4 addresses and phone-shaped
+    digit runs with typed placeholder tokens. Pure chained
+    ``regexp_replace`` — fuses into whole-stage codegen, zero shuffle."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for pat, tag in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, tag)
+    return c
+
+
+def repetition_features(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    - ``n_tokens``: whitespace token count (lowercased)
+    - ``dup_token_frac``: 1 - distinct/total tokens (type-token inverse)
+    - ``top_token_frac``: most frequent token's share of the document
+    - ``dup_line_frac``: 1 - distinct/total '.'-separated segments
+
+    Documents past thresholds (e.g. top_token_frac > 0.2,
+    dup_line_frac > 0.3) are boilerplate/spam candidates. Token stats run
+    as explode + two-level aggregation (word-count shuffle shape); the
+    segment stat is a per-row array expression (no shuffle)."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("_t"),
+    )
+    toks = base.select(
+        "doc_id", F.explode(F.split(F.trim("_t"), r"\s+")).alias("_tok")
+    ).filter(F.col("_tok") != "")
+    per_tok = toks.groupBy("doc_id", "_tok").agg(F.count("*").alias("_c"))
+    tok_stats = per_tok.groupBy("doc_id").agg(
+        F.sum("_c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("_n_distinct"),
+        F.max("_c").cast("long").alias("_top"),
+    )
+    segs = base.select(
+        "doc_id",
+        F.filter(
+            F.transform(F.split("_t", r"\."), lambda s: F.trim(s)),
+            lambda s: s != "",
+        ).alias("_segs"),
+    ).select(
+        "doc_id",
+        F.size("_segs").alias("_n_segs"),
+        F.size(F.array_distinct("_segs")).alias("_n_seg_distinct"),
+    )
+    return (
+        tok_stats.join(segs, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.lit(1.0) - F.col("_n_distinct") / F.col("n_tokens"), 6
+            ).alias("dup_token_frac"),
+            F.round(F.col("_top") / F.col("n_tokens"), 6).alias("top_token_frac"),
+            F.when(
+                F.col("_n_segs") > 0,
+                F.round(
+                    F.lit(1.0) - F.col("_n_seg_distinct") / F.col("_n_segs"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_line_frac"),
+        )
+    )
+
+
+def _grams(text_col, n: int) -> Column:
+    """Distinct lowercase whitespace-token n-grams (struct-access zip
+    pattern from dedup.word_ngrams — no per-element slice lambdas)."""
+    t = F.lower(F.coalesce(text_col, F.lit("")))
+    toks = F.filter(F.split(F.trim(t), r"\s+"), lambda s: s != "")
+    size = F.size(toks)
+    shifted = [F.slice(toks, i + 1, F.greatest(size - i, F.lit(0))) for i in range(n)]
+    grams = F.transform(
+        F.arrays_zip(*shifted), lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
+    )
+    cnt = F.greatest(size - (n - 1), F.lit(0))
+    return F.array_distinct(F.slice(grams, 1, cnt))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    ngram: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination scan: flag corpus documents sharing any
+    token ``ngram``-gram with any benchmark document. Returns
+    (doc_id, n_shared_grams) for flagged documents only.
+
+    Plan: explode distinct grams on both sides, distinct the (small)
+    benchmark gram set, inner-join (Spark broadcasts it — a benchmark is
+    KBs-MBs of grams vs a 100 TB corpus), count shared grams per corpus
+    doc. Only (doc_id, gram) pairs move; never text."""
+    cg = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_grams(F.col(text_col), ngram)).alias("gram"),
+    )
+    bg = (
+        benchmark.select(F.explode(_grams(F.col(text_col), ngram)).alias("gram"))
+        .distinct()
+    )
+    return (
+        cg.join(F.broadcast(bg), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_shared_grams"))
+    )

@@ -1,0 +1,79 @@
+"""Curation operators: PII scrubbing, repetition signals, decontamination."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from record_linkage_spark.operators.curation import (
+    decontaminate,
+    repetition_features,
+    scrub_pii,
+)
+
+
+def test_scrub_pii_all_patterns_and_order(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x.co.uk now"),
+            (2, "ssn 123-45-6789 end"),  # must become <ID>, not <PHONE>
+            (3, "call +1(555)123-4567 ok"),
+            (4, "ip 192.168.0.1 here"),
+            (5, "clean text stays clean"),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.s
+        for r in df.select("doc_id", scrub_pii("text").alias("s")).collect()
+    }
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "ssn <ID> end"
+    assert got[3] == "call <PHONE> ok"
+    assert got[4] == "ip <IP> here"
+    assert got[5] == "clean text stays clean"
+    assert got[6] is None
+
+
+def test_repetition_features_truth_table(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # one type, 4 tokens
+            (2, "a b c d"),          # all distinct
+            (3, "x. x. y."),         # 3 segments, 2 distinct
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_features(df).collect()}
+    assert got[1].n_tokens == 4
+    assert abs(got[1].dup_token_frac - 0.75) < 1e-9
+    assert abs(got[1].top_token_frac - 1.0) < 1e-9
+    assert abs(got[2].dup_token_frac - 0.0) < 1e-9
+    assert abs(got[2].top_token_frac - 0.25) < 1e-9
+    assert abs(got[3].dup_line_frac - (1.0 - 2.0 / 3.0)) < 1e-6
+
+
+def test_decontaminate_flags_only_overlapping_docs(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "t1 t2 t3 t4 t5 t6 t7 t8 tail here"),   # shares the 8-gram
+            (2, "u1 u2 u3 u4 u5 u6 u7 u8 other stuff"),  # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("prefix t1 t2 t3 t4 t5 t6 t7 t8",)], "text string"
+    )
+    got = {r.doc_id: r.n_shared_grams for r in decontaminate(corpus, bench).collect()}
+    assert got == {1: 1}
+    # broadcast hint present on the benchmark side of the join
+    plan = decontaminate(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+
+
+def test_decontaminate_counts_distinct_shared_grams(spark):
+    text = "w1 w2 w3 w4 w5 w6 w7 w8 w9"  # grams: w1..w8, w2..w9
+    corpus = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    bench = spark.createDataFrame([(text,)], "text string")
+    got = decontaminate(corpus, bench).collect()
+    assert len(got) == 1 and got[0].n_shared_grams == 2
