@@ -1164,6 +1164,19 @@ def q_decontam_overlap(spark, sf):
     return decontaminate(d, bench, ngram=8)
 
 
+def q_strat_sample(spark, sf):
+    """Per-stratum quota sampling (training-mix domain balancing) in
+    portable-hash mode with the pre-filter ACTIVE (quota*margin = 10 <<
+    ~100 docs per lang), so the DuckDB twin replays both stages — hash
+    threshold then exact rank — and must land on the identical sample."""
+    from record_linkage_spark.operators.curation import stratified_quota_sample
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    return stratified_quota_sample(
+        d, ["lang"], quota=5, id_col="doc_id", margin=2.0, portable=True
+    ).select("doc_id", "lang")
+
+
 def q_fp_winnow(spark, sf):
     """Winnowing fingerprint in portable mode: min md5 hex string over all
     8-token windows — the same tokenizer/window/min logic as the xxhash64
@@ -1294,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "doc_repetition": q_doc_repetition,
         "decontam_overlap": q_decontam_overlap,
+        "strat_sample": q_strat_sample,
     }
 
 
@@ -1803,6 +1817,20 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN ns > 0 THEN round(1.0 - nsd / CAST(ns AS DOUBLE), 6) "
             "ELSE 0.0 END AS dup_line_frac "
             "FROM ts t JOIN ss s ON t.doc_id = s.doc_id"
+        ),
+        # two-stage stratified sample replayed exactly: hash threshold
+        # (quota*margin/n of the 60-bit hash space) then rank-within-lang
+        "strat_sample": (
+            "WITH h AS (SELECT doc_id, lang, "
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS _h "
+            "FROM documents), "
+            "c AS (SELECT lang, count(*) AS _n FROM h GROUP BY lang), "
+            "filt AS (SELECT h.doc_id, h.lang, h._h FROM h JOIN c USING (lang) "
+            "WHERE (CAST(_h AS DOUBLE) / 1152921504606846976.0) "
+            "< least(1.0, 10.0 / _n)), "
+            "r AS (SELECT doc_id, lang, row_number() OVER "
+            "(PARTITION BY lang ORDER BY _h, doc_id) AS rk FROM filt) "
+            "SELECT doc_id, lang FROM r WHERE rk <= 5"
         ),
         # contamination scan: 8-gram overlap counts recomputed brute-force
         "decontam_overlap": (

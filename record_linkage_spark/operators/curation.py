@@ -106,6 +106,64 @@ def repetition_features(
     )
 
 
+_RANK_MAX = float(1 << 60)
+
+
+def stratified_quota_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    quota: int,
+    id_col: str,
+    margin: float = 8.0,
+    portable: bool = False,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-stratum quota sample (domain/language balancing
+    for a training mix): the first ``quota`` rows of each stratum in a
+    seeded hash order of ``id_col``.
+
+    Scale design: a bare ``row_number() OVER (PARTITION BY stratum)``
+    sorts each stratum in ONE task — a 40 TB 'en' stratum is a
+    single-machine sort. Instead: (1) per-stratum counts (one agg,
+    broadcast back); (2) strata larger than ``quota * margin`` are
+    pre-filtered by a hash threshold keeping ~quota*margin expected
+    survivors — a pure map that discards ~all of a huge stratum before
+    anything shuffles; (3) the exact rank window runs on the bounded
+    survivor set. The pre-filter keeps the SMALLEST hash values — the
+    same order the rank uses — so the top-quota set is unchanged as long
+    as survivors >= quota (margin 8 puts the shortfall probability below
+    1e-12 for quota >= 50 by a Chernoff bound; pass margin=None to skip
+    the pre-filter and get the exact semantics unconditionally).
+
+    ``portable=True`` ranks by the md5-derived 60-bit hash (SQL-portable:
+    the ``strat_sample`` contract query's DuckDB twin replays both stages
+    exactly); default ranks by seeded xxhash64 (faster JVM path)."""
+    from pyspark.sql import Window
+
+    if portable:
+        h = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        ).cast("long")
+    else:
+        h = F.pmod(
+            F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(1 << 60)
+        )
+    ranked = df.withColumn("_h", h)
+    if margin is not None:
+        counts = ranked.groupBy(*strata_cols).agg(F.count("*").alias("_n"))
+        ranked = ranked.join(F.broadcast(counts), strata_cols)
+        frac = F.least(F.lit(1.0), F.lit(float(quota) * margin) / F.col("_n"))
+        ranked = ranked.filter(
+            (F.col("_h").cast("double") / F.lit(_RANK_MAX)) < frac
+        ).drop("_n")
+    w = Window.partitionBy(*strata_cols).orderBy(F.col("_h"), F.col(id_col))
+    return (
+        ranked.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= quota)
+        .drop("_h", "_rank")
+    )
+
+
 def _grams(text_col, n: int) -> Column:
     """Distinct lowercase whitespace-token n-grams (struct-access zip
     pattern from dedup.word_ngrams — no per-element slice lambdas)."""

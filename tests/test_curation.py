@@ -77,3 +77,36 @@ def test_decontaminate_counts_distinct_shared_grams(spark):
     bench = spark.createDataFrame([(text,)], "text string")
     got = decontaminate(corpus, bench).collect()
     assert len(got) == 1 and got[0].n_shared_grams == 2
+
+
+def test_stratified_quota_sample_two_stage_equals_exact(spark):
+    """The hash pre-filter must not change the selected sample (it keeps
+    the smallest hash values — the rank order) and results must be
+    identical across partitionings."""
+    from record_linkage_spark.operators.curation import stratified_quota_sample
+
+    df = spark.range(600).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("stratum"),
+    )
+    kw = dict(strata_cols=["stratum"], quota=7, id_col="doc_id")
+    exact = {
+        (r.doc_id, r.stratum)
+        for r in stratified_quota_sample(df, margin=None, **kw).collect()
+    }
+    two_stage = {
+        (r.doc_id, r.stratum)
+        for r in stratified_quota_sample(df, margin=4.0, **kw).collect()
+    }
+    assert two_stage == exact
+    per_stratum = {}
+    for _, s in exact:
+        per_stratum[s] = per_stratum.get(s, 0) + 1
+    assert per_stratum == {"0": 7, "1": 7, "2": 7}
+    repart = {
+        (r.doc_id, r.stratum)
+        for r in stratified_quota_sample(
+            df.repartition(13), margin=4.0, **kw
+        ).collect()
+    }
+    assert repart == exact
