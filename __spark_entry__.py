@@ -1177,6 +1177,22 @@ def q_strat_sample(spark, sf):
     ).select("doc_id", "lang")
 
 
+def q_seq_pack(spark, sf):
+    """Sequence packing (training-batch layout): global prefix sum of
+    token counts in portable-hash order via the two-pass range-partition
+    machinery, cut into 2048-token bins. DuckDB replays it with a plain
+    window cumsum — the distributed prefix sum must match it exactly."""
+    from record_linkage_spark.operators.curation import pack_sequences
+    from record_linkage_spark.operators.text_analysis import token_count_ws
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", token_count_ws("text").alias("n_tokens")
+    )
+    return pack_sequences(
+        d, budget=2048, id_col="doc_id", tokens_col="n_tokens", portable=True
+    )
+
+
 def q_fp_winnow(spark, sf):
     """Winnowing fingerprint in portable mode: min md5 hex string over all
     8-token windows — the same tokenizer/window/min logic as the xxhash64
@@ -1308,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "decontam_overlap": q_decontam_overlap,
         "strat_sample": q_strat_sample,
+        "seq_pack": q_seq_pack,
     }
 
 
@@ -1831,6 +1848,20 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT doc_id, lang, row_number() OVER "
             "(PARTITION BY lang ORDER BY _h, doc_id) AS rk FROM filt) "
             "SELECT doc_id, lang FROM r WHERE rk <= 5"
+        ),
+        # the distributed prefix sum vs a plain window cumsum
+        "seq_pack": (
+            "WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS rid, "
+            "CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) "
+            "END AS BIGINT) AS n_tokens, "
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h "
+            "FROM documents), "
+            "c AS (SELECT rid, n_tokens, COALESCE(sum(n_tokens) OVER ("
+            "ORDER BY h, rid ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+            "), 0) AS cum_before FROM t) "
+            "SELECT rid, n_tokens, cum_before // 2048 AS bin_id, "
+            "cum_before % 2048 AS bin_offset FROM c"
         ),
         # contamination scan: 8-gram overlap counts recomputed brute-force
         "decontam_overlap": (

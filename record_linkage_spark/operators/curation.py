@@ -164,6 +164,89 @@ def stratified_quota_sample(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    portable: bool = False,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Sequence packing for training batches: lay documents end-to-end in
+    a deterministic hash order and cut the stream every ``budget`` tokens.
+    Returns (rid, n_tokens, bin_id, bin_offset): the document starts at
+    ``bin_offset`` tokens into bin ``bin_id`` (contiguous greedy fill —
+    each bin holds ~budget tokens, a document may straddle a boundary and
+    be split/truncated by the consumer, the standard LLM pre-training
+    packing layout).
+
+    bin_id = floor(global_cumulative_tokens_before / budget), which needs
+    a GLOBAL prefix sum — a bare ``sum() OVER (ORDER BY ...)`` window is a
+    single-task sort at corpus scale. Scale-safe two-pass instead (same
+    machinery as sorted-neighborhood ranking, ``blocking.py``):
+    range-partition by the order key, per-partition token sums -> one
+    tiny collect of cumulative offsets (range partitions are ordered, so
+    partition offset + local running sum IS the global prefix sum), local
+    cumsum attached per partition with ``mapInPandas``. The result
+    depends only on the total order, not on where sampled range
+    boundaries fall — parallelism-invariant (tested), and the
+    portable-hash mode has a DuckDB window-function oracle twin
+    (``seq_pack``)."""
+    import pandas as pd  # noqa: F401
+    from pyspark import TaskContext
+
+    rid = F.col(id_col).cast("string")
+    if portable:
+        h = F.conv(F.substring(F.md5(rid), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.pmod(F.xxhash64(F.lit(seed), rid), F.lit(1 << 60))
+    base = df.select(
+        rid.alias("rid"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        h.alias("_h"),
+    )
+    n_parts = num_partitions or max(
+        df.sparkSession.sparkContext.defaultParallelism, 4
+    )
+    ordered = (
+        base.repartitionByRange(n_parts, "_h", "rid")
+        .sortWithinPartitions("_h", "rid")
+        .localCheckpoint()
+    )
+    pid_sums = (
+        ordered.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.sum("n_tokens").alias("s"))
+        .collect()
+    )
+    sums = {r.pid: r.s for r in pid_sums}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid]
+
+    def attach(batches):
+        ctx = TaskContext.get()
+        cum = offsets.get(ctx.partitionId() if ctx else 0, 0)
+        for pdf in batches:
+            out = pdf[["rid", "n_tokens"]].copy()
+            ends = pdf["n_tokens"].cumsum()
+            out["cum_before"] = cum + ends - pdf["n_tokens"]
+            cum += int(ends.iloc[-1]) if len(pdf) else 0
+            yield out
+
+    packed = ordered.mapInPandas(
+        attach, schema="rid string, n_tokens long, cum_before long"
+    )
+    return packed.select(
+        "rid",
+        "n_tokens",
+        F.floor(F.col("cum_before") / F.lit(budget)).cast("long").alias("bin_id"),
+        F.pmod(F.col("cum_before"), F.lit(budget)).alias("bin_offset"),
+    )
+
+
 def _grams(text_col, n: int) -> Column:
     """Distinct lowercase whitespace-token n-grams (struct-access zip
     pattern from dedup.word_ngrams — no per-element slice lambdas)."""

@@ -110,3 +110,38 @@ def test_stratified_quota_sample_two_stage_equals_exact(spark):
         ).collect()
     }
     assert repart == exact
+
+
+def test_pack_sequences_prefix_sum_and_invariance(spark):
+    from record_linkage_spark.operators.curation import pack_sequences
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 17 + 3).alias("n_tokens"),
+    )
+    out = pack_sequences(df, budget=50, portable=True).collect()
+    rows = {r.rid: r for r in out}
+    assert len(rows) == 200
+    # reconstruct the global order independently and check the layout
+    import hashlib
+
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    order = sorted(range(200), key=lambda i: (h(i), str(i)))
+    cum = 0
+    for i in order:
+        r = rows[str(i)]
+        assert r.bin_id == cum // 50 and r.bin_offset == cum % 50
+        cum += i % 17 + 3
+    # total order, not partitioning, determines the layout
+    again = {
+        r.rid: (r.bin_id, r.bin_offset)
+        for r in pack_sequences(
+            df.repartition(11), budget=50, portable=True, num_partitions=7
+        ).collect()
+    }
+    assert again == {k: (v.bin_id, v.bin_offset) for k, v in rows.items()}
+    # every bin except the last holds >= budget tokens worth of starts
+    n_bins = max(r.bin_id for r in out) + 1
+    assert n_bins == (cum + 49) // 50
