@@ -1177,6 +1177,22 @@ def q_strat_sample(spark, sf):
     ).select("doc_id", "lang")
 
 
+def q_minhash_cross(spark, sf):
+    """Asymmetric near-dup: corpus (documents) scanned against a
+    'reference corpus' (the messy copies as a SEPARATE table) with the
+    cross-source MinHash composition at tau=1.0 — same determinism
+    argument as ``minhash_exactset``; the oracle joins the two frames'
+    normalized shingle-set keys across sources."""
+    from record_linkage_spark.operators.dedup import minhash_cross_duplicates
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull()).select(
+        "doc_id", "text"
+    )
+    return minhash_cross_duplicates(
+        d, _messy_copies(d), jaccard_threshold=1.0
+    ).select("corpus_id", "reference_id", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_seq_pack(spark, sf):
     """Sequence packing (training-batch layout): global prefix sum of
     token counts in portable-hash order via the two-pass range-partition
@@ -1325,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_overlap": q_decontam_overlap,
         "strat_sample": q_strat_sample,
         "seq_pack": q_seq_pack,
+        "minhash_cross": q_minhash_cross,
     }
 
 
@@ -1757,6 +1774,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.doc_id AS id_A, b.doc_id AS id_B, "
             "CAST(1.0 AS DOUBLE) AS jaccard "
             "FROM grams a JOIN grams b ON a.k = b.k AND a.doc_id < b.doc_id"
+        ),
+        # cross-corpus variant: shingle-set-key join ACROSS the two frames
+        "minhash_cross": (
+            f"WITH corpus AS (SELECT doc_id, text FROM documents "
+            f"WHERE text IS NOT NULL), "
+            f"ref AS (SELECT doc_id + 3000000 AS doc_id, "
+            f"'  !! ' || upper(text) || '  ... http://spam.example/x?q=1 ' AS text "
+            f"FROM documents WHERE text IS NOT NULL AND doc_id < 60), "
+            f"kc AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct("
+            f"[array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]"
+            f")), chr(30))) AS k FROM (SELECT doc_id, "
+            f"string_split({norm_t}, ' ') AS t FROM corpus "
+            f"WHERE {norm_t} IS NOT NULL) WHERE len(t) >= 3), "
+            f"kr AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct("
+            f"[array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]"
+            f")), chr(30))) AS k FROM (SELECT doc_id, "
+            f"string_split({norm_t}, ' ') AS t FROM ref "
+            f"WHERE {norm_t} IS NOT NULL) WHERE len(t) >= 3) "
+            f"SELECT CAST(c.doc_id AS VARCHAR) AS corpus_id, "
+            f"CAST(r.doc_id AS VARCHAR) AS reference_id, "
+            f"CAST(1.0 AS DOUBLE) AS jaccard "
+            f"FROM kc c JOIN kr r ON c.k = r.k"
         ),
         # brute-force twin of the pigeonhole-banded SimHash join
         "simhash_hd": simhash_hd_sql,

@@ -248,10 +248,16 @@ def minhash_near_duplicates(
     num_hashes: int = 32,
     num_bands: int = 8,
     jaccard_threshold: float = 0.7,
+    pair_predicate=None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: shingle -> minhash -> band -> bucket
     self-join -> true-Jaccard verification. Returns (id_A, id_B, jaccard).
-    """
+
+    ``pair_predicate``: optional ``(id_A_col, id_B_col) -> Column``
+    filter applied right after the bucket join, BEFORE the estimator
+    pre-filter and exact verification — candidates it rejects never pay
+    signature comparison or re-shingling (used by
+    ``minhash_cross_duplicates`` to drop same-source pairs early)."""
     rows_per_band = num_hashes // num_bands
     kernel = minhash_signature_kernel(ngram, num_hashes)
     sig = (
@@ -282,12 +288,10 @@ def minhash_near_duplicates(
     b = banded.select(
         F.col("bucket"), F.col("doc_id").alias("id_B"), F.col("sig").alias("sig_B")
     )
-    cand = (
-        a.join(b, "bucket")
-        .filter(F.col("id_A") < F.col("id_B"))
-        .drop("bucket")
-        .dropDuplicates(["id_A", "id_B"])
-    )
+    cand = a.join(b, "bucket").filter(F.col("id_A") < F.col("id_B"))
+    if pair_predicate is not None:
+        cand = cand.filter(pair_predicate(F.col("id_A"), F.col("id_B")))
+    cand = cand.drop("bucket").dropDuplicates(["id_A", "id_B"])
     # cheap signature-agreement pre-filter (the MinHash Jaccard estimator),
     # with slack so true-Jaccard borderline pairs survive to exact verify
     agree = F.size(
@@ -320,6 +324,63 @@ def minhash_near_duplicates(
         pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_A", "id_B", "jaccard")
+    )
+
+
+def minhash_cross_duplicates(
+    corpus: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Asymmetric near-dup scan: corpus documents near-duplicating any
+    reference document (dedupe a new crawl against what's already in the
+    training set). Returns (corpus_id, reference_id, jaccard).
+
+    Composition over the symmetric LSH machinery: tag sources, union,
+    run the banded self-join + verify, keep only cross-source pairs.
+    The tag rides the (id, sig) tuples through the band join — the same
+    shuffle payload as the symmetric case — and the source filter runs
+    before signature verification, so within-corpus and within-reference
+    pairs are discarded at the candidate stage, never verified. Both
+    inputs may be 100 TB-scale; nothing here assumes either side is
+    small (contrast ``curation.decontaminate``, which broadcasts the
+    benchmark side)."""
+    tag = "::"  # fixed-length id namespace prefix (stripped by length)
+    c = corpus.select(
+        F.concat(F.lit("C" + tag), F.col(id_col).cast("string")).alias("doc_id"),
+        F.col(text_col).alias("text"),
+    )
+    r = reference.select(
+        F.concat(F.lit("R" + tag), F.col(id_col).cast("string")).alias("doc_id"),
+        F.col(text_col).alias("text"),
+    )
+    pairs = minhash_near_duplicates(
+        c.unionByName(r),
+        id_col="doc_id",
+        text_col="text",
+        ngram=ngram,
+        num_hashes=num_hashes,
+        num_bands=num_bands,
+        jaccard_threshold=jaccard_threshold,
+        pair_predicate=lambda ia, ib: F.substring(ia, 1, 1) != F.substring(ib, 1, 1),
+    )
+    a_src = F.substring("id_A", 1, 1)
+    strip = len("X" + tag) + 1
+    return (
+        pairs.select(
+            F.when(a_src == "C", F.substring("id_A", strip, 2**30))
+            .otherwise(F.substring("id_B", strip, 2**30))
+            .alias("corpus_id"),
+            F.when(a_src == "C", F.substring("id_B", strip, 2**30))
+            .otherwise(F.substring("id_A", strip, 2**30))
+            .alias("reference_id"),
+            "jaccard",
+        )
     )
 
 

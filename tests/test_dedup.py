@@ -168,3 +168,27 @@ def test_doc_fingerprint_portable(spark):
         ).collect()
     }
     assert prod[1] == prod[2] and prod[4] is None
+
+
+def test_minhash_cross_duplicates(spark):
+    """Asymmetric scan flags corpus docs near-duplicating reference docs;
+    within-source pairs never surface."""
+    from record_linkage_spark.operators.dedup import minhash_cross_duplicates
+
+    corpus = _docs(spark)  # docs 1 and 2 are identical after norm
+    reference = spark.createDataFrame(
+        [
+            (100, "the QUICK brown fox jumps over the lazy dog near the river bank"),
+            (101, "nothing like anything in the corpus at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.corpus_id, r.reference_id)
+        for r in minhash_cross_duplicates(
+            corpus, reference, jaccard_threshold=1.0
+        ).collect()
+    }
+    # corpus 1 and 2 both match reference 100 (identical normalized text);
+    # the corpus-internal (1,2) duplicate pair must NOT appear
+    assert got == {("1", "100"), ("2", "100")}
