@@ -1222,6 +1222,46 @@ def q_fp_winnow(spark, sf):
     )
 
 
+def q_curation_funnel(spark, sf):
+    """The FULL corpus-curation funnel (``plans/curate.py``) as one
+    value-checked composition: PII scrub -> quality/repetition/langid
+    signals -> threshold filter -> exact dedup -> MinHash-LSH near-dup
+    at tau=1.0 (deterministic, see ``minhash_exactset``) -> benchmark
+    8-gram decontamination. Planted messy copies exercise the dedup leg;
+    the benchmark slice exercises the decontamination leg. DuckDB replays
+    every stage from scratch over the same base table, so the survivor
+    set (and its lang / token-count / quality columns) is an end-to-end
+    external check of the whole training-data hygiene pipeline."""
+    from record_linkage_spark.operators.curation import scrub_pii
+    from record_linkage_spark.plans.curate import (
+        apply_quality_filter,
+        dedup_corpus,
+        remove_contaminated,
+        signals_table,
+    )
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull()).select(
+        "doc_id", "text"
+    )
+    docs = d.unionByName(_messy_copies(d))
+    scrubbed = docs.select("doc_id", scrub_pii("text").alias("text"))
+    kept = remove_contaminated(
+        dedup_corpus(
+            apply_quality_filter(signals_table(scrubbed)), minhash_threshold=1.0
+        ),
+        d.filter(F.col("doc_id") < 26).select(
+            F.substring("text", 20, 150).alias("text")
+        ),
+        ngram=8,
+    )
+    return kept.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round("q_score", 6).alias("q_score"),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1342,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strat_sample": q_strat_sample,
         "seq_pack": q_seq_pack,
         "minhash_cross": q_minhash_cross,
+        "curation_funnel": q_curation_funnel,
     }
 
 
@@ -1396,7 +1437,103 @@ def oracle_sql() -> dict[str, str]:
         "trim(regexp_replace(regexp_replace(lower(coalesce({c}, '')), "
         "'[^a-zàâäéèêëíìîïóòôöúùûüñß\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
     )
+    # ---- curation_funnel: the whole hygiene pipeline replayed in SQL ----
+    scrub_sql = (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace({c}, "
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'), "
+        "'\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '<ID>', 'g'), "
+        "'\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'), "
+        "'\\+?\\d[\\d().-]{{7,}}\\d', '<PHONE>', 'g')"
+    )
+    acc_norm = (
+        "nullif(trim(regexp_replace(regexp_replace(lower(coalesce({c}, '')), "
+        "'[^a-zàâäéèêëíìîïóòôöúùûüñß\\s]', ' ', 'g'), '\\s+', ' ', 'g')), '')"
+    )
+    acc_toks = (
+        f"CASE WHEN {acc_norm} IS NULL THEN [] "
+        f"ELSE string_split({acc_norm}, ' ') END"
+    )
+    stop_en = "['the','and','of','to','in','is','that','for','with','was']"
+    lang_profiles = (
+        "(VALUES ('en', ['the','and','of','to','in','is','that','for','with','was']), "
+        "('de', ['der','die','und','das','ist','von','mit','den','nicht','ein']), "
+        "('fr', ['le','la','les','des','est','une','dans','que','pour','sur']), "
+        "('es', ['el','la','los','las','que','una','por','con','para','del']), "
+        "('it', ['il','la','che','di','una','per','con','del','non','sono']))"
+    )
+    ws_toks = (
+        "list_filter(string_split_regex(trim(lower(coalesce({c}, ''))), '\\s+'), "
+        "x -> x != '')"
+    )
+    grams8 = "list_distinct([array_to_string({t}[i:i+7], ' ') for i in range(1, len({t}) - 6)])"
+    curation_funnel_sql = (
+        f"WITH all_docs AS ({messy_docs}), "
+        f"scrub AS (SELECT doc_id, {scrub_sql.format(c='text')} AS t FROM all_docs), "
+        "wt AS (SELECT doc_id, CASE WHEN trim(t) = '' THEN 0 "
+        "ELSE len(string_split_regex(trim(t), '\\s+')) END AS n_tokens FROM scrub), "
+        f"qt AS (SELECT doc_id, t, {acc_toks.format(c='t')} AS toks FROM scrub), "
+        "qm AS (SELECT doc_id, toks, length(t) AS n_chars, len(toks) AS qnt, "
+        f"len(list_filter(toks, x -> list_contains({stop_en}, x))) AS n_stop, "
+        "length(regexp_replace(t, '[^\\.,;:!\\?]', '', 'g')) AS n_punct, "
+        "length(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS n_alpha FROM qt), "
+        "q AS (SELECT doc_id, toks, qnt, "
+        "CASE WHEN qnt > 0 THEN CAST(n_stop AS DOUBLE) / qnt ELSE 0.0 END AS sr, "
+        "CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS pr, "
+        "CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END AS ar, "
+        "CASE WHEN qnt > 0 THEN CAST(n_alpha AS DOUBLE) / qnt ELSE 0.0 END AS mwl FROM qm), "
+        "qs AS (SELECT doc_id, toks, "
+        "(CAST(qnt >= 5 AND qnt <= 100000 AS DOUBLE) + CAST(sr >= 0.01 AS DOUBLE) "
+        "+ CAST(ar >= 0.5 AS DOUBLE) + CAST(mwl >= 2 AND mwl <= 12 AS DOUBLE) "
+        "+ CAST(pr <= 0.2 AS DOUBLE)) / 5.0 AS q_score FROM q), "
+        f"profiles(lang, words) AS {lang_profiles}, "
+        "lg AS (SELECT doc_id, CASE WHEN h > 0 THEN lang ELSE 'und' END AS lang FROM ("
+        "SELECT doc_id, lang, h, row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY h DESC, lang DESC) AS rn FROM ("
+        "SELECT q.doc_id, p.lang, len(list_intersect(list_distinct(q.toks), p.words)) AS h "
+        "FROM qs q CROSS JOIN profiles p)) WHERE rn = 1), "
+        "rep_pt AS (SELECT doc_id, tok, count(*) AS c FROM ("
+        f"SELECT doc_id, unnest({ws_toks.format(c='t')}) AS tok FROM scrub) "
+        "GROUP BY 1, 2), "
+        "rep_ts AS (SELECT doc_id, sum(c) AS nt, max(c) AS top FROM rep_pt GROUP BY 1), "
+        "rep_sg AS (SELECT doc_id, list_filter(list_transform("
+        "string_split(lower(t), '.'), s -> trim(s)), s -> s != '') AS segs FROM scrub), "
+        "rep AS (SELECT sg.doc_id, "
+        "round(top / CAST(nt AS DOUBLE), 6) AS ttf, "
+        "CASE WHEN len(segs) > 0 THEN round(1.0 - len(list_distinct(segs)) / "
+        "CAST(len(segs) AS DOUBLE), 6) ELSE 0.0 END AS dlf "
+        "FROM rep_sg sg JOIN rep_ts ts ON sg.doc_id = ts.doc_id), "
+        "filt AS (SELECT w.doc_id FROM wt w JOIN qs ON w.doc_id = qs.doc_id "
+        "LEFT JOIN rep ON w.doc_id = rep.doc_id "
+        "WHERE qs.q_score >= 0.4 AND w.n_tokens >= 5 AND w.n_tokens <= 100000 "
+        "AND coalesce(rep.ttf, 0.0) <= 0.30 AND coalesce(rep.dlf, 0.0) <= 0.50), "
+        f"exn AS (SELECT f.doc_id, {NORM_URL_SQL.format(c='s.t')} AS norm "
+        "FROM filt f JOIN scrub s ON f.doc_id = s.doc_id), "
+        "ek AS (SELECT doc_id FROM (SELECT doc_id, min(doc_id) OVER ("
+        "PARTITION BY md5(coalesce(norm, ''))) AS m FROM exn) WHERE doc_id = m), "
+        "ndt AS (SELECT e.doc_id, string_split(x.norm, ' ') AS t "
+        "FROM ek e JOIN exn x ON e.doc_id = x.doc_id WHERE x.norm IS NOT NULL), "
+        "g AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct("
+        "[array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])), chr(30))) AS k "
+        "FROM ndt WHERE len(t) >= 3), "
+        "ndrop AS (SELECT doc_id FROM (SELECT doc_id, min(doc_id) OVER ("
+        "PARTITION BY k) AS m FROM g) WHERE doc_id != m), "
+        "nk AS (SELECT doc_id FROM ek WHERE doc_id NOT IN (SELECT doc_id FROM ndrop)), "
+        f"ct AS (SELECT nk.doc_id, {ws_toks.format(c='s.t')} AS t "
+        "FROM nk JOIN scrub s ON nk.doc_id = s.doc_id), "
+        f"cg AS (SELECT doc_id, unnest({grams8.format(t='t')}) AS gram FROM ct), "
+        "bench AS (SELECT "
+        + ws_toks.format(c="substr(text, 20, 150)")
+        + " AS t FROM documents WHERE text IS NOT NULL AND doc_id < 26), "
+        f"bg AS (SELECT DISTINCT unnest({grams8.format(t='t')}) AS gram FROM bench), "
+        "flag AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg ON cg.gram = bg.gram) "
+        "SELECT nk.doc_id, lg.lang, CAST(wt.n_tokens AS BIGINT) AS n_tokens, "
+        "round(qs.q_score, 6) AS q_score "
+        "FROM nk JOIN lg ON nk.doc_id = lg.doc_id "
+        "JOIN wt ON nk.doc_id = wt.doc_id JOIN qs ON nk.doc_id = qs.doc_id "
+        "WHERE nk.doc_id NOT IN (SELECT doc_id FROM flag)"
+    )
     return {
+        "curation_funnel": curation_funnel_sql,
         "p1_missing_pct": (
             "SELECT round(avg(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_text, "
             "round(avg(CASE WHEN lang IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_lang, "

@@ -1,0 +1,346 @@
+"""End-to-end training-corpus curation plan: the LLM-data analogue of the
+linkage pipeline (``plans/pipeline.py``). The reference pipeline stops at
+entity resolution (``run_pipeline.py:29-40``); this plan chains the
+corpus-curation operators this engine adds on top of it into one
+resumable driver program over a ``documents``-shaped table:
+
+  docs -> scrubbed (PII) -> signals (quality/repetition/langid/tokens)
+  -> filtered -> dedup (exact + MinHash-LSH near-dup)
+  -> decontaminated (benchmark n-gram overlap) -> sampled (per-stratum
+  quota) -> packed (sequence bins)  [+ curation_report.json]
+
+Every stage is a checkpointed warehouse table with a lineage sidecar
+(config-hash resume, per-file row counts from parquet footers), so the
+funnel report costs ZERO extra Spark jobs — stage row counts come from
+lineage, not ``count()``. At 100 TB each arrow above is one bounded
+shuffle or a pure map (see the per-operator scale notes in
+``operators/curation.py`` / ``operators/dedup.py``); nothing in the
+plan itself adds a driver-side loop or collect.
+
+Run:  python -m record_linkage_spark.plans.curate --warehouse /tmp/cwh \
+        --sf-dir /root/testdata/sf0.01 [--quota 200] [--pack-budget 2048]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from record_linkage_spark.config import RANDOM_SEED
+from record_linkage_spark.operators.curation import (
+    decontaminate,
+    pack_sequences,
+    repetition_features,
+    scrub_pii,
+    stratified_quota_sample,
+)
+from record_linkage_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_near_duplicates,
+)
+from record_linkage_spark.operators.text_analysis import (
+    language_id,
+    quality_features,
+    token_count_ws,
+)
+from record_linkage_spark.sources.checkpoints import Warehouse
+
+STAGES = [
+    "docs",
+    "scrubbed",
+    "signals",
+    "filtered",
+    "deduped",
+    "decontaminated",
+    "sampled",
+    "packed",
+]
+
+
+def signals_table(scrubbed: DataFrame) -> DataFrame:
+    """Quality + language + token-count + repetition signals per doc —
+    one explode+agg (repetition) left-joined onto pure map columns."""
+    q = (
+        quality_features(scrubbed)
+        .withColumn("lang", language_id(F.col("text")))
+        .withColumn("n_tokens", token_count_ws(F.col("text")))
+    )
+    rep = repetition_features(scrubbed).select(
+        "doc_id", "dup_token_frac", "top_token_frac", "dup_line_frac"
+    )
+    return q.join(rep, "doc_id", "left").fillna(
+        0.0, ["dup_token_frac", "top_token_frac", "dup_line_frac"]
+    )
+
+
+def apply_quality_filter(
+    signals: DataFrame,
+    min_quality: float = 0.4,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    max_top_token_frac: float = 0.30,
+    max_dup_line_frac: float = 0.50,
+) -> DataFrame:
+    return signals.filter(
+        (F.col("q_score") >= min_quality)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("top_token_frac") <= max_top_token_frac)
+        & (F.col("dup_line_frac") <= max_dup_line_frac)
+    )
+
+
+def dedup_corpus(filtered: DataFrame, minhash_threshold: float = 0.8) -> DataFrame:
+    """Exact (md5 groupBy) then MinHash-LSH near-dup removal. Drop
+    policy: a doc goes iff some kept doc with a smaller id duplicates it
+    — pairs are canonical id_A < id_B, so the drop set is distinct(id_B)
+    ∪ exploded dup_ids; both removals are left_anti joins on doc_id (the
+    drop side is the small one, the payload never reshuffles)."""
+    exact_drop = (
+        exact_duplicates(filtered)
+        .select(F.explode("dup_ids").alias("doc_id"))
+        .distinct()
+    )
+    after_exact = filtered.join(exact_drop, "doc_id", "left_anti")
+    near_drop = (
+        minhash_near_duplicates(after_exact, jaccard_threshold=minhash_threshold)
+        .select(F.col("id_B").alias("doc_id"))
+        .distinct()
+    )
+    return after_exact.join(near_drop, "doc_id", "left_anti")
+
+
+def remove_contaminated(
+    deduped: DataFrame,
+    benchmark: DataFrame,
+    ngram: int = 8,
+    min_shared_grams: int = 1,
+) -> DataFrame:
+    flagged = decontaminate(deduped, benchmark, ngram=ngram).filter(
+        F.col("n_shared_grams") >= min_shared_grams
+    )
+    return deduped.join(flagged.select("doc_id"), "doc_id", "left_anti")
+
+
+class CurationPipeline:
+    """Configurable curation funnel. Thresholds default to the Gopher-ish
+    heuristics the signal operators document; every knob lands in each
+    stage's config hash, so changing one re-runs only the stages below it.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        docs_df: DataFrame | None = None,
+        sf_dir: str | None = None,
+        benchmark_df: DataFrame | None = None,
+        min_quality: float = 0.4,
+        min_tokens: int = 5,
+        max_tokens: int = 100_000,
+        max_top_token_frac: float = 0.30,
+        max_dup_line_frac: float = 0.50,
+        minhash_threshold: float = 0.8,
+        decontam_ngram: int = 8,
+        min_shared_grams: int = 1,
+        strata_cols: tuple[str, ...] = ("lang",),
+        quota: int = 1_000,
+        pack_budget: int = 2_048,
+    ):
+        self.spark = spark
+        self.wh = Warehouse(root=warehouse, spark=spark)
+        self._docs_df = docs_df
+        self.sf_dir = sf_dir
+        self._benchmark_df = benchmark_df
+        self.min_quality = min_quality
+        self.min_tokens = min_tokens
+        self.max_tokens = max_tokens
+        self.max_top_token_frac = max_top_token_frac
+        self.max_dup_line_frac = max_dup_line_frac
+        self.minhash_threshold = minhash_threshold
+        self.decontam_ngram = decontam_ngram
+        self.min_shared_grams = min_shared_grams
+        self.strata_cols = list(strata_cols)
+        self.quota = quota
+        self.pack_budget = pack_budget
+        self.report: dict = {}
+
+    def _cfg(self, **kw) -> dict:
+        return {"seed": RANDOM_SEED, "sf_dir": self.sf_dir, **kw}
+
+    def _load_docs(self) -> DataFrame:
+        if self._docs_df is not None:
+            return self._docs_df.select("doc_id", "text")
+        return self.spark.read.parquet(
+            os.path.join(self.sf_dir, "documents.parquet")
+        ).select("doc_id", "text")
+
+    def _benchmark(self, docs: DataFrame) -> DataFrame:
+        """Benchmark suite to decontaminate against. Without a provided
+        one, a deterministic hash-slice of the corpus stands in (it is
+        guaranteed to overlap, which exercises the removal path)."""
+        if self._benchmark_df is not None:
+            return self._benchmark_df.select("doc_id", "text")
+        return docs.filter(F.pmod(F.xxhash64(F.lit(13), "doc_id"), 97) == 0)
+
+    def run(self, resume: bool = True) -> dict:
+        wh = self.wh
+        os.makedirs(wh.root, exist_ok=True)
+
+        docs = wh.run_stage("docs", self._load_docs, self._cfg(), resume=resume)
+
+        scrubbed = wh.run_stage(
+            "scrubbed",
+            lambda: docs.select(
+                "doc_id", scrub_pii("text").alias("text")
+            ).filter(F.col("text").isNotNull()),
+            self._cfg(),
+            inputs=["docs"],
+            resume=resume,
+        )
+
+        signals = wh.run_stage(
+            "signals",
+            lambda: signals_table(scrubbed),
+            self._cfg(),
+            inputs=["scrubbed"],
+            resume=resume,
+        )
+
+        filt_cfg = self._cfg(
+            min_quality=self.min_quality,
+            min_tokens=self.min_tokens,
+            max_tokens=self.max_tokens,
+            max_top_token_frac=self.max_top_token_frac,
+            max_dup_line_frac=self.max_dup_line_frac,
+        )
+        filtered = wh.run_stage(
+            "filtered",
+            lambda: apply_quality_filter(
+                signals,
+                min_quality=self.min_quality,
+                min_tokens=self.min_tokens,
+                max_tokens=self.max_tokens,
+                max_top_token_frac=self.max_top_token_frac,
+                max_dup_line_frac=self.max_dup_line_frac,
+            ),
+            filt_cfg,
+            inputs=["signals"],
+            resume=resume,
+        )
+
+        deduped = wh.run_stage(
+            "deduped",
+            lambda: dedup_corpus(filtered, self.minhash_threshold),
+            self._cfg(minhash_threshold=self.minhash_threshold),
+            inputs=["filtered"],
+            resume=resume,
+        )
+
+        decontaminated = wh.run_stage(
+            "decontaminated",
+            lambda: remove_contaminated(
+                deduped,
+                self._benchmark(docs),
+                ngram=self.decontam_ngram,
+                min_shared_grams=self.min_shared_grams,
+            ),
+            self._cfg(
+                ngram=self.decontam_ngram, min_shared=self.min_shared_grams
+            ),
+            inputs=["deduped", "docs"],
+            resume=resume,
+        )
+
+        sampled = wh.run_stage(
+            "sampled",
+            lambda: stratified_quota_sample(
+                decontaminated, self.strata_cols, self.quota, "doc_id"
+            ),
+            self._cfg(quota=self.quota, strata=self.strata_cols),
+            inputs=["decontaminated"],
+            resume=resume,
+        )
+
+        packed = wh.run_stage(
+            "packed",
+            lambda: pack_sequences(sampled, self.pack_budget),
+            self._cfg(budget=self.pack_budget),
+            inputs=["sampled"],
+            resume=resume,
+        )
+
+        # funnel report from lineage row counts — zero extra Spark jobs
+        counts = {
+            s: (wh.lineage(s) or {}).get("row_count") for s in STAGES
+        }
+        n0 = counts.get("docs") or 0
+        self.report = {
+            "stages": counts,
+            "removed": {
+                "scrub_null": _delta(counts, "docs", "scrubbed"),
+                "quality_filter": _delta(counts, "signals", "filtered"),
+                "dedup": _delta(counts, "filtered", "deduped"),
+                "decontamination": _delta(counts, "deduped", "decontaminated"),
+                "sampling": _delta(counts, "decontaminated", "sampled"),
+            },
+            "kept_frac": round(counts.get("sampled", 0) / n0, 6) if n0 else None,
+            # ceil(total_tokens / budget): a doc straddling the last cut
+            # still opens the next bin
+            "n_bins": (
+                packed.agg(
+                    F.ceil(
+                        F.sum("n_tokens") / F.lit(float(self.pack_budget))
+                    ).cast("long").alias("b")
+                ).first().b
+            ),
+            "pack_budget": self.pack_budget,
+            "config": {
+                "min_quality": self.min_quality,
+                "minhash_threshold": self.minhash_threshold,
+                "decontam_ngram": self.decontam_ngram,
+                "quota": self.quota,
+                "strata": self.strata_cols,
+            },
+        }
+        with open(os.path.join(wh.root, "curation_report.json"), "w") as f:
+            json.dump(self.report, f, indent=2)
+        return self.report
+
+
+def _delta(counts: dict, before: str, after: str) -> int | None:
+    a, b = counts.get(before), counts.get(after)
+    return (a - b) if a is not None and b is not None else None
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--quota", type=int, default=1000)
+    ap.add_argument("--pack-budget", type=int, default=2048)
+    ap.add_argument("--minhash-threshold", type=float, default=0.8)
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args()
+
+    from record_linkage_spark.session import get_spark
+
+    spark = get_spark("curate")
+    pipe = CurationPipeline(
+        spark,
+        args.warehouse,
+        sf_dir=args.sf_dir,
+        quota=args.quota,
+        pack_budget=args.pack_budget,
+        minhash_threshold=args.minhash_threshold,
+    )
+    report = pipe.run(resume=not args.no_resume)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+"""End-to-end test of the corpus-curation plan (plans/curate.py): a small
+corpus with planted PII, exact + near duplicates, junk docs, a
+multi-language mix and a contaminated doc flows through the full funnel;
+each removal stage must catch exactly its plants, and resume must reuse
+the committed stages."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from record_linkage_spark.plans.curate import CurationPipeline
+
+GOOD_EN = (
+    "the quick brown fox jumps over the lazy dog and then walks home "
+    "through the quiet forest while the evening light fades slowly away"
+)
+GOOD_EN2 = (
+    "a gentle rain fell on the old stone bridge as the travellers made "
+    "their way into the village square looking for a warm place to rest"
+)
+GOOD_DE = (
+    "der schnelle braune fuchs springt gerne und der alte hund schläft "
+    "unter dem grossen baum waehrend die kinder mit dem ball spielen"
+)
+GOOD_PII = (
+    "please send the quarterly report to the finance team before friday "
+    "morning contact me at alice@example.com for details about the schedule"
+)
+BENCH_TEXT = (
+    "what is the capital of france the capital of france is paris which "
+    "has been the seat of government for many centuries of history"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, GOOD_EN),
+        (2, GOOD_EN2),
+        (3, GOOD_DE),
+        # exact duplicate of 1 (normalizer-equal)
+        (4, GOOD_EN.upper() + "  "),
+        # near duplicate of 2 (one word changed)
+        (5, GOOD_EN2.replace("warm", "cosy")),
+        # junk: one token repeated (top_token_frac = 1)
+        (6, "spam " * 40),
+        # junk: too short
+        (7, "hi"),
+        # PII carrier (otherwise good, distinct text)
+        (8, GOOD_PII),
+        # contaminated: contains the benchmark's 8-gram
+        (9, GOOD_EN2 + " " + BENCH_TEXT),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def bench_docs(spark):
+    return spark.createDataFrame([(100, BENCH_TEXT)], "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def report_and_wh(spark, corpus, bench_docs, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("curate_wh"))
+    pipe = CurationPipeline(
+        spark,
+        wh,
+        docs_df=corpus,
+        benchmark_df=bench_docs,
+        quota=10,
+        pack_budget=30,
+        minhash_threshold=0.6,
+    )
+    return pipe.run(resume=True), wh, pipe
+
+
+def test_funnel_catches_each_plant(spark, report_and_wh):
+    report, wh, pipe = report_and_wh
+    kept = {r.doc_id for r in pipe.wh.read("decontaminated").select("doc_id").collect()}
+    # survivors: 1,2,3 and the scrubbed PII doc 8
+    assert kept == {1, 2, 3, 8}
+    # per-stage removals
+    assert report["removed"]["quality_filter"] == 2  # docs 6, 7
+    assert report["removed"]["dedup"] == 2  # docs 4 (exact), 5 (near)
+    assert report["removed"]["decontamination"] == 1  # doc 9
+    assert report["stages"]["docs"] == 9
+
+
+def test_pii_scrubbed_before_signals(report_and_wh):
+    _, _, pipe = report_and_wh
+    texts = [r.text for r in pipe.wh.read("scrubbed").collect()]
+    assert all("alice@example.com" not in t for t in texts)
+    assert any("<EMAIL>" in t for t in texts)
+
+
+def test_sampled_respects_quota_and_strata(report_and_wh):
+    _, _, pipe = report_and_wh
+    sampled = pipe.wh.read("sampled")
+    per = sampled.groupBy("lang").count().collect()
+    assert all(r["count"] <= 10 for r in per)
+    assert sampled.count() == 4  # quota 10 > stratum sizes: all survive
+
+
+def test_packed_bins_are_contiguous(report_and_wh):
+    report, _, pipe = report_and_wh
+    rows = pipe.wh.read("packed").collect()
+    # reconstruct the global stream: offsets must be consistent with a
+    # single contiguous token layout cut every `budget` tokens
+    total = sum(r.n_tokens for r in rows)
+    starts = sorted(r.bin_id * 30 + r.bin_offset for r in rows)
+    # starts are the exclusive prefix sums of n_tokens in stream order
+    lens_in_order = []
+    for i, s in enumerate(starts):
+        expect = 0 if i == 0 else starts[i - 1] + lens_in_order[-1]
+        assert s == expect
+        lens_in_order.append(
+            next(r.n_tokens for r in rows if r.bin_id * 30 + r.bin_offset == s)
+        )
+    assert report["n_bins"] == (total - 1) // 30 + 1
+
+
+def test_report_written_and_resume_reuses_stages(spark, corpus, bench_docs, report_and_wh):
+    report, wh, _ = report_and_wh
+    with open(os.path.join(wh, "curation_report.json")) as f:
+        on_disk = json.load(f)
+    assert on_disk["stages"] == report["stages"]
+    # resume run: same config -> all stages reused, identical funnel
+    pipe2 = CurationPipeline(
+        spark,
+        wh,
+        docs_df=corpus.filter(F.lit(False)),  # would change counts if re-run
+        benchmark_df=bench_docs,
+        quota=10,
+        pack_budget=30,
+        minhash_threshold=0.6,
+    )
+    report2 = pipe2.run(resume=True)
+    assert report2["stages"] == report["stages"]
