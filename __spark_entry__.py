@@ -1222,6 +1222,35 @@ def q_fp_winnow(spark, sf):
     )
 
 
+def q_ngram_topk(spark, sf):
+    """Boilerplate mining: top-k token 3-grams by document frequency
+    (word-count shuffle + bounded TakeOrdered). A planted banner phrase
+    on 50 docs gives the head of the ranking a known shape; the
+    (n_docs desc, gram asc) total order makes the top-k set
+    deterministic under ties, so DuckDB's replay must match exactly."""
+    from record_linkage_spark.operators.curation import frequent_ngrams
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    planted = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + F.lit(6_000_000)).alias("doc_id"),
+        F.concat(F.lit("click here to subscribe now "), F.col("text")).alias("text"),
+    )
+    docs = d.select("doc_id", "text").unionByName(planted)
+    return frequent_ngrams(docs, ngram=3, k=50)
+
+
+def q_length_quantiles(spark, sf):
+    """Corpus length-distribution profile (the summary a curation pass
+    reads before picking length cutoffs) in exact mode: ``percentile``
+    with rank = p*(n-1) linear interpolation — the ANSI quantile_cont
+    definition, so DuckDB recomputes identical values. The production
+    path is ``approx_percentile`` (mergeable t-digest sketch), pinned
+    separately by pytest."""
+    from record_linkage_spark.operators.text_analysis import length_quantiles
+
+    return length_quantiles(_t(spark, sf, "documents"), exact=True)
+
+
 def q_curation_funnel(spark, sf):
     """The FULL corpus-curation funnel (``plans/curate.py``) as one
     value-checked composition: PII scrub -> quality/repetition/langid
@@ -1383,6 +1412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack": q_seq_pack,
         "minhash_cross": q_minhash_cross,
         "curation_funnel": q_curation_funnel,
+        "ngram_topk": q_ngram_topk,
+        "length_quantiles": q_length_quantiles,
     }
 
 
@@ -1532,8 +1563,29 @@ def oracle_sql() -> dict[str, str]:
         "JOIN wt ON nk.doc_id = wt.doc_id JOIN qs ON nk.doc_id = qs.doc_id "
         "WHERE nk.doc_id NOT IN (SELECT doc_id FROM flag)"
     )
+    ngram_topk_sql = (
+        "WITH all_docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL "
+        "UNION ALL SELECT doc_id + 6000000 AS doc_id, "
+        "'click here to subscribe now ' || text AS text "
+        "FROM documents WHERE text IS NOT NULL AND doc_id < 50), "
+        f"t AS (SELECT doc_id, {ws_toks.format(c='text')} AS t FROM all_docs), "
+        "g AS (SELECT doc_id, unnest(list_distinct("
+        "[array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])) AS gram "
+        "FROM t), "
+        "c AS (SELECT gram, CAST(count(*) AS BIGINT) AS n_docs FROM g GROUP BY 1) "
+        "SELECT gram, n_docs FROM c ORDER BY n_docs DESC, gram LIMIT 50"
+    )
+    qprobs = "[0.25, 0.5, 0.75, 0.9, 0.99]"
+    length_quantiles_sql = (
+        f"WITH a AS (SELECT quantile_cont(length(coalesce(text, '')), {qprobs}) "
+        "AS qs FROM documents) "
+        f"SELECT unnest({qprobs}) AS p, "
+        "round(unnest(qs), 6) AS n_chars_q FROM a"
+    )
     return {
         "curation_funnel": curation_funnel_sql,
+        "ngram_topk": ngram_topk_sql,
+        "length_quantiles": length_quantiles_sql,
         "p1_missing_pct": (
             "SELECT round(avg(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_text, "
             "round(avg(CASE WHEN lang IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_lang, "

@@ -261,6 +261,30 @@ def _grams(text_col, n: int) -> Column:
     return F.array_distinct(F.slice(grams, 1, cnt))
 
 
+def frequent_ngrams(
+    docs: DataFrame,
+    ngram: int = 3,
+    k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` token n-grams by document frequency — template/boilerplate
+    mining (the grams that dominate a crawl are navigation chrome, cookie
+    banners, licence headers; feeding them to ``decontaminate``-style
+    removal or to ``repetition_features`` thresholds is the standard
+    cleanup loop). Returns (gram, n_docs) in (n_docs desc, gram asc)
+    order — a total order, so the top-k set is deterministic in the
+    presence of ties.
+
+    Scale shape: per-doc DISTINCT grams explode to (gram) rows, then a
+    word-count aggregation (map-side partial combine; no hot key beyond
+    the natural gram skew the combiner absorbs) and a bounded top-k
+    (TakeOrdered ships k rows per partition). Nothing materializes the
+    full gram vocabulary on the driver."""
+    g = docs.select(F.explode(_grams(F.col(text_col), ngram)).alias("gram"))
+    counts = g.groupBy("gram").agg(F.count("*").cast("long").alias("n_docs"))
+    return counts.orderBy(F.col("n_docs").desc(), F.col("gram")).limit(k)
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

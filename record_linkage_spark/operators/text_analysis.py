@@ -134,6 +134,38 @@ def doc_fingerprint(text_col, window: int = 8, portable: bool = False) -> Column
     )
 
 
+def length_quantiles(
+    docs: DataFrame,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    text_col: str = "text",
+    exact: bool = False,
+) -> DataFrame:
+    """Document-length distribution profile: (p, n_chars_q) rows, one per
+    requested quantile — the corpus-shape summary a curation pass reads
+    before picking min/max-length cutoffs.
+
+    ``exact=False`` (production, the 100 TB path): ``approx_percentile`` —
+    a mergeable sketch, one map-side-combinable aggregation, bounded
+    memory regardless of corpus size. ``exact=True``: the exact
+    ``percentile`` aggregate (rank = p*(n-1), linear interpolation —
+    the same definition as ANSI ``quantile_cont``), used by the
+    ``length_quantiles`` oracle-checked contract query; it buffers the
+    group's values, so it is for validation scales only."""
+    plist = ", ".join(f"CAST({float(p)} AS DOUBLE)" for p in probs)
+    fn = "percentile" if exact else "approx_percentile"
+    agg = docs.select(
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("L")
+    ).agg(F.expr(f"{fn}(L, array({plist}))").alias("qs"))
+    probs_arr = F.array(*[F.lit(float(p)) for p in probs])
+    pairs = agg.select(
+        F.explode(F.arrays_zip(probs_arr.alias("p"), F.col("qs").alias("q"))).alias("z")
+    )
+    return pairs.select(
+        F.col("z.p").alias("p"),
+        F.round(F.col("z.q").cast("double"), 6).alias("n_chars_q"),
+    )
+
+
 def doc_token_idf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """A8 — corpus doc-frequency / idf per token (TF-IDF prerequisite,
     ``vendor/.../ditto_light/summarize.py:33-52``): explode distinct

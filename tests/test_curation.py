@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from record_linkage_spark.operators.curation import (
@@ -145,3 +147,50 @@ def test_pack_sequences_prefix_sum_and_invariance(spark):
     # every bin except the last holds >= budget tokens worth of starts
     n_bins = max(r.bin_id for r in out) + 1
     assert n_bins == (cum + 49) // 50
+
+
+def test_frequent_ngrams_boilerplate_head_and_tiebreak(spark):
+    from record_linkage_spark.operators.curation import frequent_ngrams
+
+    banner = "accept all cookies to continue"
+    rows = [(i, banner + f" page body {i} unique tail {i * 7}") for i in range(20)]
+    rows += [(100 + i, f"standalone document number {i} about topic {i * 3}") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = frequent_ngrams(df, ngram=3, k=10).collect()
+    assert len(out) == 10
+    # banner 3-grams appear in all 20 docs and dominate the head
+    head = [(r.gram, r.n_docs) for r in out[:4]]
+    assert ("accept all cookies", 20) in head
+    assert ("all cookies to", 20) in head
+    assert ("cookies to continue", 20) in head
+    # within equal counts, grams ascend (total order -> deterministic k-set)
+    for a, b in zip(out, out[1:]):
+        assert (-a.n_docs, a.gram) < (-b.n_docs, b.gram)
+    # per-doc DISTINCT: a gram repeated inside one doc counts once
+    rep = spark.createDataFrame(
+        [(1, "spam ham eggs spam ham eggs spam ham eggs")],
+        "doc_id long, text string",
+    )
+    got = {r.gram: r.n_docs for r in frequent_ngrams(rep, ngram=3, k=50).collect()}
+    assert got["spam ham eggs"] == 1
+
+
+def test_length_quantiles_exact_matches_numpy_and_approx_runs(spark):
+    import numpy as np
+
+    from record_linkage_spark.operators.text_analysis import length_quantiles
+
+    texts = [(i, "x" * (10 + 7 * (i % 13))) for i in range(40)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    lens = np.array([len(t) for _, t in texts], dtype=float)
+    probs = (0.25, 0.5, 0.75, 0.9, 0.99)
+    exact = {r.p: r.n_chars_q for r in length_quantiles(df, probs, exact=True).collect()}
+    for p in probs:
+        # Spark `percentile` definition == numpy linear interpolation
+        assert exact[p] == pytest.approx(
+            round(float(np.percentile(lens, p * 100)), 6), abs=1e-6
+        )
+    # production sketch path: same schema, values within the value range
+    approx = length_quantiles(df, probs, exact=False).collect()
+    assert {r.p for r in approx} == set(probs)
+    assert all(lens.min() <= r.n_chars_q <= lens.max() for r in approx)
