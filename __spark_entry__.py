@@ -277,6 +277,51 @@ def q_a2_rollup_sequence(spark, sf):
     )
 
 
+def q_event_hourly(spark, sf):
+    """Tumbling-window event rollup — the batch twin of the streaming
+    windowed aggregation (`streaming/incremental.py` uses the identical
+    ``F.window`` expression under a watermark; Spark's 1-hour epoch-aligned
+    tumbling window == ANSI date_trunc('hour'), which is how DuckDB
+    value-checks it)."""
+    e = _t(spark, sf, "events").filter(F.col("ts").isNotNull())
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def q_event_sessions(spark, sf):
+    """Gap-based sessionization: ``session_window(ts, 30 min)`` per user —
+    the stateful-streaming session operator run on the batch API (same
+    expression works under ``readStream``). DuckDB replays it as the
+    classic gaps-and-islands window query (new session when the gap from
+    the previous event exceeds 30 min), which must reproduce every
+    session's start, size and value sum exactly."""
+    e = _t(spark, sf, "events").filter(F.col("ts").isNotNull())
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def q_a4_group_count(spark, sf):
     """A4: label distribution (value_counts)."""
     d = _t(spark, sf, "documents")
@@ -1414,6 +1459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": q_curation_funnel,
         "ngram_topk": q_ngram_topk,
         "length_quantiles": q_length_quantiles,
+        "event_hourly": q_event_hourly,
+        "event_sessions": q_event_sessions,
     }
 
 
@@ -1582,10 +1629,33 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT unnest({qprobs}) AS p, "
         "round(unnest(qs), 6) AS n_chars_q FROM a"
     )
+    event_sessions_sql = (
+        "WITH e AS (SELECT user_id, ts, value, "
+        # Spark session windows are half-open [start, last+gap): an event
+        # landing exactly gap after its predecessor opens a NEW session,
+        # so the islands test is >=, not >
+        "CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+        ">= INTERVAL 30 MINUTE OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) "
+        "IS NULL THEN 1 ELSE 0 END AS is_new "
+        "FROM events WHERE ts IS NOT NULL), "
+        "s AS (SELECT user_id, ts, value, "
+        "sum(is_new) OVER (PARTITION BY user_id ORDER BY ts "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM e) "
+        "SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, "
+        "CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 6) AS sum_value "
+        "FROM s GROUP BY user_id, sid"
+    )
     return {
         "curation_funnel": curation_funnel_sql,
         "ngram_topk": ngram_topk_sql,
         "length_quantiles": length_quantiles_sql,
+        "event_hourly": (
+            "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, "
+            "event_type, CAST(count(*) AS BIGINT) AS n, "
+            "round(sum(value), 6) AS sum_value "
+            "FROM events WHERE ts IS NOT NULL GROUP BY 1, 2"
+        ),
+        "event_sessions": event_sessions_sql,
         "p1_missing_pct": (
             "SELECT round(avg(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_text, "
             "round(avg(CASE WHEN lang IS NULL THEN 1.0 ELSE 0.0 END), 6) AS null_lang, "
