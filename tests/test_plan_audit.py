@@ -1,0 +1,136 @@
+"""Physical-plan audits: the structural properties that make the engine
+scale are pinned here so a refactor can't silently regress them —
+filter/column pushdown into the parquet scan, no cartesian products in
+any core operator, map-side partial aggregation, bounded top-k only
+where k is bounded, and no row-at-a-time Python in the scoring path
+(the only Python allowed is Arrow-batched kernels)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_parquet_scan_gets_pushdown_and_pruning(spark):
+    df = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "n_chars")
+    )
+    plan = _plan(df)
+    # predicate reaches the scan...
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+    # ...and only the referenced columns are read
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "n_chars" in read_schema
+    assert "text" not in read_schema  # the wide column is pruned
+
+
+def _doc_df(spark, n=60):
+    rows = [
+        (i, f"document number {i} with some shared tokens and tail {i * 13}")
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_core_operators_have_no_cartesian_joins(spark):
+    """Every candidate-generation path must join on computed equality keys
+    — a cartesian/broadcast-nested-loop node means an all-pairs blow-up
+    at corpus scale."""
+    from record_linkage_spark.operators.blocking import candidate_pairs
+    from record_linkage_spark.operators.curation import decontaminate
+    from record_linkage_spark.operators.dedup import (
+        minhash_near_duplicates,
+        simhash_near_duplicates,
+    )
+    from record_linkage_spark.operators.rollup import rollup_conversations
+    from record_linkage_spark.synth.transcripts import (
+        generate_transcripts,
+        transcripts_table,
+    )
+
+    docs = _doc_df(spark)
+    profiles = rollup_conversations(
+        transcripts_table(generate_transcripts(spark, n_entities=40, dup_rate=1.5))
+    )
+    plans = {
+        "minhash": _plan(minhash_near_duplicates(docs)),
+        "simhash": _plan(simhash_near_duplicates(docs)),
+        "decontaminate": _plan(decontaminate(docs, docs.limit(5))),
+        "blocking": _plan(candidate_pairs(profiles, "B1")),
+    }
+    for name, plan in plans.items():
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_frequent_ngrams_partial_agg_and_bounded_topk(spark):
+    """The gram count must partial-aggregate map-side (combiner absorbs
+    gram skew before the shuffle) and the top-k must be a bounded
+    TakeOrdered — here k is small by contract, unlike the GT-sampling
+    plan where TakeOrdered is banned."""
+    from record_linkage_spark.operators.curation import frequent_ngrams
+
+    plan = _plan(frequent_ngrams(_doc_df(spark), ngram=3, k=10))
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_scoring_path_has_no_row_python(spark):
+    """Featurize+score may contain ONLY Arrow-batched Python (the JW
+    kernel); any BatchEvalPython node (row-at-a-time UDF) in the hot
+    path is a 10-100x regression at pair scale."""
+    from record_linkage_spark.operators.classifier import LinearModel, score_pairs
+    from record_linkage_spark.operators.features import (
+        FEATURE_INPUT_COLS,
+        FEATURE_NAMES,
+        add_features,
+    )
+    from record_linkage_spark.operators.ground_truth import hydrate_pairs
+    from record_linkage_spark.operators.rollup import rollup_conversations
+    from record_linkage_spark.synth.transcripts import (
+        generate_transcripts,
+        transcripts_table,
+    )
+
+    profiles = rollup_conversations(
+        transcripts_table(generate_transcripts(spark, n_entities=40, dup_rate=1.5))
+    )
+    pa = profiles.select(F.col("conv_id").alias("id_A"))
+    pb = profiles.select(F.col("conv_id").alias("id_B"))
+    pairs = (
+        pa.join(pb, F.col("id_A") < F.col("id_B"))
+        .limit(200)
+        .select("id_A", "id_B")
+    )
+    model = LinearModel(weights=[0.5] * len(FEATURE_NAMES), intercept=-1.0)
+    scored = score_pairs(
+        add_features(hydrate_pairs(pairs, profiles, FEATURE_INPUT_COLS)), model
+    )
+    plan = _plan(scored)
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    assert "ArrowEvalPython" in plan  # the JW kernel IS Arrow-batched
+
+
+def test_sessionization_shuffles_once_on_user(spark):
+    """Gap sessionization must be one shuffle keyed on the session user,
+    not a windowed global sort."""
+    import __spark_entry__ as em
+
+    df = em.q_event_sessions(spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    # exactly the groupBy-key exchanges; no rangepartitioning (global sort)
+    assert "rangepartitioning" not in plan.lower()
