@@ -1296,6 +1296,52 @@ def q_length_quantiles(spark, sf):
     return length_quantiles(_t(spark, sf, "documents"), exact=True)
 
 
+def _doc_profiles(spark, sf):
+    """Profile-shaped frame derived SQL-portably from documents: the
+    input for the oracle-checked blocking-generator queries. JW inputs
+    are 40-char normalized slices — under the kernel's 48-char cap, so
+    DuckDB's native jaro_winkler computes on identical strings."""
+    from record_linkage_spark.functions.text import norm_text
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    # planted same-text twins (doc_id+7e6): guaranteed JW=1.0 pairs inside
+    # doubled blocks, so the salted join's exactly-once property carries
+    # real weight in the hash comparison (a dropped or doubled pair shows)
+    d = d.select("doc_id", "text", "lang").unionByName(
+        d.filter(F.col("doc_id") < 40).select(
+            (F.col("doc_id") + F.lit(7_000_000)).alias("doc_id"), "text", "lang"
+        )
+    )
+    return d.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.floor(F.length("text") / 200).cast("int").alias("text_len_bucket"),
+        norm_text(F.substring("text", 1, 40)).alias("first_text_norm"),
+        norm_text(F.substring("text", 21, 40)).alias("last_text_norm"),
+        F.col("lang").alias("primary_tool"),
+    )
+
+
+def q_blocking_b1(spark, sf):
+    """The PRODUCTION blocking generator (salted hash self-join,
+    skew-aware fan-out, JW Arrow post-filter) value-checked externally:
+    DuckDB replays the B1 cascade as a plain equality self-join + native
+    jaro_winkler >= 0.95 over the same document-derived profiles.
+    salt_target=3 forces multi-salt fan-out on every block bigger than 3
+    rows, so the exactly-once pair semantics of the replicate-explode
+    salting is what the hash comparison actually proves."""
+    from record_linkage_spark.operators.blocking import candidate_pairs
+
+    return candidate_pairs(_doc_profiles(spark, sf), "B1", salt_target=3)
+
+
+def q_blocking_b2(spark, sf):
+    """B2 cascade (B1 + last-slice key + secondary JW + exact tool leg)
+    through the same salted generator, same external replay."""
+    from record_linkage_spark.operators.blocking import candidate_pairs
+
+    return candidate_pairs(_doc_profiles(spark, sf), "B2", salt_target=3)
+
+
 def q_curation_funnel(spark, sf):
     """The FULL corpus-curation funnel (``plans/curate.py``) as one
     value-checked composition: PII scrub -> quality/repetition/langid
@@ -1461,6 +1507,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": q_length_quantiles,
         "event_hourly": q_event_hourly,
         "event_sessions": q_event_sessions,
+        "blocking_b1": q_blocking_b1,
+        "blocking_b2": q_blocking_b2,
     }
 
 
@@ -1645,8 +1693,53 @@ def oracle_sql() -> dict[str, str]:
         "CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 6) AS sum_value "
         "FROM s GROUP BY user_id, sid"
     )
+    # blocking generator replay: profile synthesis + equality self-join +
+    # native jaro_winkler cascade (the Spark side's salting must be
+    # invisible — exactly-once pair semantics — for the hashes to match)
+    doc_prof_sql = (
+        "WITH docs2 AS (SELECT doc_id, text, lang FROM documents "
+        "WHERE text IS NOT NULL UNION ALL "
+        "SELECT doc_id + 7000000 AS doc_id, text, lang FROM documents "
+        "WHERE text IS NOT NULL AND doc_id < 40) "
+        "SELECT CAST(doc_id AS VARCHAR) AS conv_id, "
+        "CAST(CAST(floor(length(text) / 200) AS INTEGER) AS VARCHAR) AS bkt, "
+        + NORM_SQL.format(c="substr(text, 1, 40)")
+        + " AS ftn, "
+        + NORM_SQL.format(c="substr(text, 21, 40)")
+        + " AS ltn, lang AS tool FROM docs2"
+    )
+    blocking_b1_sql = (
+        f"WITH prof AS ({doc_prof_sql}), "
+        "recs AS (SELECT conv_id, bkt, substr(ftn, 1, 3) AS f3, ftn FROM prof "
+        "WHERE bkt IS NOT NULL AND substr(ftn, 1, 3) IS NOT NULL "
+        "AND bkt || substr(ftn, 1, 3) != '') "
+        # block_key joins the cascade keys with chr(1) (the engine's
+        # unambiguous key separator — "1"+"0ab" never collides with "10"+"ab")
+        "SELECT a.conv_id AS id_A, b.conv_id AS id_B, "
+        "a.bkt || chr(1) || a.f3 AS block_key, 'B1' AS strategy "
+        "FROM recs a JOIN recs b ON a.bkt = b.bkt AND a.f3 = b.f3 "
+        "AND a.conv_id < b.conv_id "
+        "WHERE jaro_winkler_similarity(a.ftn, b.ftn) >= 0.95"
+    )
+    blocking_b2_sql = (
+        f"WITH prof AS ({doc_prof_sql}), "
+        "recs AS (SELECT conv_id, bkt, substr(ftn, 1, 3) AS f3, "
+        "substr(ltn, 1, 3) AS l3, ftn, ltn, tool FROM prof "
+        "WHERE bkt IS NOT NULL AND substr(ftn, 1, 3) IS NOT NULL "
+        "AND substr(ltn, 1, 3) IS NOT NULL "
+        "AND bkt || substr(ftn, 1, 3) || substr(ltn, 1, 3) != '') "
+        "SELECT a.conv_id AS id_A, b.conv_id AS id_B, "
+        "a.bkt || chr(1) || a.f3 || chr(1) || a.l3 AS block_key, 'B2' AS strategy "
+        "FROM recs a JOIN recs b ON a.bkt = b.bkt AND a.f3 = b.f3 "
+        "AND a.l3 = b.l3 AND a.conv_id < b.conv_id "
+        "WHERE jaro_winkler_similarity(a.ftn, b.ftn) >= 0.95 "
+        "AND jaro_winkler_similarity(a.ltn, b.ltn) >= 0.85 "
+        "AND a.tool IS NOT NULL AND a.tool = b.tool"
+    )
     return {
         "curation_funnel": curation_funnel_sql,
+        "blocking_b1": blocking_b1_sql,
+        "blocking_b2": blocking_b2_sql,
         "ngram_topk": ngram_topk_sql,
         "length_quantiles": length_quantiles_sql,
         "event_hourly": (
