@@ -1296,6 +1296,20 @@ def q_length_quantiles(spark, sf):
     return length_quantiles(_t(spark, sf, "documents"), exact=True)
 
 
+def q_bcubed(spark, sf):
+    """B-cubed cluster-quality metrics (the standard extrinsic ER
+    clustering score) over a deterministic clustering of documents
+    (cluster = doc_id div 7) against the lang column as the truth
+    partition — three grouped sizes + one per-record average, all
+    equality joins; DuckDB recomputes the same quantities from scratch."""
+    from record_linkage_spark.operators.evaluate import bcubed_metrics
+
+    d = _t(spark, sf, "documents").filter(F.col("lang").isNotNull())
+    a = d.select("doc_id", F.floor(F.col("doc_id") / 7).alias("entity_id"))
+    t = d.select("doc_id", F.col("lang").alias("entity_key"))
+    return bcubed_metrics(a, t, id_col="doc_id")
+
+
 def _doc_profiles(spark, sf):
     """Profile-shaped frame derived SQL-portably from documents: the
     input for the oracle-checked blocking-generator queries. JW inputs
@@ -1509,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "blocking_b1": q_blocking_b1,
         "blocking_b2": q_blocking_b2,
+        "bcubed_eval": q_bcubed,
     }
 
 
@@ -1736,10 +1751,26 @@ def oracle_sql() -> dict[str, str]:
         "AND jaro_winkler_similarity(a.ltn, b.ltn) >= 0.85 "
         "AND a.tool IS NOT NULL AND a.tool = b.tool"
     )
+    bcubed_sql = (
+        "WITH j AS (SELECT doc_id, CAST(floor(doc_id / 7) AS BIGINT) AS c, "
+        "lang AS k FROM documents WHERE lang IS NOT NULL), "
+        "nc AS (SELECT c, count(*) AS nc FROM j GROUP BY 1), "
+        "nk AS (SELECT k, count(*) AS nk FROM j GROUP BY 1), "
+        "nck AS (SELECT c, k, count(*) AS nck FROM j GROUP BY 1, 2), "
+        "per AS (SELECT nck.nck / CAST(nc.nc AS DOUBLE) AS p, "
+        "nck.nck / CAST(nk.nk AS DOUBLE) AS r "
+        "FROM j JOIN nck USING (c, k) JOIN nc USING (c) JOIN nk USING (k)), "
+        "a AS (SELECT avg(p) AS p, avg(r) AS r, CAST(count(*) AS BIGINT) AS n "
+        "FROM per) "
+        "SELECT round(p, 6) AS bcubed_precision, round(r, 6) AS bcubed_recall, "
+        "round(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0 END, 6) "
+        "AS bcubed_f1, n AS n_records FROM a"
+    )
     return {
         "curation_funnel": curation_funnel_sql,
         "blocking_b1": blocking_b1_sql,
         "blocking_b2": blocking_b2_sql,
+        "bcubed_eval": bcubed_sql,
         "ngram_topk": ngram_topk_sql,
         "length_quantiles": length_quantiles_sql,
         "event_hourly": (

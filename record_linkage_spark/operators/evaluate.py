@@ -61,3 +61,60 @@ def confusion_metrics(preds: DataFrame) -> dict:
 def evaluate_global(gt: DataFrame, scored_candidates: DataFrame) -> dict:
     """End-to-end E3 analogue: overlay + confusion metrics."""
     return confusion_metrics(global_predictions(gt, scored_candidates))
+
+
+def bcubed_metrics(
+    assignments: DataFrame,
+    truth: DataFrame,
+    id_col: str = "conv_id",
+    cluster_col: str = "entity_id",
+    truth_col: str = "entity_key",
+) -> DataFrame:
+    """B-cubed cluster-quality metrics (Bagga & Baldwin 1998): per record,
+    precision = |its cluster ∩ its truth class| / |its cluster| and
+    recall = |∩| / |its truth class|; the scores average over records.
+    The standard extrinsic metric for entity-resolution clusterings —
+    unlike pairwise F1 it doesn't quadratically over-weight big clusters.
+
+    Returns one row: (bcubed_precision, bcubed_recall, bcubed_f1, n_records).
+
+    Scale shape: one inner join on the record id, then three aggregations
+    keyed on cluster, class, and (cluster, class) — every group is a real
+    cluster/class (bounded by blocking), no pair enumeration anywhere; the
+    per-record averages fold into a single final aggregate. All joins are
+    equality joins; the per-group size frames broadcast when small.
+    """
+    a = assignments.select(
+        F.col(id_col).alias("_id"), F.col(cluster_col).alias("_c")
+    )
+    t = truth.select(F.col(id_col).alias("_id"), F.col(truth_col).alias("_k"))
+    j = a.join(t, "_id")
+    nc = j.groupBy("_c").agg(F.count("*").alias("_nc"))
+    nk = j.groupBy("_k").agg(F.count("*").alias("_nk"))
+    nck = j.groupBy("_c", "_k").agg(F.count("*").alias("_nck"))
+    per = (
+        j.join(nck, ["_c", "_k"])
+        .join(nc, "_c")
+        .join(nk, "_k")
+        .select(
+            (F.col("_nck") / F.col("_nc")).alias("_p"),
+            (F.col("_nck") / F.col("_nk")).alias("_r"),
+        )
+    )
+    out = per.agg(
+        F.avg("_p").alias("p"),
+        F.avg("_r").alias("r"),
+        F.count("*").cast("long").alias("n_records"),
+    )
+    return out.select(
+        F.round("p", 6).alias("bcubed_precision"),
+        F.round("r", 6).alias("bcubed_recall"),
+        F.round(
+            F.when(
+                F.col("p") + F.col("r") > 0,
+                2 * F.col("p") * F.col("r") / (F.col("p") + F.col("r")),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("bcubed_f1"),
+        "n_records",
+    )

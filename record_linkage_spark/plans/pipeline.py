@@ -205,10 +205,16 @@ class LinkagePipeline:
         gm = evaluate_global(
             gt.select("id_A", "id_B", "label"), scored.select("id_A", "id_B", "pred")
         )
+        # extrinsic cluster quality vs the hidden entity keys (B-cubed —
+        # pairwise F1 above over-weights big clusters; this doesn't)
+        from record_linkage_spark.operators.evaluate import bcubed_metrics
+
+        bc = bcubed_metrics(clusters, keys).first().asDict()
         self.report = {
             "strategy": self.strategy,
             "blocking": bm,
             "global": gm,
+            "bcubed": bc,
             "threshold": self.model.threshold if self.model else None,
             "n_candidates": cands.count(),
             "n_clusters": clusters.select("entity_id").distinct().count(),

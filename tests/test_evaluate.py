@@ -46,3 +46,31 @@ def test_confusion_all_correct(spark):
     )
     m = confusion_metrics(preds)
     assert m["f1"] == 1.0 and m["fp"] == 0 and m["fn"] == 0
+
+
+def test_bcubed_metrics_hand_computed(spark):
+    """Bagga-Baldwin worked example: P = 14/21, R = 13/21, F1 = 1092/1701."""
+    from record_linkage_spark.operators.evaluate import bcubed_metrics
+
+    a = spark.createDataFrame(
+        [(1, "C1"), (2, "C1"), (3, "C1"), (4, "C2"), (5, "C2"), (6, "C3"), (7, "C3")],
+        "conv_id long, entity_id string",
+    )
+    t = spark.createDataFrame(
+        [(1, "K1"), (2, "K1"), (4, "K1"), (3, "K2"), (5, "K3"), (6, "K3"), (7, "K3")],
+        "conv_id long, entity_key string",
+    )
+    r = bcubed_metrics(a, t).first()
+    assert r.n_records == 7
+    assert r.bcubed_precision == round(14 / 21, 6)
+    assert r.bcubed_recall == round(13 / 21, 6)
+    assert r.bcubed_f1 == round(1092 / 1701, 6)
+    # perfect clustering scores 1.0 on all three
+    perfect = bcubed_metrics(
+        t.withColumnRenamed("entity_key", "entity_id"), t
+    ).first()
+    assert (perfect.bcubed_precision, perfect.bcubed_recall, perfect.bcubed_f1) == (
+        1.0,
+        1.0,
+        1.0,
+    )
