@@ -138,3 +138,31 @@ def frame_sample_plan(media: DataFrame, every_n: int = 5) -> DataFrame:
     return media.select(
         "media_id", "kind", F.explode(frames).alias("frame_idx")
     )
+
+
+def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Image/video resize *plumbing*: aspect-preserving target dimensions
+    computed JVM-side (pure column math — the part that must be right at
+    scale: no payload bytes move until the mapInPandas decode slot), with
+    the pixel transform itself deferred to the same batched decoder stage
+    as ``extract_media_features`` (stubbed in this container, see
+    ``real_decode_stub``). Returns the media frame with
+    (target_width, target_height, scale) columns added; rows already
+    within ``max_side`` carry scale = 1.0."""
+    w = F.coalesce(F.col("meta.width"), F.lit(0))
+    h = F.coalesce(F.col("meta.height"), F.lit(0))
+    longest = F.greatest(w, h)
+    scale = F.when(longest > max_side, F.lit(float(max_side)) / longest).otherwise(
+        F.lit(1.0)
+    )
+    return media.withColumns(
+        {
+            "target_width": F.greatest(
+                F.round(w * scale).cast("int"), F.lit(1)
+            ),
+            "target_height": F.greatest(
+                F.round(h * scale).cast("int"), F.lit(1)
+            ),
+            "scale": F.round(scale, 6),
+        }
+    )
