@@ -1379,10 +1379,13 @@ def q_curation_funnel(spark, sf):
     )
     docs = d.unionByName(_messy_copies(d))
     scrubbed = docs.select("doc_id", scrub_pii("text").alias("text"))
+    # filtered feeds four consumers (exact drop, its anti-join, minhash,
+    # decontam corpus) — checkpoint the boundary so the scan+signals
+    # subtree runs once, not per consumer (the warehouse pipeline gets
+    # this for free from its stage tables)
+    filtered = apply_quality_filter(signals_table(scrubbed)).localCheckpoint()
     kept = remove_contaminated(
-        dedup_corpus(
-            apply_quality_filter(signals_table(scrubbed)), minhash_threshold=1.0
-        ),
+        dedup_corpus(filtered, minhash_threshold=1.0),
         d.filter(F.col("doc_id") < 26).select(
             F.substring("text", 20, 150).alias("text")
         ),
