@@ -74,3 +74,38 @@ def test_bcubed_metrics_hand_computed(spark):
         1.0,
         1.0,
     )
+
+
+def test_bcubed_metrics_matches_bruteforce_on_random_partitions(spark):
+    """Randomized cross-check: B-cubed from the grouped-aggregation plan
+    must equal the textbook per-record definition computed in Python."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = rng.randint(2, 40)
+        ids = list(range(n))
+        cl = {i: rng.randint(0, max(1, n // 4)) for i in ids}
+        tr = {i: rng.randint(0, max(1, n // 5)) for i in ids}
+        from collections import Counter
+
+        csize = Counter(cl.values())
+        ksize = Counter(tr.values())
+        cksize = Counter((cl[i], tr[i]) for i in ids)
+        p = sum(cksize[(cl[i], tr[i])] / csize[cl[i]] for i in ids) / n
+        r = sum(cksize[(cl[i], tr[i])] / ksize[tr[i]] for i in ids) / n
+        f1 = 2 * p * r / (p + r) if p + r else 0.0
+
+        from record_linkage_spark.operators.evaluate import bcubed_metrics
+
+        a = spark.createDataFrame(
+            [(i, str(cl[i])) for i in ids], "conv_id long, entity_id string"
+        )
+        t = spark.createDataFrame(
+            [(i, str(tr[i])) for i in ids], "conv_id long, entity_key string"
+        )
+        got = bcubed_metrics(a, t).first()
+        assert got.n_records == n, trial
+        assert abs(got.bcubed_precision - p) < 1e-6, trial
+        assert abs(got.bcubed_recall - r) < 1e-6, trial
+        assert abs(got.bcubed_f1 - f1) < 1e-6, trial
