@@ -140,3 +140,84 @@ def stream_link(
         .trigger(availableNow=True)
         .start()
     )
+
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
+
+def stream_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    corpus_dir: str,
+    dups_dir: str,
+    checkpoint_dir: str,
+    jaccard_threshold: float = 0.8,
+):
+    """Continuous corpus dedup: new document files -> per-batch MinHash
+    scan against the ACCUMULATED corpus (``minhash_cross_duplicates``)
+    plus a within-batch self-scan -> flagged (new_id, dup_of, jaccard)
+    rows appended to ``dups_dir``; only unflagged survivors append to
+    ``corpus_dir``, so later batches dedup against everything kept so
+    far. The 100 TB shape is the batch operators': nothing here assumes
+    either side is small, and per-batch work is batch x touched-buckets,
+    not batch x corpus. Returns the StreamingQuery.
+
+    (In production the corpus side would keep a persisted signature
+    table instead of re-shingling — the same upgrade the incremental
+    linkage path documents for its profile base.)"""
+    from record_linkage_spark.operators.dedup import (
+        minhash_cross_duplicates,
+        minhash_near_duplicates,
+    )
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.dropDuplicates(["doc_id"]).localCheckpoint()
+        # within-batch: canonical pairs, larger id is the duplicate
+        self_dups = minhash_near_duplicates(
+            batch, jaccard_threshold=jaccard_threshold
+        ).select(
+            F.col("id_B").alias("new_id"),
+            F.col("id_A").alias("dup_of"),
+            "jaccard",
+        )
+        if os.path.exists(corpus_dir):
+            base = spark.read.schema(DOC_SCHEMA).parquet(corpus_dir)
+            cross = minhash_cross_duplicates(
+                batch, base, jaccard_threshold=jaccard_threshold
+            ).select(
+                F.col("corpus_id").alias("new_id"),
+                F.col("reference_id").alias("dup_of"),
+                "jaccard",
+            )
+            dups = self_dups.unionByName(cross)
+        else:
+            dups = self_dups
+        dups = dups.localCheckpoint()
+        dups.write.mode("append").parquet(dups_dir)
+        survivors = batch.join(
+            dups.select(F.col("new_id").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        )
+        survivors.write.mode("append").parquet(corpus_dir)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -48,3 +48,40 @@ def test_windowed_turn_counts_memory_sink(spark, tmp_path):
     q.awaitTermination(120)
     res = spark.sql("SELECT sum(n_turns) AS n FROM turn_counts").first()
     assert res.n == t.count()
+
+
+def test_stream_dedup_accumulates_and_flags(spark, tmp_path):
+    """Two availableNow runs sharing a checkpoint: run 2 must flag a copy
+    of a run-1 corpus doc (cross-scan against the accumulated corpus) and
+    an in-batch copy, and append only genuine survivors to the corpus."""
+    from record_linkage_spark.streaming.incremental import DOC_SCHEMA, stream_dedup
+
+    inp, corpus, dups, ckpt = (
+        str(tmp_path / d) for d in ("in", "corpus", "dups", "ckpt")
+    )
+    t1 = "the first unique document about distributed joins and shuffle planning in spark"
+    t2 = "a second unique document describing watermark semantics for late arriving events"
+    t3 = "a third document with completely different content about tokenizer vocabularies"
+
+    def put(rows):
+        # append part files into the flat source dir; the next availableNow
+        # run picks up exactly the files the checkpoint hasn't seen
+        spark.createDataFrame(rows, DOC_SCHEMA).write.mode("append").parquet(inp)
+
+    put([("a1", t1), ("b1", t2)])
+    q = stream_dedup(spark, inp, corpus, dups, ckpt)
+    q.awaitTermination(120)
+    got1 = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert got1 == {"a1", "b1"}
+
+    # run 2: c1 copies corpus doc a1; d1 is new; e1 copies d1 in-batch
+    put([("c1", t1), ("d1", t3), ("e1", t3)])
+    q = stream_dedup(spark, inp, corpus, dups, ckpt)
+    q.awaitTermination(120)
+
+    flagged = {(r.new_id, r.dup_of) for r in spark.read.parquet(dups).collect()}
+    assert ("c1", "a1") in flagged  # cross-run duplicate caught
+    assert ("e1", "d1") in flagged  # within-batch duplicate caught
+    assert all(nid in {"c1", "e1"} for nid, _ in flagged)
+    got2 = {r.doc_id for r in spark.read.parquet(corpus).collect()}
+    assert got2 == {"a1", "b1", "d1"}  # only the genuine survivor joined
