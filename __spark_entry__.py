@@ -941,6 +941,38 @@ def q_rl_streaming_rollup(spark, sf):
     )
 
 
+def q_rl_stream_dedup(spark, sf):
+    """Streaming corpus dedup end-to-end: documents (plus planted messy
+    copies) land as two file batches; batch 2's copies must be flagged
+    against the corpus batch 1 accumulated. Returns the flagged
+    (new_id, dup_of) pairs — deterministic because the copies normalize
+    to exact shingle-set matches (tau=1.0 logic, see minhash_exactset)."""
+    import tempfile
+
+    from record_linkage_spark.streaming.incremental import DOC_SCHEMA, stream_dedup
+
+    root = tempfile.mkdtemp(prefix="rl_sdedup_")
+    in_dir, corpus, dups, ckpt = (
+        f"{root}/in", f"{root}/corpus", f"{root}/dups", f"{root}/ckpt"
+    )
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    d.write.mode("append").parquet(in_dir)
+    q = stream_dedup(spark, in_dir, corpus, dups, ckpt, jaccard_threshold=1.0)
+    q.awaitTermination()
+    _messy_copies(
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    ).select(F.col("doc_id").cast("string").alias("doc_id"), "text").write.mode(
+        "append"
+    ).parquet(in_dir)
+    q = stream_dedup(spark, in_dir, corpus, dups, ckpt, jaccard_threshold=1.0)
+    q.awaitTermination()
+    return spark.read.parquet(dups).select(
+        "new_id", "dup_of", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def q_rl_stateful_summaries(spark, sf):
     """applyInPandasWithState custom stateful operator: per-conversation
     running summaries over a transcript stream (update mode)."""
@@ -1503,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rl_ivf_topk": q_rl_ivf_topk,
         "rl_embedding_neardup": q_rl_embedding_neardup,
         "rl_streaming_rollup": q_rl_streaming_rollup,
+        "rl_stream_dedup": q_rl_stream_dedup,
         "rl_stateful_summaries": q_rl_stateful_summaries,
         "rl_multimodal_features": q_rl_multimodal_features,
         "rl_fingerprint": q_rl_fingerprint,
