@@ -179,12 +179,19 @@ class CurationPipeline:
             os.path.join(self.sf_dir, "documents.parquet")
         ).select("doc_id", "text")
 
+    benchmark_path: str | None = None  # optional parquet of benchmark docs
+
     def _benchmark(self, docs: DataFrame) -> DataFrame:
-        """Benchmark suite to decontaminate against. Without a provided
-        one, a deterministic hash-slice of the corpus stands in (it is
+        """Benchmark suite to decontaminate against: an explicit frame, a
+        parquet path (``benchmark_path`` / CLI --benchmark-parquet), or —
+        failing both — a deterministic hash-slice of the corpus (it is
         guaranteed to overlap, which exercises the removal path)."""
         if self._benchmark_df is not None:
             return self._benchmark_df.select("doc_id", "text")
+        if self.benchmark_path:
+            return self.spark.read.parquet(self.benchmark_path).select(
+                "doc_id", "text"
+            )
         return docs.filter(F.pmod(F.xxhash64(F.lit(13), "doc_id"), 97) == 0)
 
     def run(self, resume: bool = True) -> dict:
@@ -250,7 +257,9 @@ class CurationPipeline:
                 min_shared_grams=self.min_shared_grams,
             ),
             self._cfg(
-                ngram=self.decontam_ngram, min_shared=self.min_shared_grams
+                ngram=self.decontam_ngram,
+                min_shared=self.min_shared_grams,
+                benchmark=self.benchmark_path,
             ),
             inputs=["deduped", "docs"],
             resume=resume,
@@ -281,6 +290,11 @@ class CurationPipeline:
         n0 = counts.get("docs") or 0
         self.report = {
             "stages": counts,
+            # per-stage write times from lineage (resumed stages carry the
+            # ORIGINAL run's time, so a resume run reports honest costs)
+            "stage_seconds": {
+                s: (wh.lineage(s) or {}).get("write_seconds") for s in STAGES
+            },
             "removed": {
                 "scrub_null": _delta(counts, "docs", "scrubbed"),
                 "quality_filter": _delta(counts, "signals", "filtered"),
@@ -324,6 +338,11 @@ def main() -> None:
     ap.add_argument("--quota", type=int, default=1000)
     ap.add_argument("--pack-budget", type=int, default=2048)
     ap.add_argument("--minhash-threshold", type=float, default=0.8)
+    ap.add_argument(
+        "--benchmark-parquet",
+        default=None,
+        help="parquet of (doc_id, text) benchmark docs to decontaminate against",
+    )
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
@@ -338,6 +357,7 @@ def main() -> None:
         pack_budget=args.pack_budget,
         minhash_threshold=args.minhash_threshold,
     )
+    pipe.benchmark_path = args.benchmark_parquet
     report = pipe.run(resume=not args.no_resume)
     print(json.dumps(report, indent=2))
 
