@@ -955,9 +955,11 @@ def q_rl_stream_dedup(spark, sf):
     in_dir, corpus, dups, ckpt = (
         f"{root}/in", f"{root}/corpus", f"{root}/dups", f"{root}/ckpt"
     )
-    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull()).select(
-        F.col("doc_id").cast("string").alias("doc_id"), "text"
-    )
+    # 200-doc slice keeps the entry cheap; the planted copies (doc_id<60)
+    # all land inside it
+    d = _t(spark, sf, "documents").filter(
+        F.col("text").isNotNull() & (F.col("doc_id") < 200)
+    ).select(F.col("doc_id").cast("string").alias("doc_id"), "text")
     d.write.mode("append").parquet(in_dir)
     q = stream_dedup(spark, in_dir, corpus, dups, ckpt, jaccard_threshold=1.0)
     q.awaitTermination()
