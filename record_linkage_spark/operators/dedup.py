@@ -249,6 +249,7 @@ def minhash_near_duplicates(
     num_bands: int = 8,
     jaccard_threshold: float = 0.7,
     pair_predicate=None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: shingle -> minhash -> band -> bucket
     self-join -> true-Jaccard verification. Returns (id_A, id_B, jaccard).
@@ -257,23 +258,33 @@ def minhash_near_duplicates(
     filter applied right after the bucket join, BEFORE the estimator
     pre-filter and exact verification — candidates it rejects never pay
     signature comparison or re-shingling (used by
-    ``minhash_cross_duplicates`` to drop same-source pairs early)."""
-    rows_per_band = num_hashes // num_bands
-    kernel = minhash_signature_kernel(ngram, num_hashes)
-    sig = (
-        _ensure_parallelism(docs)
-        .select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
-        .select("doc_id", "_text", kernel(F.col("_text")).alias("sig"))
-        .filter(F.col("sig").isNotNull())
-    )
+    ``minhash_cross_duplicates`` to drop same-source pairs early).
 
-    # sig is read by both band-join sides and the verification hydration —
-    # localCheckpoint so the Arrow kernel runs once per row (at warehouse
-    # scale this would be a checkpointed stage table instead). Not cache():
-    # cached blocks pin executor storage until an explicit unpersist, which
-    # no caller of this lazy result could reliably issue; localCheckpoint
-    # blocks are released by the ContextCleaner when the result is dropped.
-    sig = sig.localCheckpoint()
+    ``signatures``: optional precomputed ``(doc_id, _text, sig)`` frame
+    (a MATERIALIZED one — checkpoint/parquet — the caller already paid
+    the kernel for, e.g. the streaming path which also persists the
+    signatures). Must use the same ngram/num_hashes parameters."""
+    rows_per_band = num_hashes // num_bands
+    if signatures is not None:
+        sig = signatures.select("doc_id", "_text", "sig").filter(
+            F.col("sig").isNotNull()
+        )
+    else:
+        kernel = minhash_signature_kernel(ngram, num_hashes)
+        sig = (
+            _ensure_parallelism(docs)
+            .select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+            .select("doc_id", "_text", kernel(F.col("_text")).alias("sig"))
+            .filter(F.col("sig").isNotNull())
+        )
+        # sig is read by both band-join sides and the verification
+        # hydration — localCheckpoint so the Arrow kernel runs once per row
+        # (at warehouse scale this would be a checkpointed stage table
+        # instead). Not cache(): cached blocks pin executor storage until an
+        # explicit unpersist, which no caller of this lazy result could
+        # reliably issue; localCheckpoint blocks are released by the
+        # ContextCleaner when the result is dropped.
+        sig = sig.localCheckpoint()
 
     # bucket join carries ONLY (doc_id, sig) — never the shingle arrays;
     # at corpus scale the shuffle payload is 32 longs per row, not the text
@@ -324,6 +335,57 @@ def minhash_near_duplicates(
         pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_A", "id_B", "jaccard")
+    )
+
+
+def minhash_band_rows(
+    signatures: DataFrame, num_bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """``(doc_id, sig)`` -> exploded ``(doc_id, bucket, sig)`` band rows —
+    the persistable signature-table layout for incremental/streaming
+    dedup: append survivors' band rows each batch and later batches join
+    new-batch buckets against the table instead of re-shingling the
+    accumulated corpus."""
+    return signatures.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            minhash_bands(F.col("sig"), num_bands, rows_per_band)
+        ).alias("bucket"),
+    )
+
+
+def minhash_cross_from_bands(
+    new_bands: DataFrame,
+    base_bands: DataFrame,
+    num_hashes: int = 32,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """New-batch banded signatures x persisted signature table ->
+    ``(new_id, dup_of, jaccard)`` near-dup pairs WITHOUT touching the base
+    corpus text: candidates come from the band-bucket equality join and
+    verification is the unbiased ``num_hashes``-sample MinHash Jaccard
+    estimate (exact at threshold 1.0 — identical shingle sets give
+    identical signatures, and full signature agreement at tau=1.0 admits
+    exactly the identical-set pairs; at lower thresholds it is the
+    standard LSH estimator, tightened by raising ``num_hashes``).
+
+    Scale shape: only (doc_id, bucket, 32 longs) rows move; per-batch
+    work is batch x touched-buckets, independent of corpus size."""
+    a = new_bands.select(
+        "bucket", F.col("doc_id").alias("new_id"), F.col("sig").alias("sig_A")
+    )
+    b = base_bands.select(
+        "bucket", F.col("doc_id").alias("dup_of"), F.col("sig").alias("sig_B")
+    )
+    cand = a.join(b, "bucket").dropDuplicates(["new_id", "dup_of"])
+    agree = F.size(
+        F.filter(F.zip_with("sig_A", "sig_B", lambda x, y: x == y), lambda v: v)
+    )
+    return (
+        cand.withColumn("jaccard", agree / F.lit(float(num_hashes)))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("new_id", "dup_of", "jaccard")
     )
 
 

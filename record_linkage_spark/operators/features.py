@@ -67,8 +67,17 @@ FEATURE_NAMES = [
 ]
 
 
-def add_features(pairs: DataFrame) -> DataFrame:
-    """Hydrated pair table -> + per-feature columns + ``features`` array."""
+def add_features(
+    pairs: DataFrame,
+    token_set_cols: tuple[str, str] = ("token_hash_set_A", "token_hash_set_B"),
+) -> DataFrame:
+    """Hydrated pair table -> + per-feature columns + ``features`` array.
+
+    ``token_set_cols``: the pair columns the ``jac_tokens`` feature reads.
+    Default is the profile's xxhash token-hash set (cheapest shuffle
+    payload); pass plain string-token-set columns for the SQL-portable
+    variant (identical Jaccard value on deduplicated inputs — only the
+    set representation differs)."""
     jw_first = jaro_winkler_pairs(F.col("first_text_norm_A"), F.col("first_text_norm_B"))
     jw_last = jaro_winkler_pairs(F.col("last_text_norm_A"), F.col("last_text_norm_B"))
     df = pairs.withColumn("_jw_first", jw_first).withColumn("_jw_last", jw_last)
@@ -105,7 +114,7 @@ def add_features(pairs: DataFrame) -> DataFrame:
             2.0,
         ),
         "lev_prefix": levenshtein_sim("token_prefix_A", "token_prefix_B"),
-        "jac_tokens": token_jaccard_sets("token_hash_set_A", "token_hash_set_B"),
+        "jac_tokens": token_jaccard_sets(*token_set_cols),
     }
     for name in FEATURE_NAMES:
         df = df.withColumn(name, feats[name])

@@ -167,6 +167,96 @@ def compare_report(
     return rows
 
 
+def fixed_prediction_report(
+    pairs: DataFrame,
+    models: dict[str, "F.Column"],
+    strategies: tuple[str, ...] = ("B1", "B2"),
+) -> DataFrame:
+    """E3-style report rows for PRE-COMPUTED per-pair predictions — the
+    no-training twin of :func:`compare_report` (reference report shape,
+    ``src/evaluation/compare.py:178-197``), fully expressible as Catalyst
+    conditional aggregates so an external SQL oracle can replay every cell.
+
+    ``pairs``: hydrated labeled pair table (must carry the _A/_B columns
+    each strategy's cascade reads plus whatever the prediction columns
+    reference). ``models``: model name -> boolean/int prediction Column
+    evaluated per pair (e.g. a literal-weight LR score threshold).
+
+    Global metrics overlay candidate predictions onto ALL pairs with
+    pred=0 defaults (J4/A6): a pair predicts positive globally iff it
+    survives the strategy's blocking cascade AND the model fires.
+    One single-row aggregate job per (strategy, model) cell over the
+    shared (caller-materialized) pair table — no per-pair driver work.
+    """
+    from record_linkage_spark.functions.similarity import jaro_winkler_pairs
+    from record_linkage_spark.operators.blocking import STRATEGIES, _key_pair_cols
+
+    df = pairs.withColumn(
+        "_jw_first",
+        jaro_winkler_pairs(F.col("first_text_norm_A"), F.col("first_text_norm_B")),
+    ).withColumn(
+        "_jw_last",
+        jaro_winkler_pairs(F.col("last_text_norm_A"), F.col("last_text_norm_B")),
+    )
+
+    def _in_strategy(strategy: str):
+        spec = STRATEGIES[strategy]
+        cond = F.lit(True)
+        for name in spec["equality"]:
+            a, b = _key_pair_cols(name, df)
+            cond = cond & a.isNotNull() & a.eqNullSafe(b)
+        for colname, thr in spec["jw"]:
+            jw = F.col("_jw_first") if colname == "first_text_norm" else F.col("_jw_last")
+            cond = cond & (jw >= F.lit(thr))
+        for colname in spec["exact"]:
+            cond = cond & F.col(f"{colname}_A").isNotNull() & (
+                F.col(f"{colname}_A") == F.col(f"{colname}_B")
+            )
+        return cond
+
+    out: DataFrame | None = None
+    for strategy in strategies:
+        in_s = _in_strategy(strategy).cast("int")
+        for model_name, pred_col in models.items():
+            gpred = (in_s.cast("boolean") & pred_col.cast("boolean")).cast("int")
+            lbl = F.col("label").cast("int")
+            tp = F.sum(((lbl == 1) & (gpred == 1)).cast("int")).cast("bigint")
+            fp = F.sum(((lbl == 0) & (gpred == 1)).cast("int")).cast("bigint")
+            fn = F.sum(((lbl == 1) & (gpred == 0)).cast("int")).cast("bigint")
+            tn = F.sum(((lbl == 0) & (gpred == 0)).cast("int")).cast("bigint")
+            f1 = F.when(
+                2 * tp + fp + fn > 0, 2 * tp / (2 * tp + fp + fn)
+            ).otherwise(F.lit(0.0))
+            # candidate-restricted confusion: same tp/fp (a global positive
+            # is always a candidate); fn/tn only count blocked-in pairs
+            fn_c = F.sum(((lbl == 1) & (in_s == 1) & (gpred == 0)).cast("int")).cast("bigint")
+            f1_c = F.when(
+                2 * tp + fp + fn_c > 0, 2 * tp / (2 * tp + fp + fn_c)
+            ).otherwise(F.lit(0.0))
+            pos = F.sum(lbl)
+            rec = F.when(
+                pos > 0, F.sum(((lbl == 1) & (in_s == 1)).cast("int")) / pos
+            ).otherwise(F.lit(0.0))
+            row = df.agg(
+                F.round(rec, 6).alias("blocking_recall"),
+                F.count("*").cast("bigint").alias("n_test_pairs"),
+                F.sum(in_s).cast("bigint").alias("n_candidates"),
+                tp.alias("tp"),
+                fp.alias("fp"),
+                fn.alias("fn"),
+                tn.alias("tn"),
+                F.round(f1, 6).alias("f1_global"),
+                F.round(f1_c, 6).alias("f1_candidates"),
+            ).select(
+                F.lit(strategy).alias("strategy"),
+                F.lit(model_name).alias("model"),
+                "blocking_recall", "n_test_pairs", "n_candidates",
+                "tp", "fp", "fn", "tn", "f1_global", "f1_candidates",
+            )
+            out = row if out is None else out.unionByName(row)
+    return out
+
+
 def write_report(rows: list[dict], path: str) -> None:
     with open(path, "w") as f:
         json.dump(rows, f, indent=2)

@@ -20,6 +20,18 @@ from pyspark.sql import types as T
 
 from record_linkage_spark.operators.rollup import rollup_conversations
 
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe through the Hadoop FileSystem API — works on any
+    configured filesystem (HDFS/S3A/local), unlike driver-local
+    ``os.path.exists`` which silently answers for the wrong filesystem on
+    a real cluster."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
 TRANSCRIPT_SCHEMA = T.StructType(
     [
         T.StructField("conv_id", T.StringType(), False),
@@ -56,7 +68,7 @@ def stream_profiles(
         if batch_df.isEmpty():
             return
         turns = batch_df
-        if history_dir and os.path.exists(history_dir):
+        if history_dir and _fs_exists(spark, history_dir):
             hist = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(history_dir)
             touched = batch_df.select("conv_id").distinct()
             turns = (
@@ -104,9 +116,15 @@ def stream_link(
 ):
     """Incremental linkage stream: new transcript files -> per-batch
     rollup -> blocked+scored against the stored profile base
-    (operators.incremental_link) -> match edges appended to
-    ``matches_dir``; the new profiles are appended to the base so later
-    batches link against them too. Returns the StreamingQuery."""
+    (operators.incremental_link) -> match edges land in ``matches_dir``;
+    the new profiles join the base so later batches link against them
+    too. Returns the StreamingQuery.
+
+    Sinks are idempotent per epoch (``epoch=<id>`` subdirectories written
+    with overwrite); seed an initial profile base under a reserved
+    partition (e.g. ``epoch=-1``) so the directory layout stays
+    consistently partitioned. On a warehouse deployment both writes
+    become Iceberg MERGE/append with the same epoch key."""
     from record_linkage_spark.operators.incremental_link import (
         HYDRATE_COLS,
         link_increment,
@@ -123,15 +141,25 @@ def stream_link(
             return
         new_profiles = rollup_conversations(batch_df).drop("turns").localCheckpoint()
         cols = ["conv_id", *HYDRATE_COLS]
-        if os.path.exists(base_profiles_dir):
-            base = spark.read.parquet(base_profiles_dir).select(*cols)
+        if _fs_exists(spark, base_profiles_dir):
+            base = spark.read.parquet(base_profiles_dir)
+            if "epoch" in base.columns:
+                # exclude this epoch's own rows: a retried micro-batch that
+                # crashed after the profile write must not link against
+                # itself (partition pruning makes the exclusion free)
+                base = base.filter(F.col("epoch") != epoch_id)
+            base = base.select(*cols)
         else:
             base = new_profiles.select(*cols).limit(0)
         edges = link_increment(
             new_profiles.select(*cols), base, model, strategy
         ).filter(F.col("pred") == 1)
-        edges.write.mode("append").parquet(matches_dir)
-        new_profiles.select(*cols).write.mode("append").parquet(base_profiles_dir)
+        # epoch-keyed overwrite: retries replace their own partial output
+        # instead of double-appending (exactly-once foreachBatch pattern)
+        edges.write.mode("overwrite").parquet(f"{matches_dir}/epoch={epoch_id}")
+        new_profiles.select(*cols).write.mode("overwrite").parquet(
+            f"{base_profiles_dir}/epoch={epoch_id}"
+        )
 
     return (
         stream.writeStream.outputMode("append")
@@ -157,23 +185,42 @@ def stream_dedup(
     dups_dir: str,
     checkpoint_dir: str,
     jaccard_threshold: float = 0.8,
+    sig_dir: str | None = None,
+    ngram: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 8,
 ):
     """Continuous corpus dedup: new document files -> per-batch MinHash
-    scan against the ACCUMULATED corpus (``minhash_cross_duplicates``)
-    plus a within-batch self-scan -> flagged (new_id, dup_of, jaccard)
-    rows appended to ``dups_dir``; only unflagged survivors append to
-    ``corpus_dir``, so later batches dedup against everything kept so
-    far. The 100 TB shape is the batch operators': nothing here assumes
-    either side is small, and per-batch work is batch x touched-buckets,
-    not batch x corpus. Returns the StreamingQuery.
+    scan against the accumulated corpus plus a within-batch self-scan ->
+    flagged (new_id, dup_of, jaccard) rows land in ``dups_dir``; only
+    unflagged survivors land in ``corpus_dir``, so later batches dedup
+    against everything kept so far. Returns the StreamingQuery.
 
-    (In production the corpus side would keep a persisted signature
-    table instead of re-shingling — the same upgrade the incremental
-    linkage path documents for its profile base.)"""
+    Scale shape: survivors' banded signatures ``(doc_id, bucket, sig)``
+    are PERSISTED to ``sig_dir`` each epoch, and the cross-corpus scan
+    joins the new batch's band rows against that table — the accumulated
+    corpus text is never re-read or re-shingled, so per-batch cost is
+    batch x touched-buckets regardless of corpus size. Cross-side
+    verification is the ``num_hashes``-sample MinHash estimate (exact at
+    tau=1.0, see ``minhash_cross_from_bands``); within-batch pairs get
+    exact-Jaccard verification (the batch text is at hand).
+
+    Idempotent sinks: every output lands in an ``epoch=<id>``
+    subdirectory written with overwrite — a retried micro-batch replaces
+    its own partial output instead of double-appending, and the
+    signature-table read excludes the current epoch so a retry never
+    flags its own first attempt as a duplicate. Existence probes use the
+    Hadoop FileSystem API (never driver-local ``os.path``)."""
     from record_linkage_spark.operators.dedup import (
-        minhash_cross_duplicates,
+        minhash_band_rows,
+        minhash_cross_from_bands,
         minhash_near_duplicates,
+        minhash_signature_kernel,
     )
+
+    sig_dir = sig_dir or corpus_dir.rstrip("/") + "_sigs"
+    rows_per_band = num_hashes // num_bands
+    kernel = minhash_signature_kernel(ngram, num_hashes)
 
     stream = (
         spark.readStream.schema(DOC_SCHEMA)
@@ -185,34 +232,53 @@ def stream_dedup(
         if batch_df.isEmpty():
             return
         batch = batch_df.dropDuplicates(["doc_id"]).localCheckpoint()
+        # one kernel pass per batch: the same materialized signatures feed
+        # the within-batch scan, the cross scan, and the persisted table
+        sigs = (
+            batch.select("doc_id", F.col("text").alias("_text"))
+            .withColumn("sig", kernel(F.col("_text")))
+            .filter(F.col("sig").isNotNull())
+            .localCheckpoint()
+        )
         # within-batch: canonical pairs, larger id is the duplicate
         self_dups = minhash_near_duplicates(
-            batch, jaccard_threshold=jaccard_threshold
+            batch,
+            jaccard_threshold=jaccard_threshold,
+            num_hashes=num_hashes,
+            num_bands=num_bands,
+            ngram=ngram,
+            signatures=sigs,
         ).select(
             F.col("id_B").alias("new_id"),
             F.col("id_A").alias("dup_of"),
             "jaccard",
         )
-        if os.path.exists(corpus_dir):
-            base = spark.read.schema(DOC_SCHEMA).parquet(corpus_dir)
-            cross = minhash_cross_duplicates(
-                batch, base, jaccard_threshold=jaccard_threshold
-            ).select(
-                F.col("corpus_id").alias("new_id"),
-                F.col("reference_id").alias("dup_of"),
-                "jaccard",
+        banded = minhash_band_rows(
+            sigs.select("doc_id", "sig"), num_bands, rows_per_band
+        ).localCheckpoint()
+        if _fs_exists(spark, sig_dir):
+            base_bands = (
+                spark.read.parquet(sig_dir)
+                .filter(F.col("epoch") != epoch_id)
+                .select("doc_id", "bucket", "sig")
+            )
+            cross = minhash_cross_from_bands(
+                banded, base_bands, num_hashes, jaccard_threshold
             )
             dups = self_dups.unionByName(cross)
         else:
             dups = self_dups
         dups = dups.localCheckpoint()
-        dups.write.mode("append").parquet(dups_dir)
+        dups.write.mode("overwrite").parquet(f"{dups_dir}/epoch={epoch_id}")
         survivors = batch.join(
             dups.select(F.col("new_id").alias("doc_id")).distinct(),
             "doc_id",
             "left_anti",
-        )
-        survivors.write.mode("append").parquet(corpus_dir)
+        ).localCheckpoint()
+        survivors.write.mode("overwrite").parquet(f"{corpus_dir}/epoch={epoch_id}")
+        banded.join(
+            survivors.select("doc_id"), "doc_id", "left_semi"
+        ).write.mode("overwrite").parquet(f"{sig_dir}/epoch={epoch_id}")
 
     return (
         stream.writeStream.outputMode("append")

@@ -77,9 +77,11 @@ def test_stream_link_end_to_end(spark, tmp_path):
     raw = transcripts_table(generate_transcripts(spark, n_entities=60, dup_rate=1.8))
     is_new = F.substring("conv_id", 1, 8).cast("int") >= 40
     base_dir = str(tmp_path / "base")
+    # seed under a reserved epoch partition so the stream's epoch-keyed
+    # appends keep the directory layout consistently partitioned
     rollup_conversations(raw.filter(~is_new)).drop("turns").select(
         "conv_id", *HYDRATE_COLS
-    ).write.parquet(base_dir)
+    ).write.parquet(base_dir + "/epoch=-1")
     in_dir = str(tmp_path / "in")
     raw.filter(is_new).write.parquet(in_dir)
 

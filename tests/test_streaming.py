@@ -85,3 +85,40 @@ def test_stream_dedup_accumulates_and_flags(spark, tmp_path):
     assert all(nid in {"c1", "e1"} for nid, _ in flagged)
     got2 = {r.doc_id for r in spark.read.parquet(corpus).collect()}
     assert got2 == {"a1", "b1", "d1"}  # only the genuine survivor joined
+
+
+def test_stream_dedup_never_rereads_corpus_text(spark, tmp_path):
+    """The cross-corpus scan must run off the persisted signature table
+    alone: delete the accumulated corpus TEXT between batches and the next
+    batch still flags duplicates of batch-1 docs. (Round-2 weakness: the
+    old implementation re-read and re-shingled corpus_dir every batch —
+    O(corpus) per batch at 100 TB.)"""
+    import shutil
+
+    from record_linkage_spark.streaming.incremental import DOC_SCHEMA, stream_dedup
+
+    inp, corpus, dups, ckpt = (
+        str(tmp_path / d) for d in ("in", "corpus", "dups", "ckpt")
+    )
+    t1 = "an original reference document about salted self joins and skew handling"
+
+    def put(rows):
+        spark.createDataFrame(rows, DOC_SCHEMA).write.mode("append").parquet(inp)
+
+    put([("a1", t1)])
+    q = stream_dedup(spark, inp, corpus, dups, ckpt)
+    q.awaitTermination(120)
+
+    # corpus text gone; only the signature table remains
+    shutil.rmtree(corpus)
+    assert spark.read.parquet(corpus + "_sigs").count() > 0
+
+    put([("z1", t1)])
+    q = stream_dedup(spark, inp, corpus, dups, ckpt)
+    q.awaitTermination(120)
+
+    flagged = {(r.new_id, r.dup_of) for r in spark.read.parquet(dups).collect()}
+    assert ("z1", "a1") in flagged
+    # and the duplicate never entered the signature table
+    sig_ids = {r.doc_id for r in spark.read.parquet(corpus + "_sigs").collect()}
+    assert "z1" not in sig_ids and "a1" in sig_ids
