@@ -96,9 +96,17 @@ def apply_quality_filter(
 
 def dedup_corpus(filtered: DataFrame, minhash_threshold: float = 0.8) -> DataFrame:
     """Exact (md5 groupBy) then MinHash-LSH near-dup removal. Drop
-    policy: a doc goes iff some kept doc with a smaller id duplicates it
-    — pairs are canonical id_A < id_B, so the drop set is distinct(id_B)
-    ∪ exploded dup_ids; both removals are left_anti joins on doc_id (the
+    policy: a doc goes iff ANY smaller-id doc (kept or itself dropped)
+    duplicates it — pairs are canonical id_A < id_B and the drop set is
+    distinct(id_B) ∪ exploded dup_ids. In a non-transitive chain
+    (a~b, b~c, a!~c below threshold < 1.0) c is therefore dropped even
+    though its only smaller-id duplicate b was dropped too: the policy
+    trades a little over-removal for a single-pass plan (the
+    keep-one-representative-per-component alternative is
+    ``connected_components`` over the pair graph — use
+    ``operators.clustering.assign_entities`` when that semantics is
+    required). At threshold 1.0 duplication is transitive and the two
+    policies coincide. Both removals are left_anti joins on doc_id (the
     drop side is the small one, the payload never reshuffles)."""
     exact_drop = (
         exact_duplicates(filtered)
@@ -283,6 +291,16 @@ class CurationPipeline:
             resume=resume,
         )
 
+        # corpus length profile (approx_percentile — the mergeable-sketch
+        # production path; bounded memory at any corpus size): the summary
+        # an operator reads before tuning the min/max-token cutoffs above
+        from record_linkage_spark.operators.text_analysis import length_quantiles
+
+        lq = {
+            f"p{int(r.p * 100)}": r.n_chars_q
+            for r in length_quantiles(scrubbed, exact=False).collect()
+        }
+
         # funnel report from lineage row counts — zero extra Spark jobs
         counts = {
             s: (wh.lineage(s) or {}).get("row_count") for s in STAGES
@@ -290,6 +308,7 @@ class CurationPipeline:
         n0 = counts.get("docs") or 0
         self.report = {
             "stages": counts,
+            "length_quantiles_chars": lq,
             # per-stage write times from lineage (resumed stages carry the
             # ORIGINAL run's time, so a resume run reports honest costs)
             "stage_seconds": {

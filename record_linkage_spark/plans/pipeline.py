@@ -206,10 +206,15 @@ class LinkagePipeline:
             gt.select("id_A", "id_B", "label"), scored.select("id_A", "id_B", "pred")
         )
         # extrinsic cluster quality vs the hidden entity keys (B-cubed —
-        # pairwise F1 above over-weights big clusters; this doesn't)
+        # pairwise F1 above over-weights big clusters; this doesn't).
+        # validate_keys first, matching build_ground_truth's key handling:
+        # synth keys with corrupted check digits would otherwise split an
+        # entity into two truth classes and understate precision/recall
+        # even for a perfect clustering
         from record_linkage_spark.operators.evaluate import bcubed_metrics
+        from record_linkage_spark.operators.ground_truth import validate_keys
 
-        bc = bcubed_metrics(clusters, keys).first().asDict()
+        bc = bcubed_metrics(clusters, validate_keys(keys)).first().asDict()
         self.report = {
             "strategy": self.strategy,
             "blocking": bm,

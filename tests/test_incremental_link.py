@@ -62,6 +62,99 @@ def test_link_increment_scores_and_flags(spark):
     assert any(r.pred == 1 for r in out)  # duplicates of new entities match
 
 
+def test_link_increment_after_updates_and_deletes(spark):
+    """Mutated-base maintenance (the Iceberg MERGE reality at 100 TB):
+    conversations get DELETED and UPDATED, not just appended. Re-linking
+    only the touched conversations and patching the match-edge table
+    (drop edges touching deleted/updated ids, add the increment's edges)
+    must equal a full batch rerun on the mutated corpus — and rewritten
+    conversations must actually change entity assignment."""
+    from record_linkage_spark.operators.blocking import candidate_pairs
+    from record_linkage_spark.operators.classifier import LinearModel, score_pairs
+    from record_linkage_spark.operators.clustering import assign_entities
+    from record_linkage_spark.operators.features import add_features
+    from record_linkage_spark.operators.ground_truth import hydrate_pairs
+    from record_linkage_spark.operators.incremental_link import (
+        HYDRATE_COLS,
+        link_increment,
+    )
+    from record_linkage_spark.operators.rollup import rollup_conversations
+    from record_linkage_spark.synth.transcripts import (
+        generate_transcripts,
+        transcripts_table,
+    )
+
+    model = LinearModel(
+        weights=[2.0, 1.0, 1.5, 0.8, 0.6, 0.3, 0.5, 1.2, 0.4, 0.3, 0.8, 0.8, 0.8, 0.4, 1.0, 2.0],
+        intercept=-6.0,
+        threshold=0.5,
+    )
+    cols = ["conv_id", *HYDRATE_COLS]
+
+    def batch_edges(profiles):
+        cands = candidate_pairs(profiles, "B1").select("id_A", "id_B")
+        scored = score_pairs(add_features(hydrate_pairs(cands, profiles, HYDRATE_COLS)), model)
+        return {
+            (r.id_A, r.id_B)
+            for r in scored.filter(F.col("pred") == 1).select("id_A", "id_B").collect()
+        }
+
+    raw = transcripts_table(
+        generate_transcripts(spark, n_entities=60, dup_rate=1.8)
+    ).localCheckpoint()
+    ent = F.substring("conv_id", 1, 8).cast("int")
+    profiles0 = rollup_conversations(raw).select(*cols).localCheckpoint()
+    edges0 = batch_edges(profiles0)
+
+    # mutate: DELETE entities < 5, REWRITE the text of entities >= 45
+    raw2 = (
+        raw.filter(ent >= 5)
+        .withColumn(
+            "text",
+            F.when(
+                ent >= 45,
+                # per-conv divergent gibberish (md5-derived) so former
+                # duplicates no longer block or score together
+                F.concat_ws(
+                    " ",
+                    F.md5(F.col("conv_id")),
+                    F.md5(F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string"))),
+                ),
+            ).otherwise(F.col("text")),
+        )
+        .localCheckpoint()
+    )
+    profiles2 = rollup_conversations(raw2).select(*cols).localCheckpoint()
+    full2 = batch_edges(profiles2)
+
+    touched = {r.conv_id for r in profiles2.filter(ent >= 45).select("conv_id").collect()}
+    deleted = {r.conv_id for r in profiles0.filter(ent < 5).select("conv_id").collect()}
+    inc = link_increment(
+        profiles2.filter(ent >= 45), profiles2.filter(ent < 45), model
+    )
+    inc_edges = {
+        (r.id_A, r.id_B) for r in inc.filter(F.col("pred") == 1).collect()
+    }
+    maintained = {
+        e for e in edges0 if not (set(e) & (touched | deleted))
+    } | inc_edges
+    assert maintained == full2
+
+    # the rewrite must have severed at least one former duplicate edge …
+    lost = {e for e in edges0 if set(e) & touched} - full2
+    assert lost
+    # … and the severed pair lands in different entities after re-clustering
+    edges_df = spark.createDataFrame(
+        sorted(full2), "src string, dst string"
+    )
+    assign = {
+        r.conv_id: r.entity_id
+        for r in assign_entities(profiles2.select("conv_id"), edges_df).collect()
+    }
+    a, b = next(iter(lost))
+    assert assign[a] != assign[b]
+
+
 def test_stream_link_end_to_end(spark, tmp_path):
     """foreachBatch incremental linkage: base profiles seeded, a second
     wave of transcript files streams in, match edges land in the sink."""
