@@ -791,7 +791,7 @@ def q_rl_compare_report(spark, sf):
     from record_linkage_spark.operators.ground_truth import build_ground_truth
     from record_linkage_spark.plans.compare import compare_report
 
-    profiles, keys = _synth_profiles_keys(spark, n_entities=120)
+    profiles, keys = _synth_profiles_keys(spark, n_entities=100)
     gt = build_ground_truth(profiles, keys)
     rows = compare_report(gt, profiles)
     stable = [
