@@ -214,3 +214,83 @@ def assign_entities(
         .join(cc, "conv_id", "left")
         .withColumn("entity_id", F.coalesce("entity_id", "conv_id"))
     )
+
+
+def incremental_components(
+    assignments: DataFrame,
+    new_edges: DataFrame,
+    id_col: str = "conv_id",
+    cluster_col: str = "entity_id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fold NEW match edges (e.g. from ``link_increment``) into an
+    existing (record -> entity) assignment without re-running connected
+    components over the accumulated edge set.
+
+    At 10^12-turn scale the record graph's full CC is a scheduled batch
+    job; between runs the match table grows by increments whose edges
+    touch a tiny fraction of entities. The maintenance trick is graph
+    CONTRACTION: map each new edge's endpoints to their current entity
+    ids (unseen records stand as their own singleton entity), drop
+    now-internal edges, and run large-star/small-star on the contracted
+    entity-level graph — its size is O(touched entities), independent of
+    corpus size. Records of untouched entities are never reshuffled: the
+    final remap is a broadcast-sized left join of the assignment table
+    against the (touched-entity -> merged-entity) mapping.
+
+    ``entity_id`` stays the component-min record id, so ids are STABLE
+    under increments: an entity's id changes only when its component
+    absorbs a smaller-id member. Result equals the batch rerun
+    ``assign_entities(all_ids, old_edges ∪ new_edges)`` (asserted in
+    tests).
+
+    Returns the updated full assignment (conv_id, entity_id), including
+    rows for edge endpoints the assignment table had never seen."""
+    edges = new_edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    a = assignments.select(
+        F.col(id_col).alias("conv_id"), F.col(cluster_col).alias("entity_id")
+    )
+    # endpoint -> current entity (unseen endpoint -> itself)
+    def ent_of(col: str, out: str) -> DataFrame:
+        return (
+            edges.select(F.col(col).alias("conv_id"))
+            .distinct()
+            .join(a, "conv_id", "left")
+            .select(
+                F.col("conv_id").alias(col),
+                F.coalesce("entity_id", "conv_id").alias(out),
+            )
+        )
+
+    contracted = (
+        edges.join(ent_of("src", "e_src"), "src")
+        .join(ent_of("dst", "e_dst"), "dst")
+        .select("e_src", "e_dst")
+        .filter(F.col("e_src") != F.col("e_dst"))
+    )
+    # merged ids on the contracted graph only (O(touched entities))
+    merged = connected_components(
+        contracted, src_col="e_src", dst_col="e_dst"
+    ).select(
+        F.col("conv_id").alias("entity_id"), F.col("entity_id").alias("_new")
+    )
+    # remap: untouched assignments pass through the left join unchanged;
+    # the mapping side is touched-entities-sized (broadcastable)
+    new_endpoints = (
+        edges.select(F.col("src").alias("conv_id"))
+        .union(edges.select("dst"))
+        .distinct()
+        .join(a, "conv_id", "left_anti")
+        .select("conv_id", F.col("conv_id").alias("entity_id"))
+    )
+    return (
+        a.unionByName(new_endpoints)
+        .join(F.broadcast(merged), "entity_id", "left")
+        .select(
+            "conv_id",
+            F.coalesce("_new", "entity_id").alias("entity_id"),
+        )
+    )

@@ -98,8 +98,10 @@ def link_increment(
 ) -> DataFrame:
     """Score the increment's candidate pairs; returns
     (id_A, id_B, score, pred) — pred==1 rows are the new match edges to
-    append to the match-edge table (connected components then refresh
-    entity ids incrementally or on a schedule)."""
+    append to the match-edge table. Entity ids are then refreshed with
+    ``clustering.incremental_components`` (contracted entity-graph CC —
+    O(touched entities) per increment, full batch CC stays a scheduled
+    job)."""
     cands = increment_candidates(new_profiles, base_profiles, strategy)
     combined = base_profiles.select("conv_id", *HYDRATE_COLS).unionByName(
         new_profiles.select("conv_id", *HYDRATE_COLS)

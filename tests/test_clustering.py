@@ -142,3 +142,74 @@ def test_greedy_agrees_with_cc_on_transitive_free_blocks(spark):
     c["e"] = "e"  # singleton not in any edge
     assert g == {"a": "a", "b": "a", "c": "c", "d": "c", "e": "e"}
     assert {k: v for k, v in c.items()} == g
+
+
+def test_incremental_components_matches_batch(spark):
+    """Folding increments of edges into an existing assignment via the
+    contracted entity graph must equal batch CC over all edges seen so
+    far, leave untouched entities' ids unchanged, and absorb endpoints
+    the assignment has never seen."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from record_linkage_spark.operators.clustering import (
+        incremental_components,
+    )
+
+    rng = random.Random(7)
+    ids = [f"r{i:03d}" for i in range(120)]
+    all_edges = []
+    for _ in range(140):
+        a, b = rng.sample(ids, 2)
+        all_edges.append((a, b))
+    batches = [all_edges[:60], all_edges[60:100], all_edges[100:]]
+
+    ids_df = spark.createDataFrame([(i,) for i in ids], "conv_id string")
+    # seed assignment: batch CC over the first edge batch
+    seen = list(batches[0])
+    assign = assign_entities(
+        ids_df, spark.createDataFrame(seen, "src string, dst string")
+    ).localCheckpoint()
+
+    for batch in batches[1:]:
+        before = {r.conv_id: r.entity_id for r in assign.collect()}
+        new_df = spark.createDataFrame(batch, "src string, dst string")
+        assign = incremental_components(assign, new_df).localCheckpoint()
+        seen += batch
+        expected = {
+            r.conv_id: r.entity_id
+            for r in assign_entities(
+                ids_df, spark.createDataFrame(seen, "src string, dst string")
+            ).collect()
+        }
+        got = {r.conv_id: r.entity_id for r in assign.collect()}
+        assert got == expected
+        # stability: records whose entity wasn't touched by this batch
+        # keep their id
+        touched_entities = {
+            before[x] for e in batch for x in e if x in before
+        }
+        for rid, ent in before.items():
+            if ent not in touched_entities:
+                assert got[rid] == ent
+
+
+def test_incremental_components_new_endpoints(spark):
+    """Edges whose endpoints the assignment never saw create/join
+    entities correctly (the streaming-linkage arrival case)."""
+    from record_linkage_spark.operators.clustering import (
+        incremental_components,
+    )
+
+    assign = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("z", "z")], "conv_id string, entity_id string"
+    )
+    new = spark.createDataFrame(
+        [("q", "b"), ("q", "r")], "src string, dst string"
+    )
+    got = {
+        r.conv_id: r.entity_id
+        for r in incremental_components(assign, new).collect()
+    }
+    assert got == {"a": "a", "b": "a", "q": "a", "r": "a", "z": "z"}
