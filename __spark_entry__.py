@@ -1610,6 +1610,68 @@ def q_event_windows(spark, sf):
     return h.unionByName(s)
 
 
+def q_sampling_checks(spark, sf):
+    """W3/W4 deterministic hash-quota sampling + the two-stage stratified
+    quota sampler (X-family) folded to one (kind, doc_id, lang) frame."""
+    w4 = q_w4_hash_quota(spark, sf).select(
+        F.lit("hash_quota").alias("kind"), "doc_id", "lang"
+    )
+    st = q_strat_sample(spark, sf).select(
+        F.lit("stratified").alias("kind"), "doc_id", "lang"
+    )
+    return w4.unionByName(st)
+
+
+def q_rollup_portable(spark, sf):
+    """The north_star's FIRST clause — conversations rolled up via
+    ``groupBy(conv_id) + collect_list`` with explicit
+    ``sortWithinPartitions(turn_idx)`` (``operators/rollup.py``) — under
+    the hard signal: a transcript-shaped table is derived SQL-portably
+    from events (conv_id = user_id, turn order = (ts, event_id),
+    role/tool from event_id arithmetic), rolled up by the PRODUCTION
+    operator, and every SQL-portable profile column (counts, role
+    tallies, normalized first/last text, token prefix/set, tools,
+    timestamps, duration, length bucket) is value-checked against a
+    DuckDB ordered-aggregation replay. Only the siphash
+    ``token_hash_set`` stays rows-only (``rl_profiles``)."""
+    from record_linkage_spark.operators.rollup import rollup_conversations
+
+    e = _t(spark, sf, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    roles = F.array(F.lit("user"), F.lit("assistant"), F.lit("tool"))
+    t = e.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.element_at(roles, (F.col("event_id") % 3 + 1).cast("int")).alias("role"),
+        F.concat_ws(" ", "event_type", F.col("event_id").cast("string")).alias("text"),
+        F.when(
+            F.col("event_id") % 5 == 0,
+            F.concat(F.lit("tool_"), (F.col("event_id") % 4).cast("string")),
+        ).alias("tool"),
+        "ts",
+    )
+    prof = rollup_conversations(t)
+    return prof.select(
+        "conv_id",
+        F.col("n_turns").cast("bigint").alias("n_turns"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_user_turns").cast("bigint").alias("n_user_turns"),
+        F.col("n_assistant_turns").cast("bigint").alias("n_assistant_turns"),
+        F.col("n_tool_turns").cast("bigint").alias("n_tool_turns"),
+        "first_role",
+        "first_text_norm",
+        "last_text_norm",
+        "token_prefix",
+        F.concat_ws(" ", "tools_used").alias("tools_used"),
+        "primary_tool",
+        F.col("text_len_bucket").cast("int").alias("text_len_bucket"),
+        F.date_format("started_at", "yyyy-MM-dd HH:mm:ss").alias("started_at"),
+        F.date_format("ended_at", "yyyy-MM-dd HH:mm:ss").alias("ended_at"),
+        F.round("duration_sec", 6).alias("duration_sec"),
+        F.concat_ws(" ", "token_set").alias("token_set_str"),
+    )
+
+
 # --------------------------------------------------------------------------
 # portable flagship: blocking -> featurize -> LR scoring -> E3 report, all
 # value-checked by DuckDB replaying every feature from scratch
@@ -1841,12 +1903,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j4_overlay_default": q_j4_overlay_default,
         # -- A: aggregations
         "a2_rollup_sequence": q_a2_rollup_sequence,
+        "rollup_portable": q_rollup_portable,     # north-star rollup operator
         "group_counts": q_group_counts,          # A4 + A8
         "a5_summary_stats": q_a5_summary_stats,
         "a7_threshold_sweep": q_a7_threshold_sweep,
         # -- W/U/X: windows, sets, sampling
         "w2_latest_parsed": q_w2_latest_parsed,  # W1/W2 + F8
-        "w4_hash_quota": q_w4_hash_quota,
+        "sampling_checks": q_sampling_checks,     # W3/W4 + stratified quota
         "w5_topk_per_group": q_w5_topk_per_group,
         "u1_union_sources": q_u1_union_sources,
         "u3_canonical_dedup": q_u3_canonical_dedup,
@@ -1866,7 +1929,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "doc_repetition": q_doc_repetition,
         "decontam_overlap": q_decontam_overlap,
-        "strat_sample": q_strat_sample,
         "seq_pack": q_seq_pack,
         "ngram_topk": q_ngram_topk,
         "length_quantiles": q_length_quantiles,
@@ -1948,7 +2010,54 @@ def _composite_oracles(base: dict[str, str]) -> dict[str, str]:
         tagged("x1_hash_split", base["x1_hash_split"], "split", "n"),
     ]
 
+    norm = NORM_SQL
+    norm_url = NORM_URL_SQL
+    rollup_tok = norm_url.format(c="all_text")
+    rollup_sql = (
+        "WITH t AS (SELECT CAST(user_id AS VARCHAR) AS conv_id, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS turn_idx, "
+        "(['user', 'assistant', 'tool'])[event_id % 3 + 1] AS role, "
+        "concat_ws(' ', event_type, CAST(event_id AS VARCHAR)) AS text, "
+        "CASE WHEN event_id % 5 = 0 THEN 'tool_' || CAST(event_id % 4 AS VARCHAR) END AS tool, "
+        "ts FROM events WHERE ts IS NOT NULL), "
+        "g AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns, "
+        "string_agg(text, ' ' ORDER BY turn_idx) AS all_text, "
+        "CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user_turns, "
+        "CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant_turns, "
+        "CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_turns, "
+        "arg_min(role, turn_idx) AS first_role, "
+        "arg_min(text, turn_idx) AS first_text, "
+        "arg_max(text, turn_idx) AS last_text, "
+        "list_sort(list_distinct(list(tool) FILTER (WHERE tool IS NOT NULL))) AS tools_used, "
+        "strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS started_at, "
+        "strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS ended_at, "
+        # Spark's unix_timestamp truncates to whole seconds
+        "round(floor(epoch(max(ts))) - floor(epoch(min(ts))), 6) AS duration_sec "
+        "FROM t GROUP BY conv_id), "
+        f"tok AS (SELECT conv_id, CASE WHEN {rollup_tok} IS NULL THEN [] "
+        f"ELSE string_split({rollup_tok}, ' ') END AS toks FROM g) "
+        "SELECT g.conv_id, n_turns, CAST(len(toks) AS BIGINT) AS n_tokens, "
+        "n_user_turns, n_assistant_turns, n_tool_turns, first_role, "
+        + norm.format(c="first_text")
+        + " AS first_text_norm, "
+        + norm.format(c="last_text")
+        + " AS last_text_norm, "
+        "array_to_string(toks[1:3], ' ') AS token_prefix, "
+        "array_to_string(tools_used, ' ') AS tools_used, "
+        "CASE WHEN len(tools_used) > 0 THEN tools_used[1] END AS primary_tool, "
+        "CAST(len(toks) // 32 AS INTEGER) AS text_len_bucket, "
+        "started_at, ended_at, duration_sec, "
+        "array_to_string(list_sort(list_distinct(toks)), ' ') AS token_set_str "
+        "FROM g JOIN tok ON g.conv_id = tok.conv_id"
+    )
+
     return {
+        "rollup_portable": rollup_sql,
+        "sampling_checks": (
+            f"SELECT 'hash_quota' AS kind, doc_id, lang FROM ({base['w4_hash_quota']}) "
+            "UNION ALL "
+            f"SELECT 'stratified' AS kind, doc_id, lang FROM ({base['strat_sample']})"
+        ),
         "scalar_checks": " UNION ALL ".join(scalar_parts),
         "p2_p11_filter_canon": (
             "SELECT doc_id, lang, n_chars, CASE WHEN lang = 'en' THEN 'english' "
@@ -2971,7 +3080,7 @@ def oracle_sql() -> dict[str, str]:
         "f12_field_diff", "a4_group_count", "a8_doc_freq",
         "w2_latest_per_group", "f8_date_parse", "f1_jaro_winkler",
         "f2_levenshtein", "text_token_counts", "text_quality", "text_langid",
-        "event_hourly", "event_sessions",
+        "event_hourly", "event_sessions", "w4_hash_quota", "strat_sample",
     ):
         out.pop(merged, None)
     return out
