@@ -1121,6 +1121,34 @@ def q_cc_components(spark, sf):
     return assign_entities(d.select(F.col("doc_id").alias("conv_id")), edges)
 
 
+def q_inc_components(spark, sf):
+    """Incremental cluster maintenance value-checked externally: the seed
+    assignment is batch CC over the planted CHAIN edges only; the BRIDGE
+    edges (the increment) are folded in via
+    ``clustering.incremental_components`` — contraction to the entity
+    graph, CC on O(touched entities), broadcast remap. The DuckDB twin
+    recomputes components over chain ∪ bridge from scratch with a
+    recursive-CTE min-label closure, so the maintained state must equal
+    the batch answer exactly."""
+    from record_linkage_spark.operators.clustering import (
+        assign_entities,
+        incremental_components,
+    )
+
+    d = _t(spark, sf, "documents").select("doc_id").filter(F.col("doc_id") < 200)
+    ids = d.select(F.col("doc_id").alias("dst"))
+    chain = d.filter(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") - 1).alias("dst")
+    ).join(ids, "dst", "left_semi")
+    bridge = d.filter(F.col("doc_id") % 11 == 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 3).alias("dst")
+    ).join(ids, "dst", "left_semi")
+    seed = assign_entities(
+        d.select(F.col("doc_id").alias("conv_id")), chain
+    ).localCheckpoint()
+    return incremental_components(seed, bridge)
+
+
 def _messy_copies(docs, n: int = 60, id_offset: int = 3_000_000):
     """Duplicates that are messy in raw text but identical after the dedup
     normalizer (upper-case, leading/trailing junk punctuation, a URL, and
@@ -1939,6 +1967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bcubed_eval": q_bcubed,
         # ---- position 51+: rows-only (hash-kernel / pipeline / streaming
         # ops — no portable SQL twin; each pinned by pytest) ----
+        "inc_components": q_inc_components,  # oracle-backed (past window)
         "rl_profiles": q_rl_profiles,
         "rl_ground_truth": q_rl_ground_truth,
         "rl_sorted_neighborhood": q_rl_sorted_neighborhood,
@@ -3069,6 +3098,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM cg c JOIN bg b ON c.gram = b.gram GROUP BY c.doc_id"
         ),
     }
+    # incremental maintenance lands on the same final state as batch CC
+    # over the full planted graph, so it reuses cc_components' recursive
+    # closure, restricted to the entry's doc_id < 200 slice
+    out["inc_components"] = out["cc_components"].replace(
+        "WITH RECURSIVE ",
+        "WITH RECURSIVE docs200 AS (SELECT doc_id FROM documents WHERE doc_id < 200), ",
+    ).replace("documents", "docs200").replace(
+        "docs200 WHERE doc_id < 200", "documents WHERE doc_id < 200"
+    )
     out.update(_composite_oracles(out))
     out.update(_portable_flagship_oracles())
     # superseded by composites (their checks ride inside the merged entries
