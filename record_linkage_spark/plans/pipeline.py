@@ -275,11 +275,26 @@ def main() -> None:
         help="after the pipeline, emit the (strategy x model) comparison "
         "report over B1/B2 x {lr, dedupe, textmodel}",
     )
+    ap.add_argument(
+        "--recompute-from",
+        default=None,
+        choices=STAGES,
+        metavar="STAGE",
+        help="drop this stage and everything after it before resuming — "
+        "the reference run_pipeline.py's --from-step, expressed against "
+        "the warehouse (earlier stages still resume from checkpoints)",
+    )
     args = ap.parse_args()
 
     from record_linkage_spark.session import get_spark
 
     spark = get_spark("linkage_pipeline")
+    if args.recompute_from:
+        import shutil
+
+        wh_root = args.warehouse
+        for name in STAGES[STAGES.index(args.recompute_from):]:
+            shutil.rmtree(os.path.join(wh_root, name), ignore_errors=True)
     pipe = LinkagePipeline(
         spark,
         args.warehouse,
