@@ -245,6 +245,13 @@ def incremental_components(
     ``assign_entities(all_ids, old_edges ∪ new_edges)`` (asserted in
     tests).
 
+    The remap broadcast is a deliberate hint: it sizes with TOUCHED
+    entities, and the whole point is that the assignment table never
+    shuffles. If an increment is so large that its touched-entity map
+    outgrows executor memory, incremental maintenance is the wrong tool
+    — run the scheduled full CC instead (the same crossover the
+    reference's batch design implies).
+
     Returns the updated full assignment (conv_id, entity_id), including
     rows for edge endpoints the assignment table had never seen."""
     edges = new_edges.select(
