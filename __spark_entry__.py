@@ -1149,6 +1149,67 @@ def q_inc_components(spark, sf):
     return incremental_components(seed, bridge)
 
 
+def q_dedup_keep_best(spark, sf):
+    """Keep-one-representative dedup over the planted cc_components graph:
+    CC labels each duplicate component, then the longest doc (whitespace
+    token count, doc_id tiebreak) survives per component. The DuckDB twin
+    recomputes components with the recursive-CTE closure and replays the
+    argmax window — value-checking the CC + representative-pick
+    composition end to end."""
+    from record_linkage_spark.operators.curation import keep_best_per_cluster
+    from record_linkage_spark.operators.text_analysis import token_count_ws
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", token_count_ws("text").cast("bigint").alias("n_tokens")
+    )
+    chain = d.filter(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") - 1).alias("dst")
+    )
+    bridge = d.filter(F.col("doc_id") % 11 == 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 3).alias("dst")
+    )
+    ids = d.select(F.col("doc_id").alias("dst"))
+    edges = chain.unionByName(bridge).join(ids, "dst", "left_semi")
+    kept = keep_best_per_cluster(
+        d, edges, [F.col("n_tokens").desc()], id_col="doc_id"
+    )
+    return kept.select("doc_id", "entity_id", "n_cluster", "n_tokens")
+
+
+def q_span_overlap(spark, sf):
+    """Exact 8-token-span overlap pairs (Lee et al.-style exact-substring
+    signal) over documents ∪ planted partial copies (first 150 chars of
+    each doc_id < 40 doc + a fresh tail). Portable md5 span hashes; the
+    DuckDB twin replays postings -> boilerplate cap -> pair counts."""
+    from record_linkage_spark.operators.dedup import span_overlap_pairs
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    copies = d.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + F.lit(6_000_000)).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 150), F.lit(" planted tail marker")
+        ).alias("text"),
+    )
+    docs = d.select("doc_id", "text").unionByName(copies)
+    return span_overlap_pairs(docs, window=8, min_shared=2, portable=True)
+
+
+def q_token_budget(spark, sf):
+    """Per-language token-budget prefix sample (training-mix in tokens,
+    not rows): two-stage hash pre-filter + exact cumulative window, both
+    stages replayed by the DuckDB twin."""
+    from record_linkage_spark.operators.curation import token_budget_sample
+    from record_linkage_spark.operators.text_analysis import token_count_ws
+
+    d = _t(spark, sf, "documents").filter(F.col("lang").isNotNull()).select(
+        "doc_id", "lang", token_count_ws("text").cast("bigint").alias("n_tokens")
+    )
+    out = token_budget_sample(
+        d, ["lang"], 1500, "doc_id", "n_tokens", margin=4.0, portable=True
+    )
+    return out.select("doc_id", "lang", "n_tokens", "cum_before")
+
+
 def _messy_copies(docs, n: int = 60, id_offset: int = 3_000_000):
     """Duplicates that are messy in raw text but identical after the dedup
     normalizer (upper-case, leading/trailing junk punctuation, a URL, and
@@ -1968,6 +2029,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- position 51+: rows-only (hash-kernel / pipeline / streaming
         # ops — no portable SQL twin; each pinned by pytest) ----
         "inc_components": q_inc_components,  # oracle-backed (past window)
+        "dedup_keep_best": q_dedup_keep_best,  # oracle-backed (past window)
+        "span_overlap": q_span_overlap,  # oracle-backed (past window)
+        "token_budget": q_token_budget,  # oracle-backed (past window)
         "rl_profiles": q_rl_profiles,
         "rl_ground_truth": q_rl_ground_truth,
         "rl_sorted_neighborhood": q_rl_sorted_neighborhood,
@@ -3097,6 +3161,50 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams "
             "FROM cg c JOIN bg b ON c.gram = b.gram GROUP BY c.doc_id"
         ),
+        # exact 8-token-span overlap: postings -> boilerplate cap (2..64
+        # docs per span) -> pair shared-span counts, replayed brute-force
+        "span_overlap": (
+            "WITH all_docs AS ("
+            "SELECT doc_id, text FROM documents WHERE text IS NOT NULL "
+            "UNION ALL SELECT doc_id + 6000000 AS doc_id, "
+            "substr(text, 1, 150) || ' planted tail marker' AS text "
+            "FROM documents WHERE text IS NOT NULL AND doc_id < 40), "
+            "norm AS (SELECT doc_id, " + ta_norm.format(c="text") + " AS s "
+            "FROM all_docs), "
+            "tok AS (SELECT doc_id, string_split(s, ' ') AS t FROM norm "
+            "WHERE s != ''), "
+            "spans AS (SELECT doc_id, unnest(list_distinct("
+            "[md5(array_to_string(t[i:i+7], ' ')) for i in range(1, len(t) - 6)]"
+            ")) AS h FROM tok WHERE len(t) >= 8), "
+            "cnt AS (SELECT h, count(*) AS c FROM spans GROUP BY h), "
+            "good AS (SELECT s.doc_id, s.h FROM spans s JOIN cnt USING (h) "
+            "WHERE c >= 2 AND c <= 64), "
+            "p AS (SELECT a.doc_id AS id_A, b.doc_id AS id_B, "
+            "CAST(count(*) AS BIGINT) AS shared_spans "
+            "FROM good a JOIN good b ON a.h = b.h AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT id_A, id_B, shared_spans FROM p WHERE shared_spans >= 2"
+        ),
+        # two-stage token-budget prefix replayed exactly: hash threshold
+        # (margin*budget of the per-lang token total) then window cumsum
+        "token_budget": (
+            "WITH d AS (SELECT doc_id, lang, "
+            "CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) "
+            "END AS BIGINT) AS n_tokens, "
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS _h "
+            "FROM documents WHERE lang IS NOT NULL), "
+            "tot AS (SELECT lang, sum(n_tokens) AS _tot FROM d GROUP BY lang), "
+            "filt AS (SELECT d.* FROM d JOIN tot USING (lang) "
+            "WHERE (CAST(_h AS DOUBLE) / 1152921504606846976.0) "
+            "< least(1.0, 6000.0 / _tot)), "
+            "c AS (SELECT doc_id, lang, n_tokens, "
+            "COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY _h, doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before "
+            "FROM filt) "
+            "SELECT doc_id, lang, n_tokens, CAST(cum_before AS BIGINT) AS cum_before "
+            "FROM c WHERE cum_before < 1500"
+        ),
     }
     # incremental maintenance lands on the same final state as batch CC
     # over the full planted graph, so it reuses cc_components' recursive
@@ -3106,6 +3214,23 @@ def oracle_sql() -> dict[str, str]:
         "WITH RECURSIVE docs200 AS (SELECT doc_id FROM documents WHERE doc_id < 200), ",
     ).replace("documents", "docs200").replace(
         "docs200 WHERE doc_id < 200", "documents WHERE doc_id < 200"
+    )
+    # keep-best dedup rides cc_components' recursive closure: same planted
+    # graph, plus the token-count quality and the argmax window
+    out["dedup_keep_best"] = out["cc_components"].replace(
+        "SELECT id AS conv_id, MIN(lbl) AS entity_id FROM reach GROUP BY id",
+        ", comp AS (SELECT id AS doc_id, MIN(lbl) AS entity_id "
+        "FROM reach GROUP BY id), "
+        "tok AS (SELECT doc_id, CAST(CASE WHEN trim(coalesce(text, '')) = '' "
+        "THEN 0 ELSE len(regexp_split_to_array(trim(coalesce(text, '')), "
+        "'\\s+')) END AS BIGINT) AS n_tokens FROM documents), "
+        "s AS (SELECT t.doc_id, c.entity_id, t.n_tokens, "
+        "row_number() OVER (PARTITION BY c.entity_id "
+        "ORDER BY t.n_tokens DESC, t.doc_id) AS rk, "
+        "count(*) OVER (PARTITION BY c.entity_id) AS nc "
+        "FROM tok t JOIN comp c USING (doc_id)) "
+        "SELECT doc_id, entity_id, CAST(nc AS BIGINT) AS n_cluster, n_tokens "
+        "FROM s WHERE rk = 1",
     )
     out.update(_composite_oracles(out))
     out.update(_portable_flagship_oracles())

@@ -313,3 +313,123 @@ def decontaminate(
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_shared_grams"))
     )
+
+
+def keep_best_per_cluster(
+    docs: DataFrame,
+    dup_pairs: DataFrame,
+    order_cols: list,
+    id_col: str = "doc_id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Keep ONE representative per duplicate cluster: connected components
+    over the near-dup pair graph (large-star/small-star,
+    :func:`~record_linkage_spark.operators.clustering.assign_entities`),
+    then the argmin of ``(order_cols..., id_col)`` within each component.
+
+    This is the keep-a-representative policy that
+    :func:`~record_linkage_spark.plans.curate.dedup_corpus`'s docstring
+    contrasts with its single-pass drop-list: in a non-transitive chain
+    (a~b, b~c, a!~c) the drop-list policy removes both b and c, while this
+    one keeps exactly one doc per component — e.g. the highest-quality one
+    (pass ``[F.col("q_score").desc()]``). Docs in no pair are their own
+    singleton component and always survive.
+
+    Output: the surviving docs' rows plus ``entity_id`` (the component
+    label) and ``n_cluster`` (component size) for lineage/reporting.
+
+    Scale: the component labelling is the same iterative CC used for
+    entity clustering (edge-set-sized shuffles, payload never enters the
+    loop); the representative pick is one window keyed on ``entity_id`` —
+    near-dup components are small by construction (they are duplicate
+    sets, and the pair generators cap posting/bucket sizes upstream), so
+    no partition-sized component exists to skew the window. The docs
+    payload shuffles exactly once (on ``entity_id``)."""
+    from pyspark.sql import Window
+
+    from record_linkage_spark.operators.clustering import assign_entities
+
+    edges = dup_pairs.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    comps = assign_entities(
+        docs.select(F.col(id_col)), edges, id_col=id_col
+    ).withColumnRenamed("conv_id", id_col)
+    joined = docs.join(comps, id_col)
+    w = Window.partitionBy("entity_id")
+    wo = w.orderBy(*order_cols, F.col(id_col))
+    return (
+        joined.withColumn("_rk", F.row_number().over(wo))
+        .withColumn("n_cluster", F.count("*").over(w).cast("bigint"))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    budget_tokens: int,
+    id_col: str,
+    token_col: str,
+    margin: float = 4.0,
+    portable: bool = False,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum TOKEN-budget prefix in seeded hash order — the
+    training-mix knob that actually matters for LLM data (mixes are
+    specified in tokens per source/language, not rows): within each
+    stratum, a doc survives iff the cumulative ``token_col`` of
+    strictly-earlier docs (hash order, ``id_col`` tiebreak) is below
+    ``budget_tokens``. The kept set is therefore the minimal hash-prefix
+    reaching the budget; overshoot is bounded by one document.
+
+    Scale design mirrors :func:`stratified_quota_sample` — a bare
+    ``sum() OVER (PARTITION BY stratum ORDER BY ...)`` would sort a 40 TB
+    'en' stratum in one task. Instead: (1) one per-stratum token-total
+    agg, broadcast back; (2) strata holding more than ``margin x budget``
+    tokens are pre-filtered by a hash threshold keeping ~``margin x
+    budget`` EXPECTED tokens — a pure map discards ~all of a huge stratum
+    before anything shuffles; (3) the exact cumulative window runs on the
+    bounded survivors. The pre-filter keeps the smallest hashes — the
+    same order the cumsum walks — so the kept prefix is unchanged as long
+    as survivor tokens >= budget (asserted against the exact one-stage
+    result in tests; pass ``margin=None`` for the unconditional one-stage
+    semantics). Adds ``cum_before`` (tokens ahead of this doc in its
+    stratum) for packing/lineage.
+
+    ``portable=True`` ranks by the md5-derived 60-bit hash (the
+    ``token_budget`` contract query's DuckDB twin replays both stages);
+    default is seeded xxhash64."""
+    from pyspark.sql import Window
+
+    if portable:
+        h = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        ).cast("long")
+    else:
+        h = F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(1 << 60))
+    toks = F.coalesce(F.col(token_col).cast("bigint"), F.lit(0))
+    ranked = df.withColumn("_h", h).withColumn("_t", toks)
+    if margin is not None:
+        totals = ranked.groupBy(*strata_cols).agg(F.sum("_t").alias("_tot"))
+        ranked = ranked.join(F.broadcast(totals), strata_cols)
+        frac = F.least(
+            F.lit(1.0), F.lit(float(budget_tokens) * margin) / F.col("_tot")
+        )
+        ranked = ranked.filter(
+            (F.col("_h").cast("double") / F.lit(_RANK_MAX)) < frac
+        ).drop("_tot")
+    w = (
+        Window.partitionBy(*strata_cols)
+        .orderBy(F.col("_h"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ranked.withColumn(
+            "cum_before", F.coalesce(F.sum("_t").over(w), F.lit(0)).cast("bigint")
+        )
+        .filter(F.col("cum_before") < budget_tokens)
+        .drop("_h", "_t")
+    )

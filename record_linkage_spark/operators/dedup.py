@@ -609,3 +609,81 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_A", "id_B", "hamming")
     )
+
+
+def span_overlap_pairs(
+    docs: DataFrame,
+    window: int = 8,
+    min_shared: int = 2,
+    max_postings: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = False,
+) -> DataFrame:
+    """Exact token-span overlap pairs: ``(id_A, id_B, shared_spans)`` for
+    every doc pair sharing at least ``min_shared`` DISTINCT ``window``-token
+    word spans — span-granular exact-substring duplicate detection (the
+    copy/paste and template-reuse signal MinHash's bag-of-shingles Jaccard
+    dilutes on long documents; cf. Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", arXiv:2107.06499, which dedups on
+    exact repeated substrings rather than whole-doc similarity).
+
+    Tokenization and span hashing are shared with
+    :func:`~record_linkage_spark.operators.text_analysis.doc_fingerprint`
+    (same ``_tokens`` normalizer, same ``window``-token ``concat_ws``
+    windows); this operator keeps ALL window hashes per doc instead of the
+    winnowed min, so a single copied paragraph anywhere in two otherwise
+    different docs still pairs them.
+
+    The 100 TB shape:
+      * only ``(span_hash, doc_id)`` ever shuffles — the doc payload stays
+        on the map side, and per-doc span sets are ``array_distinct``-ed
+        before the explode so a doc repeating its own boilerplate does not
+        inflate its postings;
+      * spans occurring in more than ``max_postings`` docs are dropped
+        before the pairing self-join: they are corpus boilerplate (licence
+        headers, templates) and would otherwise contribute a quadratic
+        posting-list blowup. The cap is an explicit contract of the
+        operator — mine the dropped spans with
+        :func:`~record_linkage_spark.operators.curation.frequent_ngrams`
+        when they matter. Spans in a single doc are dropped too (they can
+        pair nothing);
+      * the count filter and the pairing join share the ``span_hash`` key,
+        so AQE plans them over one co-partitioned exchange; pair counts
+        reduce with map-side combine on ``(id_A, id_B)``.
+
+    ``portable=True`` hashes spans with md5 hex strings (byte-identical
+    from DuckDB — the ``span_overlap`` contract query's oracle replays the
+    whole plan); default uses xxhash64 longs (the fast JVM path).
+    """
+    from record_linkage_spark.operators.text_analysis import _tokens
+
+    toks = _tokens(F.col(text_col))
+    hash_fn = F.md5 if portable else F.xxhash64
+    n = F.size(toks) - (window - 1)
+    win_hashes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: hash_fn(F.concat_ws(" ", F.slice(toks, i, window))),
+    )
+    spans = (
+        _ensure_parallelism(docs)
+        .filter(F.size(toks) >= window)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.array_distinct(win_hashes)).alias("_h"),
+        )
+    )
+    counts = spans.groupBy("_h").agg(F.count("*").alias("_c"))
+    good = spans.join(
+        counts.filter((F.col("_c") >= 2) & (F.col("_c") <= max_postings)).select("_h"),
+        "_h",
+    )
+    a = good.select("_h", F.col("_id").alias("id_A"))
+    b = good.select("_h", F.col("_id").alias("id_B"))
+    return (
+        a.join(b, "_h")
+        .filter(F.col("id_A") < F.col("id_B"))
+        .groupBy("id_A", "id_B")
+        .agg(F.count("*").cast("bigint").alias("shared_spans"))
+        .filter(F.col("shared_spans") >= min_shared)
+    )

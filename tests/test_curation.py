@@ -194,3 +194,85 @@ def test_length_quantiles_exact_matches_numpy_and_approx_runs(spark):
     approx = length_quantiles(df, probs, exact=False).collect()
     assert {r.p for r in approx} == set(probs)
     assert all(lens.min() <= r.n_chars_q <= lens.max() for r in approx)
+
+
+def test_keep_best_per_cluster_one_rep_per_component(spark):
+    """Non-transitive chain a~b, b~c: exactly ONE survivor per component,
+    picked by the order columns; singletons always survive."""
+    from record_linkage_spark.operators.curation import keep_best_per_cluster
+
+    docs = spark.createDataFrame(
+        [("a", 5.0), ("b", 9.0), ("c", 7.0), ("d", 1.0), ("e", 3.0), ("f", 2.0)],
+        "doc_id string, q double",
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("e", "f")], "src string, dst string"
+    )
+    kept = keep_best_per_cluster(
+        docs, pairs, [F.col("q").desc()], id_col="doc_id"
+    ).collect()
+    by_id = {r.doc_id: r for r in kept}
+    # chain {a,b,c} -> best-quality b; {e,f} -> e; singleton d survives
+    assert set(by_id) == {"b", "d", "e"}
+    assert by_id["b"].n_cluster == 3 and by_id["e"].n_cluster == 2
+    assert by_id["d"].n_cluster == 1
+    # component label is the min id of the component
+    assert by_id["b"].entity_id == "a" and by_id["d"].entity_id == "d"
+
+
+def test_keep_best_per_cluster_vs_droplist_policy(spark):
+    """Contrast with dedup_corpus's drop-list: the drop list removes every
+    id_B of a pair; keep_best retains one representative per component."""
+    from record_linkage_spark.operators.curation import keep_best_per_cluster
+
+    docs = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0)], "doc_id bigint, q double"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "src bigint, dst bigint"
+    )
+    kept = {r.doc_id for r in keep_best_per_cluster(
+        docs, pairs, [F.col("q").desc()], id_col="doc_id"
+    ).collect()}
+    assert kept == {3}  # highest quality of the single chain component
+    # drop-list policy on the same chain removes BOTH 2 and 3 (ids on the
+    # right of any pair), keeping only 1 — documented over-removal
+    droplist_kept = {1}
+    assert kept != droplist_kept
+
+
+def test_token_budget_sample_two_stage_equals_exact_and_budget(spark):
+    from record_linkage_spark.operators.curation import token_budget_sample
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2).cast("string").alias("stratum"),
+        (F.col("id") % 17 + 1).cast("bigint").alias("n_tokens"),
+    )
+    kw = dict(
+        strata_cols=["stratum"], budget_tokens=120, id_col="doc_id",
+        token_col="n_tokens",
+    )
+    exact = {
+        (r.doc_id, r.cum_before)
+        for r in token_budget_sample(df, margin=None, **kw).collect()
+    }
+    two_stage = {
+        (r.doc_id, r.cum_before)
+        for r in token_budget_sample(df, margin=4.0, **kw).collect()
+    }
+    assert two_stage == exact and len(exact) > 0
+    # per-stratum kept tokens reach the budget, overshoot <= one doc
+    rows = token_budget_sample(df, margin=None, **kw).collect()
+    for s in ("0", "1"):
+        srows = [r for r in rows if r.stratum == s]
+        total = sum(r.n_tokens for r in srows)
+        biggest = max(r.n_tokens for r in srows)
+        assert total >= 120 or len(srows) == 250  # budget reached (or stratum exhausted)
+        assert total - biggest < 120  # minimal prefix: drop any one doc -> under budget
+    # partitioning invariance
+    repart = {
+        (r.doc_id, r.cum_before)
+        for r in token_budget_sample(df.repartition(11), margin=4.0, **kw).collect()
+    }
+    assert repart == exact

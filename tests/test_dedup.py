@@ -192,3 +192,57 @@ def test_minhash_cross_duplicates(spark):
     # corpus 1 and 2 both match reference 100 (identical normalized text);
     # the corpus-internal (1,2) duplicate pair must NOT appear
     assert got == {("1", "100"), ("2", "100")}
+
+
+def test_span_overlap_pairs_planted_copy_and_boilerplate_cap(spark):
+    """A doc sharing an 8-token paragraph pairs with its source; docs that
+    share only corpus-wide boilerplate (posting list > max_postings) do
+    not pair; unrelated docs do not pair."""
+    from record_linkage_spark.operators.dedup import span_overlap_pairs
+
+    para = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    boiler = "standard license header applies to this file verbatim"
+    rows = [
+        (1, f"{para} unique tail one two three four five six seven"),
+        (2, f"totally different lead in words here now {para}"),
+        (3, f"{boiler} alphaword only"),
+        (4, f"{boiler} betaword only"),
+        (5, "nothing in common with anything else at all whatsoever today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # 10-token para -> 3 distinct 8-token windows shared by docs 1 and 2
+    got = {
+        (r.id_A, r.id_B): r.shared_spans
+        for r in span_overlap_pairs(docs, window=8, min_shared=2).collect()
+    }
+    assert got == {(1, 2): 3}
+    # with the boilerplate cap lowered to 1 posting, nothing at all pairs
+    # through the boiler spans (they sit in 2 docs > cap... cap=1 drops all
+    # shared spans, so no pairs survive even between 3 and 4)
+    none = span_overlap_pairs(docs, window=8, min_shared=1, max_postings=1).collect()
+    assert none == []
+    # 3 and 4 share only the boiler prefix: with the default cap they DO
+    # pair (2 postings <= 64) — the cap is about corpus-wide templates
+    got_all = {
+        (r.id_A, r.id_B)
+        for r in span_overlap_pairs(docs, window=8, min_shared=1).collect()
+    }
+    assert (3, 4) in got_all and (1, 2) in got_all and len(got_all) == 2
+
+
+def test_span_overlap_pairs_portable_matches_default(spark):
+    from record_linkage_spark.operators.dedup import span_overlap_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [(i, f"doc {i} says {base} plus suffix {i}") for i in range(6)]
+    rows.append((99, "entirely disjoint text with no shared windows present here at all"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    a = {
+        (r.id_A, r.id_B, r.shared_spans)
+        for r in span_overlap_pairs(docs, window=8, min_shared=2).collect()
+    }
+    b = {
+        (r.id_A, r.id_B, r.shared_spans)
+        for r in span_overlap_pairs(docs, window=8, min_shared=2, portable=True).collect()
+    }
+    assert a == b and len(a) == 15  # all C(6,2) pairs share the base spans
