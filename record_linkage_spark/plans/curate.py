@@ -103,9 +103,9 @@ def dedup_corpus(filtered: DataFrame, minhash_threshold: float = 0.8) -> DataFra
     though its only smaller-id duplicate b was dropped too: the policy
     trades a little over-removal for a single-pass plan (the
     keep-one-representative-per-component alternative is
-    ``connected_components`` over the pair graph — use
-    ``operators.clustering.assign_entities`` when that semantics is
-    required). At threshold 1.0 duplication is transitive and the two
+    :func:`dedup_corpus_keep_best`, selectable in the funnel with
+    ``dedup_policy="keep_best"``). At threshold 1.0 duplication is
+    transitive and the two
     policies coincide. Both removals are left_anti joins on doc_id (the
     drop side is the small one, the payload never reshuffles)."""
     exact_drop = (
@@ -120,6 +120,44 @@ def dedup_corpus(filtered: DataFrame, minhash_threshold: float = 0.8) -> DataFra
         .distinct()
     )
     return after_exact.join(near_drop, "doc_id", "left_anti")
+
+
+def dedup_corpus_keep_best(
+    filtered: DataFrame,
+    minhash_threshold: float = 0.8,
+    order_col: str = "q_score",
+) -> DataFrame:
+    """Keep-one-representative-per-component dedup — the alternative
+    policy :func:`dedup_corpus` documents: exact-dup edges (md5 group
+    keep_id -> dup_ids) union MinHash-LSH near-dup edges feed connected
+    components, and the highest-``order_col`` doc (doc_id tiebreak)
+    survives per component. In the non-transitive chain a~b, b~c the
+    drop-list policy removes both b and c; this one keeps exactly the
+    best of {a, b, c}. Costs one CC loop over the pair graph (edge-set
+    sized, tiny next to the corpus) on top of the drop-list plan.
+
+    Near-dup pairs are generated on the exact-collapsed set — lossless
+    for the component structure because byte-identical normalized text
+    has identical shingles, so every exact-dup member reaches its
+    group's near-dup links through the keep_id edge."""
+    from record_linkage_spark.operators.curation import keep_best_per_cluster
+
+    ex = exact_duplicates(filtered)
+    exact_edges = ex.select(
+        F.col("keep_id").alias("src"), F.explode("dup_ids").alias("dst")
+    )
+    exact_drop = ex.select(F.explode("dup_ids").alias("doc_id")).distinct()
+    after_exact = filtered.join(exact_drop, "doc_id", "left_anti")
+    near_edges = minhash_near_duplicates(
+        after_exact, jaccard_threshold=minhash_threshold
+    ).select(F.col("id_A").alias("src"), F.col("id_B").alias("dst"))
+    kept = keep_best_per_cluster(
+        filtered,
+        exact_edges.unionByName(near_edges),
+        [F.col(order_col).desc()],
+        id_col="doc_id",
+    )
+    return kept.drop("entity_id", "n_cluster")
 
 
 def remove_contaminated(
@@ -153,6 +191,7 @@ class CurationPipeline:
         max_top_token_frac: float = 0.30,
         max_dup_line_frac: float = 0.50,
         minhash_threshold: float = 0.8,
+        dedup_policy: str = "droplist",
         decontam_ngram: int = 8,
         min_shared_grams: int = 1,
         strata_cols: tuple[str, ...] = ("lang",),
@@ -170,6 +209,9 @@ class CurationPipeline:
         self.max_top_token_frac = max_top_token_frac
         self.max_dup_line_frac = max_dup_line_frac
         self.minhash_threshold = minhash_threshold
+        if dedup_policy not in ("droplist", "keep_best"):
+            raise ValueError(f"unknown dedup_policy: {dedup_policy}")
+        self.dedup_policy = dedup_policy
         self.decontam_ngram = decontam_ngram
         self.min_shared_grams = min_shared_grams
         self.strata_cols = list(strata_cols)
@@ -248,10 +290,18 @@ class CurationPipeline:
             resume=resume,
         )
 
+        dedup_fn = (
+            dedup_corpus_keep_best
+            if self.dedup_policy == "keep_best"
+            else dedup_corpus
+        )
         deduped = wh.run_stage(
             "deduped",
-            lambda: dedup_corpus(filtered, self.minhash_threshold),
-            self._cfg(minhash_threshold=self.minhash_threshold),
+            lambda: dedup_fn(filtered, self.minhash_threshold),
+            self._cfg(
+                minhash_threshold=self.minhash_threshold,
+                policy=self.dedup_policy,
+            ),
             inputs=["filtered"],
             resume=resume,
         )
@@ -335,6 +385,7 @@ class CurationPipeline:
             "config": {
                 "min_quality": self.min_quality,
                 "minhash_threshold": self.minhash_threshold,
+                "dedup_policy": self.dedup_policy,
                 "decontam_ngram": self.decontam_ngram,
                 "quota": self.quota,
                 "strata": self.strata_cols,
@@ -358,6 +409,13 @@ def main() -> None:
     ap.add_argument("--pack-budget", type=int, default=2048)
     ap.add_argument("--minhash-threshold", type=float, default=0.8)
     ap.add_argument(
+        "--dedup-policy",
+        choices=("droplist", "keep_best"),
+        default="droplist",
+        help="droplist: single-pass drop of any doc duplicating a smaller "
+        "id; keep_best: one best-quality representative per CC component",
+    )
+    ap.add_argument(
         "--benchmark-parquet",
         default=None,
         help="parquet of (doc_id, text) benchmark docs to decontaminate against",
@@ -375,6 +433,7 @@ def main() -> None:
         quota=args.quota,
         pack_budget=args.pack_budget,
         minhash_threshold=args.minhash_threshold,
+        dedup_policy=args.dedup_policy,
     )
     pipe.benchmark_path = args.benchmark_parquet
     report = pipe.run(resume=not args.no_resume)

@@ -140,3 +140,36 @@ def test_report_written_and_resume_reuses_stages(spark, corpus, bench_docs, repo
     )
     report2 = pipe2.run(resume=True)
     assert report2["stages"] == report["stages"]
+
+
+def test_keep_best_policy_one_rep_per_dup_group(spark, corpus, bench_docs, tmp_path_factory):
+    """dedup_policy='keep_best': exactly one representative survives per
+    duplicate component (picked by q_score), and the funnel runs end to
+    end with the same removal counts on this 2-clique corpus."""
+    from record_linkage_spark.plans.curate import CurationPipeline
+
+    wh = str(tmp_path_factory.mktemp("curate_wh_kb"))
+    pipe = CurationPipeline(
+        spark,
+        wh,
+        docs_df=corpus,
+        benchmark_df=bench_docs,
+        quota=10,
+        pack_budget=30,
+        minhash_threshold=0.6,
+        dedup_policy="keep_best",
+    )
+    report = pipe.run(resume=True)
+    kept = {r.doc_id for r in pipe.wh.read("deduped").select("doc_id").collect()}
+    # one survivor from each planted duplicate pair, everything else kept
+    assert len(kept & {1, 4}) == 1 and len(kept & {2, 5}) == 1
+    assert {3, 8, 9} <= kept
+    assert report["removed"]["dedup"] == 2
+    assert report["config"]["dedup_policy"] == "keep_best"
+
+
+def test_unknown_dedup_policy_rejected(spark):
+    from record_linkage_spark.plans.curate import CurationPipeline
+
+    with pytest.raises(ValueError, match="unknown dedup_policy"):
+        CurationPipeline(spark, "/tmp/never", docs_df=None, dedup_policy="nope")
