@@ -134,3 +134,32 @@ def test_sessionization_shuffles_once_on_user(spark):
     assert "CartesianProduct" not in plan
     # exactly the groupBy-key exchanges; no rangepartitioning (global sort)
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_new_curation_operators_plan_shapes(spark):
+    """span_overlap must pair via equality joins with map-side partial
+    aggregation of the shared-span counts (never a cartesian);
+    token_budget's two-stage pre-filter must broadcast the per-stratum
+    totals (the bounded side) back to the map side; keep_best must stay
+    cartesian-free through CC + the representative window."""
+    from record_linkage_spark.operators.curation import (
+        keep_best_per_cluster,
+        token_budget_sample,
+    )
+    from record_linkage_spark.operators.dedup import span_overlap_pairs
+
+    docs = _doc_df(spark)
+    p1 = _plan(span_overlap_pairs(docs, window=4, min_shared=1))
+    assert "CartesianProduct" not in p1
+    assert "BroadcastNestedLoopJoin" not in p1
+    assert "partial_count" in p1  # pair counts combine before the shuffle
+
+    toks = docs.withColumn("n_tokens", (F.col("doc_id") % 7 + 1).cast("bigint"))
+    toks = toks.withColumn("stratum", (F.col("doc_id") % 3).cast("string"))
+    p2 = _plan(token_budget_sample(toks, ["stratum"], 20, "doc_id", "n_tokens"))
+    assert "BroadcastExchange" in p2  # per-stratum token totals broadcast
+
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long")
+    p3 = _plan(keep_best_per_cluster(docs, pairs, [F.col("doc_id")]))
+    assert "CartesianProduct" not in p3
+    assert "BroadcastNestedLoopJoin" not in p3
