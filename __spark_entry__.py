@@ -459,6 +459,64 @@ def q_u3_canonical_dedup(spark, sf):
     ).distinct()
 
 
+def q_set_ops(spark, sf):
+    """Composite of the two set operators — U1 union of renamed sources
+    and U3/F10 canonical pair key + distinct — union-tagged into one
+    (kind, name, src, id_lo, id_hi) frame (rows are the standalone
+    queries' rows, reshaped)."""
+    u1 = q_u1_union_sources(spark, sf).select(
+        F.lit("u1_union").alias("kind"),
+        "name",
+        "src",
+        F.col("nationkey").cast("bigint").alias("id_lo"),
+        F.lit(0).cast("bigint").alias("id_hi"),
+    )
+    u3 = q_u3_canonical_dedup(spark, sf).select(
+        F.lit("u3_pairs").alias("kind"),
+        F.lit("").alias("name"),
+        F.lit("").alias("src"),
+        F.col("id_lo").cast("bigint").alias("id_lo"),
+        F.col("id_hi").cast("bigint").alias("id_hi"),
+    )
+    return u1.unionByName(u3)
+
+
+def q_golden_records(spark, sf):
+    """Golden-record survivorship over the planted cc_components graph:
+    after clustering, fuse each entity into ONE canonical record —
+    mode(lang)/mode(source) with smallest-value tie-break, longest-text
+    representative with smallest-id tie-break, summed n_chars, sorted
+    member-id list. The DuckDB twin reuses the recursive-CTE closure and
+    replays every survivorship rule with windowed arg-selection, so the
+    fusion step (the reference pipeline stops at cluster ids; production
+    ER needs the merge) is value-checked end to end."""
+    from record_linkage_spark.operators.clustering import assign_entities
+    from record_linkage_spark.operators.survivorship import golden_records
+
+    d = _t(spark, sf, "documents")
+    ids = d.select("doc_id")
+    chain = ids.filter(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") - 1).alias("dst")
+    )
+    bridge = ids.filter(F.col("doc_id") % 11 == 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 3).alias("dst")
+    )
+    edges = chain.unionByName(bridge).join(
+        ids.select(F.col("doc_id").alias("dst")), "dst", "left_semi"
+    )
+    assignment = assign_entities(
+        ids.select(F.col("doc_id").alias("conv_id")), edges
+    ).select(F.col("conv_id").alias("doc_id"), "entity_id")
+    return golden_records(
+        d,
+        assignment,
+        id_col="doc_id",
+        mode_cols=("lang", "source"),
+        longest_col="text",
+        sum_cols=("n_chars",),
+    )
+
+
 def q_x1_hash_split(spark, sf):
     """X1: deterministic hash-bucket 70/10/20 split (portable md5 buckets;
     engine uses xxhash64)."""
@@ -528,6 +586,40 @@ def q_f4_gauss_comparator(spark, sf):
             6,
         ).alias("gauss"),
     )
+
+
+def q_scalar_transforms(spark, sf):
+    """Composite of five per-row scalar transforms — P8 text
+    normalization, P12/F9 numeric re-canonicalization, P16/P17/F7 regex
+    format filter, P18/F11 checksum arithmetic, and the F4 gaussian
+    comparator — union-tagged into one (kind, id1, id2, sval, ival, dval)
+    frame so one driver slot carries all five checks verbatim (rows are
+    the standalone queries' rows, reshaped)."""
+
+    def leg(df, kind, id1, id2, sval, ival, dval):
+        return df.select(
+            F.lit(kind).alias("kind"),
+            id1.cast("bigint").alias("id1"),
+            id2.cast("bigint").alias("id2"),
+            sval.alias("sval"),
+            ival.cast("int").alias("ival"),
+            dval.cast("double").alias("dval"),
+        )
+
+    zero_s, zero_i, zero_d = F.lit(""), F.lit(0), F.lit(0.0)
+    p8 = leg(q_p8_norm_text(spark, sf), "p8_norm",
+             F.col("doc_id"), F.lit(0), F.col("norm"), zero_i, zero_d)
+    p12 = leg(q_p12_numeric_norm(spark, sf), "p12_num",
+              F.col("l_orderkey"), F.col("l_linenumber"),
+              F.col("qty_norm"), zero_i, zero_d)
+    p16 = leg(q_p16_regex_filter(spark, sf), "p16_regex",
+              F.col("p_partkey"), F.lit(0), F.col("p_name"), zero_i, zero_d)
+    p18 = leg(q_p18_checksum(spark, sf), "p18_check",
+              F.col("doc_id"), F.lit(0), zero_s, F.col("check_digit"), zero_d)
+    f4 = leg(q_f4_gauss_comparator(spark, sf), "f4_gauss",
+             F.col("l_orderkey"), F.col("l_linenumber"),
+             zero_s, zero_i, F.col("gauss"))
+    return p8.unionByName(p12).unionByName(p16).unionByName(p18).unionByName(f4)
 
 
 # --------------------------------------------------------------------------
@@ -1974,15 +2066,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocking_b1": q_blocking_b1,
         "blocking_b2": q_blocking_b2,
         "cc_components": q_cc_components,
+        "inc_components": q_inc_components,
         "curation_funnel": q_curation_funnel,
         # -- P: projections / filters / per-row transforms
         "scalar_checks": q_scalar_checks,        # P1/A1 + P14 + J5 + A6 + X1
         "p2_p11_filter_canon": q_p2_p11_filter_canon,
         "p4_p21_serialize": q_p4_p21_serialize,
-        "p8_norm_text": q_p8_norm_text,
-        "p12_numeric_norm": q_p12_numeric_norm,
-        "p16_regex_filter": q_p16_regex_filter,
-        "p18_checksum": q_p18_checksum,
+        "scalar_transforms": q_scalar_transforms,  # P8 + P12/F9 + P16/P17 + P18/F11 + F4
         "m9_top_idf_tokens": q_m9_top_idf_tokens,
         "dk_inject": q_dk_inject,
         # -- J: joins
@@ -2000,16 +2090,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_latest_parsed": q_w2_latest_parsed,  # W1/W2 + F8
         "sampling_checks": q_sampling_checks,     # W3/W4 + stratified quota
         "w5_topk_per_group": q_w5_topk_per_group,
-        "u1_union_sources": q_u1_union_sources,
-        "u3_canonical_dedup": q_u3_canonical_dedup,
+        "set_ops": q_set_ops,                    # U1 + U3/F10
+        "golden_records": q_golden_records,      # survivorship fusion
         # -- F: scalar similarity functions
         "similarity_funcs": q_similarity_funcs,  # F1 + F2
-        "f4_gauss_comparator": q_f4_gauss_comparator,
         # -- blocking families beyond equality cascades
         "sn_pairs": q_sn_pairs,
         # -- dedup / similarity-search / curation extras
         "dedup_exact": q_dedup_exact,
         "dedup_token_jaccard": q_dedup_token_jaccard,
+        "dedup_keep_best": q_dedup_keep_best,
+        "span_overlap": q_span_overlap,
         "minhash_exactset": q_minhash_exactset,
         "minhash_cross": q_minhash_cross,
         "simhash_hd": q_simhash_hd,
@@ -2019,6 +2110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "decontam_overlap": q_decontam_overlap,
         "seq_pack": q_seq_pack,
+        "token_budget": q_token_budget,
         "ngram_topk": q_ngram_topk,
         "length_quantiles": q_length_quantiles,
         "fp_winnow": q_fp_winnow,
@@ -2028,10 +2120,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bcubed_eval": q_bcubed,
         # ---- position 51+: rows-only (hash-kernel / pipeline / streaming
         # ops — no portable SQL twin; each pinned by pytest) ----
-        "inc_components": q_inc_components,  # oracle-backed (past window)
-        "dedup_keep_best": q_dedup_keep_best,  # oracle-backed (past window)
-        "span_overlap": q_span_overlap,  # oracle-backed (past window)
-        "token_budget": q_token_budget,  # oracle-backed (past window)
         "rl_profiles": q_rl_profiles,
         "rl_ground_truth": q_rl_ground_truth,
         "rl_sorted_neighborhood": q_rl_sorted_neighborhood,
@@ -2144,8 +2232,75 @@ def _composite_oracles(base: dict[str, str]) -> dict[str, str]:
         "FROM g JOIN tok ON g.conv_id = tok.conv_id"
     )
 
+    def st_leg(kind, id1, id2, sval, ival, dval, sql):
+        return (
+            f"SELECT '{kind}' AS kind, CAST({id1} AS BIGINT) AS id1, "
+            f"CAST({id2} AS BIGINT) AS id2, {sval} AS sval, "
+            f"CAST({ival} AS INTEGER) AS ival, CAST({dval} AS DOUBLE) AS dval "
+            f"FROM ({sql})"
+        )
+
+    scalar_transforms_sql = " UNION ALL ".join(
+        [
+            st_leg("p8_norm", "doc_id", 0, "norm", 0, 0.0,
+                   base["p8_norm_text"]),
+            st_leg("p12_num", "l_orderkey", "l_linenumber", "qty_norm", 0,
+                   0.0, base["p12_numeric_norm"]),
+            st_leg("p16_regex", "p_partkey", 0, "p_name", 0, 0.0,
+                   base["p16_regex_filter"]),
+            st_leg("p18_check", "doc_id", 0, "''", "check_digit", 0.0,
+                   base["p18_checksum"]),
+            st_leg("f4_gauss", "l_orderkey", "l_linenumber", "''", 0,
+                   "gauss", base["f4_gauss_comparator"]),
+        ]
+    )
+
+    set_ops_sql = (
+        "SELECT 'u1_union' AS kind, name, src, "
+        "CAST(nationkey AS BIGINT) AS id_lo, CAST(0 AS BIGINT) AS id_hi "
+        f"FROM ({base['u1_union_sources']}) "
+        "UNION ALL SELECT 'u3_pairs', '', '', "
+        "CAST(id_lo AS BIGINT), CAST(id_hi AS BIGINT) "
+        f"FROM ({base['u3_canonical_dedup']})"
+    )
+
+    # survivorship fusion rides cc_components' recursive closure: same
+    # planted graph, then every rule replayed with windowed arg-selection
+    golden_sql = base["cc_components"].replace(
+        "SELECT id AS conv_id, MIN(lbl) AS entity_id FROM reach GROUP BY id",
+        ", comp AS (SELECT id AS doc_id, MIN(lbl) AS entity_id "
+        "FROM reach GROUP BY id), "
+        "hyd AS (SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, "
+        "c.entity_id FROM documents d JOIN comp c USING (doc_id)), "
+        "base_agg AS (SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members, "
+        "string_agg(CAST(doc_id AS VARCHAR), ' ' ORDER BY doc_id) AS member_ids, "
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars_total FROM hyd GROUP BY entity_id), "
+        "rep AS (SELECT entity_id, doc_id AS rep_id, text AS text_canon FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY entity_id "
+        "ORDER BY length(coalesce(text, '')) DESC, doc_id) AS rk FROM hyd) "
+        "WHERE rk = 1), "
+        "fv AS (SELECT entity_id, 'lang' AS field, lang AS value FROM hyd "
+        "UNION ALL SELECT entity_id, 'source', source FROM hyd), "
+        "cnt AS (SELECT entity_id, field, value, count(*) AS n FROM fv "
+        "WHERE value IS NOT NULL GROUP BY entity_id, field, value), "
+        "best AS (SELECT entity_id, field, value FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY entity_id, field "
+        "ORDER BY n DESC, value) AS rk FROM cnt) WHERE rk = 1), "
+        "winners AS (SELECT entity_id, "
+        "max(CASE WHEN field = 'lang' THEN value END) AS lang_canon, "
+        "max(CASE WHEN field = 'source' THEN value END) AS source_canon "
+        "FROM best GROUP BY entity_id) "
+        "SELECT b.entity_id, n_members, member_ids, rep_id, text_canon, "
+        "n_chars_total, lang_canon, source_canon "
+        "FROM base_agg b JOIN rep USING (entity_id) "
+        "LEFT JOIN winners USING (entity_id)",
+    )
+
     return {
         "rollup_portable": rollup_sql,
+        "scalar_transforms": scalar_transforms_sql,
+        "set_ops": set_ops_sql,
+        "golden_records": golden_sql,
         "sampling_checks": (
             f"SELECT 'hash_quota' AS kind, doc_id, lang FROM ({base['w4_hash_quota']}) "
             "UNION ALL "
@@ -3244,6 +3399,9 @@ def oracle_sql() -> dict[str, str]:
         "w2_latest_per_group", "f8_date_parse", "f1_jaro_winkler",
         "f2_levenshtein", "text_token_counts", "text_quality", "text_langid",
         "event_hourly", "event_sessions", "w4_hash_quota", "strat_sample",
+        "p8_norm_text", "p12_numeric_norm", "p16_regex_filter",
+        "p18_checksum", "f4_gauss_comparator", "u1_union_sources",
+        "u3_canonical_dedup",
     ):
         out.pop(merged, None)
     return out

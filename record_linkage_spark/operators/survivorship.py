@@ -1,0 +1,128 @@
+"""Golden-record survivorship: fold each resolved entity cluster into one
+canonical record with per-field survivorship rules.
+
+After matching + clustering, an entity-resolution pipeline's last step is
+materializing ONE record per entity (the reference stops at cluster ids;
+every production MDM/ER deployment needs the merge step — see e.g. the
+survivorship discussion in Talburt & Zhou, "Entity Information Life
+Cycle for Big Data", and the `recordlinkage` docs' one-to-one fusion).
+Rules implemented, all with DETERMINISTIC tie-breaks so the result is
+reproducible across parallelism and replayable in ANSI SQL:
+
+- ``mode_cols``   — most-frequent value wins; ties break to the
+                    lexicographically smallest value.
+- ``longest_col`` — the member whose value is longest wins (its id is
+                    exposed as ``rep_id``); ties break to the smallest id.
+- ``sum_cols``    — additive facts are summed over the cluster.
+- always          — ``n_members`` and a sorted ``member_ids`` string.
+
+Scale shape (100 TB): the hydration join shuffles on the record id once;
+ALL mode columns ride ONE aggregation by unpivoting to
+(entity_id, field, value) — k columns cost one shuffle, not k — and the
+per-field winners pivot back with a conditional-aggregate groupBy on
+entity_id. The base aggregate (count/sum/longest) is a single
+map-side-combinable groupBy on entity_id. No window over the full data,
+no driver-side collect; every intermediate carries ids + the few fused
+columns only. Cluster sizes are bounded by the upstream clustering caps,
+so ``collect_list(member id)`` per entity is bounded the same way
+(pass ``member_list=False`` to drop it when clusters may be huge).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def golden_records(
+    records: DataFrame,
+    assignment: DataFrame,
+    id_col: str,
+    mode_cols: Sequence[str] = (),
+    longest_col: str | None = None,
+    sum_cols: Sequence[str] = (),
+    member_list: bool = True,
+) -> DataFrame:
+    """Fuse ``records`` into one golden record per ``entity_id``.
+
+    ``assignment`` is ``(id_col, entity_id)`` — the output of
+    ``clustering.assign_entities`` / ``incremental_components``.
+    Returns one row per entity:
+    ``entity_id, n_members[, member_ids], {c}_canon per mode col,
+    rep_id + {longest_col}_canon, {c}_total per sum col``.
+    """
+    hyd = records.join(assignment, id_col)
+
+    rid = F.col(id_col).cast("bigint")
+    base_aggs = [F.count(F.lit(1)).cast("bigint").alias("n_members")]
+    if member_list:
+        base_aggs.append(
+            F.array_join(
+                F.array_sort(F.collect_list(rid)), " "
+            ).alias("member_ids")
+        )
+    if longest_col is not None:
+        # longest value wins; ties -> smallest id (max over (len, -id))
+        base_aggs.append(
+            F.max_by(
+                F.struct(
+                    rid.alias("rep_id"),
+                    F.col(longest_col).alias("val"),
+                ),
+                F.struct(
+                    # null ranks as length 0 (== empty) for portability
+                    F.length(F.coalesce(F.col(longest_col), F.lit(""))).alias(
+                        "len"
+                    ),
+                    (-rid).alias("neg_id"),
+                ),
+            ).alias("_rep")
+        )
+    for c in sum_cols:
+        base_aggs.append(F.sum(c).cast("bigint").alias(f"{c}_total"))
+    out = hyd.groupBy("entity_id").agg(*base_aggs)
+    if longest_col is not None:
+        out = out.select(
+            *[c for c in out.columns if c != "_rep"],
+            F.col("_rep.rep_id").alias("rep_id"),
+            F.col("_rep.val").alias(f"{longest_col}_canon"),
+        )
+
+    if mode_cols:
+        # one shuffle for ALL mode columns: unpivot -> count -> winner
+        pairs = F.array(
+            *[
+                F.struct(F.lit(c).alias("field"), F.col(c).cast("string").alias("value"))
+                for c in mode_cols
+            ]
+        )
+        counts = (
+            hyd.select("entity_id", F.explode(pairs).alias("fv"))
+            .select("entity_id", "fv.field", "fv.value")
+            .where(F.col("value").isNotNull())
+            .groupBy("entity_id", "field", "value")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        # most frequent wins, ties -> smallest value: min over (-n, value)
+        winners = (
+            counts.groupBy("entity_id", "field")
+            .agg(
+                F.min_by(
+                    "value", F.struct((-F.col("n")).alias("neg_n"), "value")
+                ).alias("best")
+            )
+            .groupBy("entity_id")
+            .agg(
+                *[
+                    F.max(
+                        F.when(F.col("field") == c, F.col("best"))
+                    ).alias(f"{c}_canon")
+                    for c in mode_cols
+                ]
+            )
+        )
+        # left: an entity whose mode-col values are ALL null has no counts row
+        out = out.join(winners, "entity_id", "left")
+
+    return out
