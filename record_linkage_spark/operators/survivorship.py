@@ -54,28 +54,35 @@ def golden_records(
     """
     hyd = records.join(assignment, id_col)
 
-    rid = F.col(id_col).cast("bigint")
+    rid = F.col(id_col)
     base_aggs = [F.count(F.lit(1)).cast("bigint").alias("n_members")]
     if member_list:
+        # sort in the id's NATIVE order (numeric ids sort numerically),
+        # stringify only for the joined output
         base_aggs.append(
             F.array_join(
-                F.array_sort(F.collect_list(rid)), " "
+                F.transform(
+                    F.array_sort(F.collect_list(rid)),
+                    lambda x: x.cast("string"),
+                ),
+                " ",
             ).alias("member_ids")
         )
     if longest_col is not None:
-        # longest value wins; ties -> smallest id (max over (len, -id))
+        # longest value wins; ties -> smallest id: min over (-len, id)
+        # keeps the id generic (any orderable type, no negation needed)
         base_aggs.append(
-            F.max_by(
+            F.min_by(
                 F.struct(
                     rid.alias("rep_id"),
                     F.col(longest_col).alias("val"),
                 ),
                 F.struct(
                     # null ranks as length 0 (== empty) for portability
-                    F.length(F.coalesce(F.col(longest_col), F.lit(""))).alias(
-                        "len"
-                    ),
-                    (-rid).alias("neg_id"),
+                    (
+                        -F.length(F.coalesce(F.col(longest_col), F.lit("")))
+                    ).alias("neg_len"),
+                    rid.alias("id"),
                 ),
             ).alias("_rep")
         )

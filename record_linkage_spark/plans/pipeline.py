@@ -56,6 +56,7 @@ STAGES = [
     "scored_pairs",
     "match_edges",
     "clusters",
+    "golden_records",
 ]
 
 
@@ -190,6 +191,32 @@ class LinkagePipeline:
             lambda: assign_entities(profiles.select("conv_id"), edges),
             self._cfg(),
             inputs=["match_edges", "profiles"],
+            resume=resume,
+        )
+        # fusion: one canonical record per resolved entity (survivorship
+        # rules with deterministic tie-breaks; the warehouse's final
+        # user-facing table)
+        from record_linkage_spark.operators.survivorship import golden_records
+
+        wh.run_stage(
+            "golden_records",
+            lambda: golden_records(
+                profiles.select(
+                    "conv_id",
+                    "first_role",
+                    "primary_tool",
+                    "last_text_norm",
+                    "n_tokens",
+                    "n_turns",
+                ),
+                clusters,
+                id_col="conv_id",
+                mode_cols=("first_role", "primary_tool"),
+                longest_col="last_text_norm",
+                sum_cols=("n_tokens", "n_turns"),
+            ),
+            self._cfg(),
+            inputs=["clusters", "profiles"],
             resume=resume,
         )
 

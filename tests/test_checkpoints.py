@@ -66,6 +66,13 @@ def test_pipeline_resume_equivalence(spark, tmp_path):
         map(tuple, spark.read.parquet(os.path.join(wh1, "clusters")).collect())
     )
     assert len(c1) > 0
+
+    # the fusion stage materializes one golden record per resolved entity
+    golden = spark.read.parquet(os.path.join(wh1, "golden_records"))
+    assert golden.count() == r2["n_clusters"]
+    assert {"entity_id", "n_members", "member_ids", "rep_id"} <= set(
+        golden.columns
+    )
     with open(os.path.join(wh1, "pipeline_report.json")) as f:
         rep = json.load(f)
     assert rep["global"]["f1"] == r2["global"]["f1"]

@@ -163,3 +163,36 @@ def test_new_curation_operators_plan_shapes(spark):
     p3 = _plan(keep_best_per_cluster(docs, pairs, [F.col("doc_id")]))
     assert "CartesianProduct" not in p3
     assert "BroadcastNestedLoopJoin" not in p3
+
+
+def test_golden_records_plan_shape(spark):
+    """Survivorship fusion: one hash/sort-merge join for hydration, all
+    mode columns riding ONE unpivoted aggregation (k mode columns must
+    not add k shuffles), map-side partial aggregation everywhere, no
+    cartesian node, no full-data window."""
+    from record_linkage_spark.operators.survivorship import golden_records
+
+    docs = _doc_df(spark).withColumn(
+        "lang", F.when(F.col("doc_id") % 2 == 0, "en").otherwise("de")
+    ).withColumn("src", F.concat(F.lit("s"), (F.col("doc_id") % 3).cast("string")))
+    assignment = docs.select(
+        "doc_id", (F.col("doc_id") % 10).alias("entity_id")
+    )
+    out = golden_records(
+        docs,
+        assignment,
+        id_col="doc_id",
+        mode_cols=("lang", "src"),
+        longest_col="text",
+        sum_cols=(),
+    )
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # partial (map-side) aggregation before every exchange
+    assert "partial_count" in plan
+    # no window operator: the representative pick is an aggregate
+    assert "Window" not in plan
+    # the unpivot keeps mode-column aggregation to ONE counts groupBy:
+    # exactly one Generate (explode) node feeds it
+    assert plan.count("Generate explode") == 1
