@@ -1453,6 +1453,52 @@ def q_minhash_cross(spark, sf):
     ).select("corpus_id", "reference_id", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_minhash_pairs(spark, sf):
+    """Composite of the two MinHash-LSH compositions — symmetric self-scan
+    (``q_minhash_exactset``) and asymmetric cross-corpus scan
+    (``q_minhash_cross``) — union-tagged into one (kind, id_A, id_B,
+    jaccard) frame so one driver slot carries both checks verbatim."""
+    sym = q_minhash_exactset(spark, sf).select(
+        F.lit("sym").alias("kind"),
+        F.col("id_A").cast("string").alias("id_A"),
+        F.col("id_B").cast("string").alias("id_B"),
+        "jaccard",
+    )
+    cross = q_minhash_cross(spark, sf).select(
+        F.lit("cross").alias("kind"),
+        F.col("corpus_id").cast("string").alias("id_A"),
+        F.col("reference_id").cast("string").alias("id_B"),
+        "jaccard",
+    )
+    return sym.unionByName(cross)
+
+
+def q_meta_blocking(spark, sf):
+    """Meta-blocking (common-blocks weighting + block purging + weight
+    threshold, Papadakis et al.) over a disjunctive key scheme on
+    documents ∪ planted messy copies: three redundant cheap keys
+    (first-3-tokens, next-3-tokens, token-count bucket of the normalized
+    text); a pair survives with weight >= 2 corroborating keys. The
+    DuckDB twin replays postings -> purge -> bucket join -> weight
+    count, value-checking the whole pruning pipeline."""
+    from record_linkage_spark.functions.text import norm_text_with_urls
+    from record_linkage_spark.operators.blocking import meta_block_prune
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull()).select(
+        "doc_id", "text"
+    )
+    all_docs = d.unionByName(_messy_copies(d))
+    toks = F.split(norm_text_with_urls(F.col("text")), " ")
+    keys = {
+        "first3": F.array_join(F.slice(toks, 1, 3), " "),
+        "next3": F.array_join(F.slice(toks, 4, 3), " "),
+        "lenb": F.floor(F.size(toks) / 8).cast("string"),
+    }
+    return meta_block_prune(
+        all_docs, keys, id_col="doc_id", min_shared=2, max_block=60
+    )
+
+
 def q_seq_pack(spark, sf):
     """Sequence packing (training-batch layout): global prefix sum of
     token counts in portable-hash order via the two-pass range-partition
@@ -2096,13 +2142,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_funcs": q_similarity_funcs,  # F1 + F2
         # -- blocking families beyond equality cascades
         "sn_pairs": q_sn_pairs,
+        "meta_blocking": q_meta_blocking,
         # -- dedup / similarity-search / curation extras
         "dedup_exact": q_dedup_exact,
         "dedup_token_jaccard": q_dedup_token_jaccard,
         "dedup_keep_best": q_dedup_keep_best,
         "span_overlap": q_span_overlap,
-        "minhash_exactset": q_minhash_exactset,
-        "minhash_cross": q_minhash_cross,
+        "minhash_pairs": q_minhash_pairs,  # symmetric + cross-corpus LSH
         "simhash_hd": q_simhash_hd,
         "ann_brute_topk": q_ann_brute_topk,
         "rl_embedding_neardup": q_rl_embedding_neardup,
@@ -2296,11 +2342,20 @@ def _composite_oracles(base: dict[str, str]) -> dict[str, str]:
         "LEFT JOIN winners USING (entity_id)",
     )
 
+    minhash_pairs_sql = (
+        "SELECT 'sym' AS kind, CAST(id_A AS VARCHAR) AS id_A, "
+        "CAST(id_B AS VARCHAR) AS id_B, jaccard "
+        f"FROM ({base['minhash_exactset']}) "
+        "UNION ALL SELECT 'cross', corpus_id, reference_id, jaccard "
+        f"FROM ({base['minhash_cross']})"
+    )
+
     return {
         "rollup_portable": rollup_sql,
         "scalar_transforms": scalar_transforms_sql,
         "set_ops": set_ops_sql,
         "golden_records": golden_sql,
+        "minhash_pairs": minhash_pairs_sql,
         "sampling_checks": (
             f"SELECT 'hash_quota' AS kind, doc_id, lang FROM ({base['w4_hash_quota']}) "
             "UNION ALL "
@@ -3194,6 +3249,31 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(1.0 AS DOUBLE) AS jaccard "
             f"FROM kc c JOIN kr r ON c.k = r.k"
         ),
+        # meta-blocking replay: postings over three redundant keys of the
+        # normalized text -> block purging (<= 60) -> bucket join ->
+        # common-blocks weight -> threshold
+        "meta_blocking": (
+            f"WITH all_docs AS ({messy_docs}), "
+            f"tok AS (SELECT doc_id, string_split({norm_t}, ' ') AS t "
+            f"FROM all_docs WHERE {norm_t} IS NOT NULL), "
+            "posting AS ("
+            "SELECT doc_id, 'first3' AS kname, "
+            "array_to_string(t[1:3], ' ') AS kval FROM tok "
+            "UNION ALL SELECT doc_id, 'next3', "
+            "array_to_string(t[4:6], ' ') FROM tok "
+            "UNION ALL SELECT doc_id, 'lenb', "
+            "CAST(CAST(floor(len(t) / 8) AS BIGINT) AS VARCHAR) FROM tok), "
+            "p2 AS (SELECT * FROM posting "
+            "WHERE kval IS NOT NULL AND kval <> ''), "
+            "kept AS (SELECT p.* FROM p2 p JOIN ("
+            "SELECT kname, kval FROM p2 GROUP BY 1, 2 "
+            "HAVING count(*) <= 60) s USING (kname, kval)) "
+            "SELECT a.doc_id AS id_A, b.doc_id AS id_B, "
+            "CAST(count(*) AS INTEGER) AS weight "
+            "FROM kept a JOIN kept b "
+            "ON a.kname = b.kname AND a.kval = b.kval AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2 HAVING count(*) >= 2"
+        ),
         # brute-force twin of the pigeonhole-banded SimHash join
         "simhash_hd": simhash_hd_sql,
         # portable winnowing fingerprint: lexicographic min md5 over all
@@ -3401,7 +3481,7 @@ def oracle_sql() -> dict[str, str]:
         "event_hourly", "event_sessions", "w4_hash_quota", "strat_sample",
         "p8_norm_text", "p12_numeric_norm", "p16_regex_filter",
         "p18_checksum", "f4_gauss_comparator", "u1_union_sources",
-        "u3_canonical_dedup",
+        "u3_canonical_dedup", "minhash_exactset", "minhash_cross",
     ):
         out.pop(merged, None)
     return out

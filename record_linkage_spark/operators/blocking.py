@@ -326,3 +326,91 @@ def sorted_neighborhood_pairs(
         )
         .select("id_A", "id_B", "rank_A", "rank_B")
     )
+
+
+def meta_block_prune(
+    records: DataFrame,
+    keys: dict[str, Column],
+    id_col: str = "doc_id",
+    min_shared: int = 2,
+    max_block: int = 50,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Meta-blocking over a DISJUNCTIVE key scheme: weight each candidate
+    pair by how many independent block keys it co-occurs under, then keep
+    only pairs with enough corroborating evidence (weight >= min_shared)
+    — the common-blocks weighting + weight-edge-pruning scheme of
+    Papadakis et al. (TKDE 2014). Redundant cheap keys raise recall;
+    the weight threshold claws back precision without ever scoring text.
+
+    Scale shape: records explode to (key_name, key_value, id) postings
+    (one row per non-empty key — never a cross product); oversized
+    buckets are purged BEFORE pairing (``max_block``, the block-purging
+    step — a stop-key bucket contributes no discriminating evidence but
+    quadratic pairs), so the self-join is bounded per bucket; pair
+    weights reduce with map-side combine on (id_A, id_B). Optional
+    ``top_k`` applies node-centric cardinality pruning: each edge
+    survives if it ranks in the top-k of EITHER endpoint (rank by
+    weight desc, neighbor id asc — deterministic), computed on the
+    already-thresholded edge set, never the full pair graph.
+
+    Returns (id_A, id_B, weight) with id_A < id_B.
+    """
+    posting_structs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("kname"),
+                expr.cast("string").alias("kval"),
+            )
+            for name, expr in keys.items()
+        ]
+    )
+    postings = (
+        records.select(F.col(id_col).alias("_id"), F.explode(posting_structs).alias("kv"))
+        .select("_id", "kv.kname", "kv.kval")
+        .where(F.col("kval").isNotNull() & (F.col("kval") != ""))
+    )
+    # block purging: a bucket bigger than max_block is a stop key.
+    # Computed as an aggregate + semi-join (not a window): the counts
+    # side carries only (kname, kval), tiny after the size filter
+    small_blocks = (
+        postings.groupBy("kname", "kval")
+        .agg(F.count(F.lit(1)).alias("n_in_block"))
+        .where(F.col("n_in_block") <= max_block)
+        .select("kname", "kval")
+    )
+    kept = postings.join(small_blocks, ["kname", "kval"], "left_semi")
+    a = kept.select("kname", "kval", F.col("_id").alias("id_A"))
+    b = kept.select("kname", "kval", F.col("_id").alias("id_B"))
+    weighted = (
+        a.join(b, ["kname", "kval"])
+        .where(F.col("id_A") < F.col("id_B"))
+        .groupBy("id_A", "id_B")
+        .agg(F.count(F.lit(1)).cast("int").alias("weight"))
+        .where(F.col("weight") >= min_shared)
+    )
+    if top_k is None:
+        return weighted
+
+    from pyspark.sql.window import Window
+
+    # node-centric cardinality pruning on the thresholded edges: both
+    # orientations rank per node; an edge survives in either top-k
+    both = weighted.select(
+        F.col("id_A").alias("node"), F.col("id_B").alias("nbr"), "weight"
+    ).unionByName(
+        weighted.select(
+            F.col("id_B").alias("node"), F.col("id_A").alias("nbr"), "weight"
+        )
+    )
+    ranked = both.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("node").orderBy(F.desc("weight"), F.asc("nbr"))
+        ),
+    ).where(F.col("rk") <= top_k)
+    survivors = ranked.select(
+        F.least("node", "nbr").alias("id_A"),
+        F.greatest("node", "nbr").alias("id_B"),
+    ).distinct()
+    return weighted.join(survivors, ["id_A", "id_B"], "left_semi")

@@ -196,3 +196,26 @@ def test_golden_records_plan_shape(spark):
     # the unpivot keeps mode-column aggregation to ONE counts groupBy:
     # exactly one Generate (explode) node feeds it
     assert plan.count("Generate explode") == 1
+
+
+def test_meta_blocking_plan_shape(spark):
+    """Meta-blocking: postings pair via an equality bucket join (never a
+    cartesian), block purging is an aggregate + semi-join (the counts
+    side broadcast — it carries only key columns), and pair weights
+    combine map-side before the shuffle."""
+    from record_linkage_spark.operators.blocking import meta_block_prune
+
+    docs = _doc_df(spark).withColumn(
+        "k1", F.substring("text", 1, 8)
+    ).withColumn("k2", (F.col("doc_id") % 5).cast("string"))
+    out = meta_block_prune(
+        docs,
+        {"k1": F.col("k1"), "k2": F.col("k2")},
+        id_col="doc_id",
+        min_shared=1,
+        max_block=40,
+    )
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan  # weights combine before the exchange
