@@ -133,3 +133,81 @@ def golden_records(
         out = out.join(winners, "entity_id", "left")
 
     return out
+
+
+def touched_entities(
+    old_assignment: DataFrame,
+    new_assignment: DataFrame,
+    id_col: str = "conv_id",
+) -> DataFrame:
+    """Entity ids whose golden record needs re-fusing after an increment:
+    any entity (under its OLD or NEW id) that gained, lost, or re-homed a
+    member. Computed as a full-outer diff of the two assignments on the
+    record id — the general answer when the caller has only the two
+    assignment tables. Callers that know the increment's record ids can
+    build a cheaper touched set directly (semi-join the assignments to
+    those ids) and skip this diff; content-only updates (same assignment,
+    new field values) must be unioned in by the caller either way.
+    Returns a single-column (entity_id) frame, deduplicated."""
+    o = old_assignment.select(
+        F.col(id_col).alias("_id"), F.col("entity_id").alias("_old_e")
+    )
+    n = new_assignment.select(
+        F.col(id_col).alias("_id"), F.col("entity_id").alias("_new_e")
+    )
+    changed = o.join(n, "_id", "full").where(
+        ~F.col("_old_e").eqNullSafe(F.col("_new_e"))
+    )
+    return (
+        changed.select(F.col("_old_e").alias("entity_id"))
+        .unionByName(changed.select(F.col("_new_e").alias("entity_id")))
+        .where(F.col("entity_id").isNotNull())
+        .distinct()
+    )
+
+
+def incremental_golden_records(
+    records: DataFrame,
+    assignment: DataFrame,
+    old_golden: DataFrame,
+    touched: DataFrame,
+    id_col: str,
+    mode_cols: Sequence[str] = (),
+    longest_col: str | None = None,
+    sum_cols: Sequence[str] = (),
+    member_list: bool = True,
+) -> DataFrame:
+    """Maintain a golden-record table under an increment without
+    re-fusing the whole corpus: entities in ``touched`` are re-fused from
+    the CURRENT ``records``/``assignment`` (so merges, splits, member
+    updates and deletions all land correctly); every other golden row
+    passes through untouched. ``touched`` must contain BOTH the old and
+    new entity ids of anything that changed (``touched_entities`` above
+    computes exactly that from the two assignments); an entity that lost
+    all members simply produces no fresh row and disappears.
+
+    Scale shape: the fresh side is bounded by the increment — touched
+    entity ids broadcast into two semi-joins that carve out only the
+    affected members' records, and fusion runs on that slice; the
+    untouched side is one anti-join of the golden table (one row per
+    entity, not per record) against the same broadcast set. The full
+    records table is semi-join-pruned, never re-aggregated. Equals the
+    batch ``golden_records`` rerun (asserted in tests)."""
+    t = touched.select("entity_id").distinct()
+    touched_members = assignment.join(
+        F.broadcast(t), "entity_id", "left_semi"
+    )
+    slice_records = records.join(
+        touched_members.select(id_col), id_col, "left_semi"
+    )
+    fresh = golden_records(
+        slice_records,
+        touched_members,
+        id_col=id_col,
+        mode_cols=mode_cols,
+        longest_col=longest_col,
+        sum_cols=sum_cols,
+        member_list=member_list,
+    )
+    untouched = old_golden.join(F.broadcast(t), "entity_id", "left_anti")
+    return untouched.unionByName(fresh)

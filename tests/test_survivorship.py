@@ -89,3 +89,66 @@ def test_golden_records_member_list_off(spark):
         4: 2,
         6: 1,
     }
+
+
+def test_incremental_golden_equals_batch_after_mutations(spark):
+    """Insert + in-place update + delete + cluster merge: maintaining the
+    golden table over the touched entities must equal a full re-fusion of
+    the mutated corpus."""
+    from record_linkage_spark.operators.survivorship import (
+        golden_records,
+        incremental_golden_records,
+        touched_entities,
+    )
+
+    records0, assignment0 = _fixture(spark)
+    rules = dict(
+        id_col="id",
+        mode_cols=("lang", "source"),
+        longest_col="text",
+        sum_cols=("n_chars",),
+    )
+    golden0 = golden_records(records0, assignment0, **rules)
+
+    # mutate: delete record 5, update record 2's text (now longest in
+    # cluster 1), insert record 7, and merge singleton 6 into cluster 4
+    records1 = (
+        records0.where(F.col("id") != 5)
+        .where(F.col("id") != 2)
+        .unionByName(
+            spark.createDataFrame(
+                [
+                    (2, "bbbbbbbbbb", "en", "s2", 20),  # updated text
+                    (7, "gg", "fr", "s3", 9),  # new member of cluster 4
+                ],
+                records0.schema,
+            )
+        )
+    )
+    assignment1 = (
+        assignment0.where(~F.col("id").isin(5, 6))
+        .unionByName(
+            spark.createDataFrame(
+                [(6, 4), (7, 4)], "id bigint, entity_id bigint"
+            )
+        )
+    )
+
+    batch = golden_records(records1, assignment1, **rules)
+
+    # content-only update (record 2) isn't visible in the assignment
+    # diff: the caller unions its entity in, as documented
+    touched = touched_entities(assignment0, assignment1, id_col="id").unionByName(
+        assignment1.where(F.col("id") == 2).select("entity_id")
+    )
+    inc = incremental_golden_records(
+        records1, assignment1, golden0, touched, **rules
+    )
+
+    assert sorted(map(tuple, inc.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    # the update actually changed the fused row (guard non-vacuity)
+    g1 = {r.entity_id: r for r in inc.collect()}
+    assert g1[1].rep_id == 2 and g1[1].text_canon == "bbbbbbbbbb"
+    assert g1[4].n_members == 3  # 4, 6(merged), 7(inserted)
