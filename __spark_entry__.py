@@ -1910,6 +1910,18 @@ _FLAGSHIP_WEIGHTS = [
     0.4, 0.3, 0.8, 0.8, 0.8, 0.4, 1.0, 2.0,
 ]
 
+# Fellegi-Sunter (m, u) per agreement indicator for the report's third
+# model — shared by the Spark expression AND the DuckDB twin (both embed
+# the same python-computed log2 literals, so there is no cross-engine
+# float divergence to chase)
+_FS_WEIGHTS = {
+    "jw_first_high": (0.9, 0.05),
+    "x_token_prefix": (0.9, 0.05),
+    "x_primary_tool": (0.85, 0.3),
+    "x_first_role": (0.8, 0.35),
+}
+_FS_LINK_THRESHOLD = 3.0
+
 
 def _doc_profiles_full(spark, sf, extra: bool = False):
     """Full profile-shaped frame derived SQL-portably from documents —
@@ -2009,10 +2021,11 @@ def q_compare_report_portable(spark, sf):
     """E3 multi-strategy × multi-model report (reference 6-row
     ``pipeline_report.json``, ``src/evaluation/compare.py:178-197``) in
     its SQL-replayable form: fixed-weight LR + a JW threshold rule (M6)
-    over a deterministic GT pair set (planted twins = positives,
-    arithmetic neighbor pairs = negatives), one conditional-aggregate
-    pass per (strategy × model) cell. The trained-model variant stays in
-    ``rl_compare_report`` (rows-only)."""
+    + a Fellegi-Sunter log-likelihood model (fixed m/u weights,
+    ``operators/fellegi_sunter.py``) over a deterministic GT pair set
+    (planted twins = positives, arithmetic neighbor pairs = negatives),
+    one conditional-aggregate pass per (strategy × model) cell. The
+    trained-model variant stays in ``rl_compare_report`` (rows-only)."""
     from record_linkage_spark.operators.classifier import LinearModel, score_expr
     from record_linkage_spark.operators.features import add_features
     from record_linkage_spark.operators.ground_truth import hydrate_pairs
@@ -2044,10 +2057,15 @@ def q_compare_report_portable(spark, sf):
     hyd = hydrate_pairs(gt, prof, _portable_feature_cols()).localCheckpoint()
     feats = add_features(hyd, token_set_cols=("tok_set_A", "tok_set_B"))
     model = LinearModel(weights=_FLAGSHIP_WEIGHTS, intercept=-6.0, threshold=0.5)
+    from record_linkage_spark.operators.fellegi_sunter import fs_weight_expr
+
     models = {
         "lr": score_expr(model) >= F.lit(0.5),
         "jw_rule": (F.col("jw_first_high") >= F.lit(1.0))
         & (F.col("x_primary_tool") >= F.lit(1.0)),
+        # classic probabilistic model: summed log2 likelihood ratio over
+        # four agreement indicators, linked above the literal threshold
+        "fs": fs_weight_expr(_FS_WEIGHTS) > F.lit(_FS_LINK_THRESHOLD),
     }
     return fixed_prediction_report(feats.localCheckpoint(), models)
 
@@ -2571,6 +2589,23 @@ def _portable_flagship_oracles() -> dict[str, str]:
     in_b2 = "(eq_b1 AND eq_l3 AND jwf >= 0.95 AND jwl >= 0.85 AND eq_tool)"
     pred_lr = f"(1.0 / (1.0 + exp(-({z_expr}))) >= 0.5)"
     pred_rule = "(jwf >= 0.85 AND eq_tool)"
+    # Fellegi-Sunter twin: same python-computed log2 literals as the
+    # Spark expression (repr round-trips the exact double), same term
+    # order, so the two engines add identical floats identically
+    from math import log2 as _log2
+
+    _fs_sql_feats = {
+        "jw_first_high": "CAST(jwf >= 0.85 AS DOUBLE)",
+        "x_token_prefix": "x_token_prefix",
+        "x_primary_tool": "x_primary_tool",
+        "x_first_role": "x_first_role",
+    }
+    _fs_terms = [
+        f"(CASE WHEN {_fs_sql_feats[c]} >= 0.5 THEN {_log2(m / u)!r} "
+        f"ELSE {_log2((1.0 - m) / (1.0 - u))!r} END)"
+        for c, (m, u) in _FS_WEIGHTS.items()
+    ]
+    pred_fs = "((0.0 + " + " + ".join(_fs_terms) + f") > {_FS_LINK_THRESHOLD!r})"
 
     report_sql = (
         f"WITH docs2 AS ({docs2(True)}), "
@@ -2586,12 +2621,15 @@ def _portable_flagship_oracles() -> dict[str, str]:
         "coalesce(a.tool IS NOT NULL AND b.tool IS NOT NULL AND a.tool = b.tool, false) AS eq_tool "
         "FROM gt JOIN prof a ON gt.id_A = a.conv_id JOIN prof b ON gt.id_B = b.conv_id), "
         f"d AS (SELECT label, {in_b1} AS in_b1, {in_b2} AS in_b2, "
-        f"{pred_lr} AS pred_lr, {pred_rule} AS pred_rule FROM p), "
+        f"{pred_lr} AS pred_lr, {pred_rule} AS pred_rule, "
+        f"{pred_fs} AS pred_fs FROM p), "
         "cells AS ("
         + cell("B1", "lr", "in_b1", "pred_lr")
         + " UNION ALL " + cell("B1", "jw_rule", "in_b1", "pred_rule")
+        + " UNION ALL " + cell("B1", "fs", "in_b1", "pred_fs")
         + " UNION ALL " + cell("B2", "lr", "in_b2", "pred_lr")
         + " UNION ALL " + cell("B2", "jw_rule", "in_b2", "pred_rule")
+        + " UNION ALL " + cell("B2", "fs", "in_b2", "pred_fs")
         + ") "
         "SELECT strategy, model, blocking_recall, n_test_pairs, n_candidates, "
         "tp, fp, fn, tn, "

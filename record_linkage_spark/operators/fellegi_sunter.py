@@ -1,0 +1,106 @@
+"""Fellegi-Sunter probabilistic record linkage (JASA 1969): the classic
+log-likelihood-ratio scorer over a binary comparison vector, with the
+original three-way decision rule (link / possible link / non-link).
+
+The engine's main scorer is LR over the 16-dim comparison vector
+(``operators/classifier.py``, SURVEY §2 M2/M3 — the reference's model,
+``src/matching/logistic_regression.py``); this module adds the textbook
+probabilistic alternative every ER toolkit ships (cf. the
+``recordlinkage`` library's ECM/NaiveBayes classifiers): per-feature
+agreement probabilities m_i = P(agree_i | match) and
+u_i = P(agree_i | unmatch) estimated from labeled pairs, each pair
+scored by the summed log2 likelihood ratio
+
+    w = Σ_i  agree_i ? log2(m_i / u_i) : log2((1-m_i) / (1-u_i))
+
+and classified against an (upper, lower) threshold band — scores above
+``upper`` link, below ``lower`` reject, between them land in the
+clerical-review band.
+
+Scale shape: estimation aggregates the (small, labeled) ground-truth
+pair table to 2×k numbers and collects ONE row — the same bounded
+driver-side fit the LR trainer defends (``classifier.py:103``). Scoring
+is a pure column expression (a sum of ``when``s with literal weights):
+whole-stage-codegen, zero Python, zero shuffle — it fuses into whatever
+plan produced the comparison vectors.
+"""
+
+from __future__ import annotations
+
+from math import log2
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def estimate_mu(
+    labeled: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str = "label",
+    smoothing: float = 0.5,
+) -> dict[str, tuple[float, float]]:
+    """Estimate (m_i, u_i) per feature from a labeled pair table whose
+    feature columns are agreement indicators in [0, 1] (values >= 0.5
+    count as agreement, matching the comparison-vector convention).
+    Laplace-smoothed (``smoothing`` pseudo-agreements and
+    pseudo-disagreements per class) so no weight is ever ±inf. One
+    aggregate job, one collected row."""
+    agree = {c: (F.col(c) >= F.lit(0.5)).cast("double") for c in feature_cols}
+    is_m = F.col(label_col) == 1
+    aggs = []
+    for c in feature_cols:
+        aggs.append(F.sum(F.when(is_m, agree[c])).alias(f"m_a_{c}"))
+        aggs.append(F.sum(F.when(~is_m, agree[c])).alias(f"u_a_{c}"))
+    aggs.append(F.sum(is_m.cast("double")).alias("n_m"))
+    aggs.append(F.sum((~is_m).cast("double")).alias("n_u"))
+    row = labeled.agg(*aggs).first().asDict()
+    out: dict[str, tuple[float, float]] = {}
+    for c in feature_cols:
+        m = ((row[f"m_a_{c}"] or 0.0) + smoothing) / (row["n_m"] + 2 * smoothing)
+        u = ((row[f"u_a_{c}"] or 0.0) + smoothing) / (row["n_u"] + 2 * smoothing)
+        out[c] = (m, u)
+    return out
+
+
+def fs_weight_expr(weights: Mapping[str, tuple[float, float]]) -> Column:
+    """Summed log2-likelihood-ratio column over agreement indicators,
+    with the (m, u) pairs baked in as literals — pure codegen, no UDF."""
+    total = F.lit(0.0)
+    for c, (m, u) in weights.items():
+        agree_w = F.lit(log2(m / u))
+        disagree_w = F.lit(log2((1.0 - m) / (1.0 - u)))
+        total = total + F.when(F.col(c) >= F.lit(0.5), agree_w).otherwise(
+            disagree_w
+        )
+    return total
+
+
+def fs_score(
+    pairs: DataFrame,
+    weights: Mapping[str, tuple[float, float]],
+    out_col: str = "fs_weight",
+) -> DataFrame:
+    """Attach the Fellegi-Sunter composite weight to a comparison-vector
+    pair table."""
+    return pairs.withColumn(out_col, fs_weight_expr(weights))
+
+
+def fs_classify(
+    pairs: DataFrame,
+    weights: Mapping[str, tuple[float, float]],
+    upper: float,
+    lower: float,
+    out_col: str = "fs_decision",
+) -> DataFrame:
+    """The original three-way decision rule: weight > upper -> 'link',
+    weight < lower -> 'non_link', otherwise 'possible' (the clerical
+    review band). ``upper >= lower`` is required."""
+    if upper < lower:
+        raise ValueError(f"upper ({upper}) must be >= lower ({lower})")
+    w = fs_weight_expr(weights)
+    return pairs.withColumn("fs_weight", w).withColumn(
+        out_col,
+        F.when(F.col("fs_weight") > upper, "link")
+        .when(F.col("fs_weight") < lower, "non_link")
+        .otherwise("possible"),
+    )

@@ -1,0 +1,74 @@
+"""Fellegi-Sunter: hand-computed m/u estimation, log2 weight arithmetic,
+and the three-way decision band."""
+
+from math import log2
+
+import pytest
+
+from record_linkage_spark.operators.fellegi_sunter import (
+    estimate_mu,
+    fs_classify,
+    fs_score,
+)
+
+
+def _labeled(spark):
+    # 4 matches, 4 non-matches; f1 agrees on 3/4 matches and 1/4
+    # non-matches; f2 agrees on 4/4 matches and 0/4 non-matches
+    rows = [
+        (1, 1.0, 1.0), (1, 1.0, 1.0), (1, 1.0, 1.0), (1, 0.0, 1.0),
+        (0, 1.0, 0.0), (0, 0.0, 0.0), (0, 0.0, 0.0), (0, 0.0, 0.0),
+    ]
+    return spark.createDataFrame(rows, "label int, f1 double, f2 double")
+
+
+def test_estimate_mu_laplace(spark):
+    w = estimate_mu(_labeled(spark), ["f1", "f2"], smoothing=0.5)
+    # m_f1 = (3 + .5) / (4 + 1) = 0.7 ; u_f1 = (1 + .5) / 5 = 0.3
+    assert w["f1"] == (pytest.approx(0.7), pytest.approx(0.3))
+    # m_f2 = (4 + .5) / 5 = 0.9 ; u_f2 = (0 + .5) / 5 = 0.1
+    assert w["f2"] == (pytest.approx(0.9), pytest.approx(0.1))
+
+
+def test_fs_score_hand_computed(spark):
+    weights = {"f1": (0.7, 0.3), "f2": (0.9, 0.1)}
+    pairs = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, 1.0, 0.0), (3, 0.0, 0.0)],
+        "pid int, f1 double, f2 double",
+    )
+    got = {
+        r.pid: r.fs_weight for r in fs_score(pairs, weights).collect()
+    }
+    agree1, dis1 = log2(0.7 / 0.3), log2(0.3 / 0.7)
+    agree2, dis2 = log2(0.9 / 0.1), log2(0.1 / 0.9)
+    assert got[1] == pytest.approx(agree1 + agree2)
+    assert got[2] == pytest.approx(agree1 + dis2)
+    assert got[3] == pytest.approx(dis1 + dis2)
+
+
+def test_fs_classify_three_way_band(spark):
+    weights = {"f1": (0.7, 0.3), "f2": (0.9, 0.1)}
+    pairs = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, 1.0, 0.0), (3, 0.0, 0.0)],
+        "pid int, f1 double, f2 double",
+    )
+    # full-agree weight ~= 4.39, mixed ~= -1.95, full-disagree ~= -4.39
+    out = {
+        r.pid: r.fs_decision
+        for r in fs_classify(pairs, weights, upper=3.0, lower=-3.0).collect()
+    }
+    assert out == {1: "link", 2: "possible", 3: "non_link"}
+
+    with pytest.raises(ValueError):
+        fs_classify(pairs, weights, upper=-1.0, lower=1.0)
+
+
+def test_fs_end_to_end_estimation_separates_classes(spark):
+    labeled = _labeled(spark)
+    w = estimate_mu(labeled, ["f1", "f2"])
+    scored = fs_score(labeled, w).collect()
+    match_scores = [r.fs_weight for r in scored if r.label == 1]
+    unmatch_scores = [r.fs_weight for r in scored if r.label == 0]
+    # weights estimated from this table fully separate it:
+    # min match = dis(f1)+agree(f2) = 1.95 > max unmatch = -1.95
+    assert min(match_scores) > max(unmatch_scores)
