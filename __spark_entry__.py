@@ -775,6 +775,18 @@ def q_rl_candidates_b2(spark, sf):
     return candidate_pairs(profiles, "B2")
 
 
+def q_rl_one_to_one(spark, sf):
+    """Greedy 1:1 matching (locally-dominant edge rounds == sequential
+    greedy under the strict total order, ``operators/matching.py``) over
+    the portable scored-pair set — rows-only: the iterative rounds have
+    no SQL twin; equality with a driver-side greedy reference is pinned
+    in ``tests/test_matching.py``."""
+    from record_linkage_spark.operators.matching import one_to_one_matching
+
+    scored = q_scored_pairs_portable(spark, sf)
+    return one_to_one_matching(scored, score_col="score")
+
+
 def q_rl_sorted_neighborhood(spark, sf):
     """Sorted-neighborhood blocking: range-partitioned global rank +
     bucket join, window pairs over the token_prefix order."""
@@ -2187,6 +2199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rl_profiles": q_rl_profiles,
         "rl_ground_truth": q_rl_ground_truth,
         "rl_sorted_neighborhood": q_rl_sorted_neighborhood,
+        "rl_one_to_one": q_rl_one_to_one,
         "rl_scored_pairs": q_rl_scored_pairs,
         "rl_dedupe_scored": q_rl_dedupe_scored,
         "rl_text_scored": q_rl_text_scored,
