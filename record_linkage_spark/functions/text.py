@@ -83,6 +83,24 @@ def token_prefix(tokens, k: int) -> Column:
     return F.concat_ws(" ", F.slice(_col(tokens), 1, k))
 
 
+def phonetic_key(c) -> Column:
+    """Soundex phonetic blocking key (Spark built-in, JVM-side): spelling
+    variants of the same name collide (Robert/Rupert -> R163,
+    Smith/Smyth -> S530), the classic recall-raising redundant key for a
+    disjunctive scheme — pair it with exact/prefix keys under
+    ``blocking.meta_block_prune`` so its false collisions are pruned by
+    the common-blocks weight instead of a text scorer. Empty input maps
+    to empty (meta_block_prune drops empty keys); NULL stays NULL."""
+    return F.soundex(_col(c))
+
+
+def phonetic_name_key(c) -> Column:
+    """Soundex of the FIRST token (the name-shaped prefix) of a free-text
+    column — the usable phonetic key for multi-word fields."""
+    s = _col(c)
+    return F.soundex(F.substring_index(F.trim(s), " ", 1))
+
+
 def serialize_record(field_cols: list[tuple[str, "Column | str"]]) -> Column:
     """P21 — Ditto-style record serialization (``ditto_format.py:55-74``):
     ``"COL <f> VAL <v>"`` for every non-null field, space-joined in the

@@ -88,3 +88,58 @@ def test_field_diff_count(spark):
         field_diff_count([("a1", "b1"), ("a2", "b2"), ("a3", "b3")]).alias("v")
     ).first().v
     assert v == 1
+
+
+def test_phonetic_key_truth_table(spark):
+    from record_linkage_spark.functions.text import (
+        phonetic_key,
+        phonetic_name_key,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("Robert",), ("Rupert",), ("Smith",), ("Smyth",),
+            ("Jones",), ("",), (None,),
+        ],
+        "s string",
+    )
+    got = {
+        r.s: r.k
+        for r in df.select("s", phonetic_key("s").alias("k")).collect()
+    }
+    assert got["Robert"] == got["Rupert"] == "R163"
+    assert got["Smith"] == got["Smyth"] == "S530"
+    assert got["Jones"] == "J520" != got["Smith"]
+    assert got[""] == "" and got[None] is None
+
+    # multi-word field: key on the first (name-shaped) token
+    df2 = spark.createDataFrame(
+        [("Robert the builder",), ("Rupert T. Builder",)], "s string"
+    )
+    ks = [
+        r.k for r in df2.select(phonetic_name_key("s").alias("k")).collect()
+    ]
+    assert ks[0] == ks[1] == "R163"
+
+
+def test_phonetic_key_feeds_meta_blocking(spark):
+    from pyspark.sql import functions as F
+
+    from record_linkage_spark.functions.text import phonetic_name_key
+    from record_linkage_spark.operators.blocking import meta_block_prune
+
+    df = spark.createDataFrame(
+        [
+            (1, "Robert Smith", "london"),
+            (2, "Rupert Smith", "london"),   # phonetic + city -> weight 2
+            (3, "Robert Jones", "paris"),    # phonetic only -> weight 1
+            (4, "Alice Wong", "london"),     # city only -> weight 1
+        ],
+        "doc_id bigint, name string, city string",
+    )
+    out = meta_block_prune(
+        df,
+        {"ph": phonetic_name_key("name"), "city": F.col("city")},
+        min_shared=2,
+    ).collect()
+    assert {(r.id_A, r.id_B) for r in out} == {(1, 2)}
