@@ -71,6 +71,7 @@ class LinkagePipeline:
         neg_ratio: float = NEG_TO_POS_RATIO,
         transcripts_df: DataFrame | None = None,
         keys_df: DataFrame | None = None,
+        one_to_one: bool = False,
     ):
         self.spark = spark
         self.wh = Warehouse(root=warehouse, spark=spark)
@@ -78,6 +79,7 @@ class LinkagePipeline:
         self.dup_rate = dup_rate
         self.strategy = strategy
         self.neg_ratio = neg_ratio
+        self.one_to_one = one_to_one
         self._transcripts_df = transcripts_df
         self._keys_df = keys_df
         self.model: LinearModel | None = None
@@ -89,6 +91,7 @@ class LinkagePipeline:
             "entities": self.n_entities,
             "dup_rate": self.dup_rate,
             "strategy": self.strategy,
+            "one_to_one": self.one_to_one,
             **kw,
         }
 
@@ -177,11 +180,26 @@ class LinkagePipeline:
             except OSError:
                 pass
 
+        def _edges() -> DataFrame:
+            matches = scored.filter(F.col("pred") == 1)
+            if self.one_to_one:
+                # 1:1 constraint (linking deduplicated sources): greedy
+                # matching on score keeps each record's single best match
+                from record_linkage_spark.operators.matching import (
+                    one_to_one_matching,
+                )
+
+                matches = one_to_one_matching(
+                    matches.select("id_A", "id_B", "score"),
+                    score_col="score",
+                )
+            return matches.select(
+                F.col("id_A").alias("src"), F.col("id_B").alias("dst")
+            )
+
         edges = wh.run_stage(
             "match_edges",
-            lambda: scored.filter(F.col("pred") == 1).select(
-                F.col("id_A").alias("src"), F.col("id_B").alias("dst")
-            ),
+            _edges,
             self._cfg(),
             inputs=["scored_pairs"],
             resume=resume,
@@ -297,6 +315,12 @@ def main() -> None:
     ap.add_argument("--strategy", default="B1")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument(
+        "--one-to-one",
+        action="store_true",
+        help="constrain matches to 1:1 before clustering (greedy "
+        "locally-dominant matching on score)",
+    )
+    ap.add_argument(
         "--compare",
         action="store_true",
         help="after the pipeline, emit the (strategy x model) comparison "
@@ -328,6 +352,7 @@ def main() -> None:
         n_entities=args.entities,
         dup_rate=args.dup_rate,
         strategy=args.strategy,
+        one_to_one=args.one_to_one,
     )
     report = pipe.run(resume=not args.no_resume)
     if args.compare:
