@@ -287,3 +287,119 @@ def stream_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_entities(
+    spark: SparkSession,
+    matches_dir: str,
+    base_profiles_dir: str,
+    assignment_dir: str,
+    golden_dir: str,
+    checkpoint_dir: str,
+    mode_cols: tuple = ("first_role", "primary_tool"),
+    longest_col: str = "last_text_norm",
+    sum_cols: tuple = ("n_tokens", "n_turns"),
+):
+    """Continuous entity maintenance downstream of ``stream_link``: new
+    match-edge files fold into the (record -> entity) assignment via
+    graph contraction (``clustering.incremental_components``) and only
+    the TOUCHED entities re-fuse into golden records
+    (``survivorship.incremental_golden_records``) — per-batch work is
+    O(increment), never O(corpus).
+
+    State tables (assignment, golden) are snapshot-per-epoch: each batch
+    writes the full new state under ``epoch=<id>`` and reads the latest
+    PRIOR epoch, so a retried micro-batch overwrites its own snapshot
+    instead of compounding (same exactly-once pattern as the other
+    sinks; on a warehouse deployment both become Iceberg MERGE on the
+    same key). Only records that appear in match edges enter the
+    assignment — the golden table covers LINKED entities; unlinked
+    singletons stay in the profile base. Returns the StreamingQuery."""
+    from record_linkage_spark.operators.clustering import (
+        assign_entities,
+        incremental_components,
+    )
+    from record_linkage_spark.operators.survivorship import (
+        incremental_golden_records,
+        golden_records,
+        touched_entities,
+    )
+
+    edge_schema = T.StructType(
+        [
+            T.StructField("id_A", T.StringType(), False),
+            T.StructField("id_B", T.StringType(), False),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(edge_schema)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(matches_dir)
+    )
+
+    def _latest_epoch(path: str, before: int) -> int | None:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(p):
+            return None
+        best = None
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.startswith("epoch="):
+                e = int(name.split("=", 1)[1])
+                if e != before and (best is None or e > best):
+                    best = e
+        return best
+
+    fuse = dict(
+        id_col="conv_id",
+        mode_cols=tuple(mode_cols),
+        longest_col=longest_col,
+        sum_cols=tuple(sum_cols),
+    )
+    prof_cols = ["conv_id", *mode_cols, longest_col, *sum_cols]
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        edges = batch_df.select(
+            F.col("id_A").alias("src"), F.col("id_B").alias("dst")
+        ).localCheckpoint()
+        profiles = spark.read.parquet(base_profiles_dir).select(*prof_cols)
+
+        prev = _latest_epoch(assignment_dir, before=epoch_id)
+        if prev is None:
+            ids = (
+                edges.select(F.col("src").alias("conv_id"))
+                .unionByName(edges.select(F.col("dst").alias("conv_id")))
+                .distinct()
+            )
+            new_assign = assign_entities(ids, edges).localCheckpoint()
+            golden_new = golden_records(profiles, new_assign, **fuse)
+        else:
+            old_assign = spark.read.parquet(
+                f"{assignment_dir}/epoch={prev}"
+            )
+            new_assign = incremental_components(
+                old_assign, edges
+            ).localCheckpoint()
+            old_golden = spark.read.parquet(f"{golden_dir}/epoch={prev}")
+            touched = touched_entities(old_assign, new_assign)
+            golden_new = incremental_golden_records(
+                profiles, new_assign, old_golden, touched, **fuse
+            )
+        new_assign.write.mode("overwrite").parquet(
+            f"{assignment_dir}/epoch={epoch_id}"
+        )
+        golden_new.write.mode("overwrite").parquet(
+            f"{golden_dir}/epoch={epoch_id}"
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -200,3 +200,89 @@ def test_stream_link_end_to_end(spark, tmp_path):
     # duplicates of the same new entity share the entity prefix
     same_entity = [r for r in rows if r.id_A.split("_")[0] == r.id_B.split("_")[0]]
     assert len(same_entity) > 0
+
+
+def test_stream_entities_maintains_assignment_and_golden(spark, tmp_path):
+    """Two waves of match edges stream through stream_entities; the final
+    snapshot's assignment AND golden table must equal the batch recompute
+    over the union of all edges."""
+    from record_linkage_spark.operators.clustering import assign_entities
+    from record_linkage_spark.operators.rollup import rollup_conversations
+    from record_linkage_spark.operators.survivorship import golden_records
+    from record_linkage_spark.streaming.incremental import stream_entities
+    from record_linkage_spark.synth.transcripts import (
+        generate_transcripts,
+        transcripts_table,
+    )
+
+    raw = transcripts_table(generate_transcripts(spark, n_entities=40, dup_rate=2.0))
+    profiles = rollup_conversations(raw).drop("turns")
+    base_dir = str(tmp_path / "profiles")
+    profiles.write.parquet(base_dir + "/epoch=-1")
+
+    # true edges: chain convs of the same hidden entity (conv_id prefix)
+    convs = sorted(r.conv_id for r in profiles.select("conv_id").collect())
+    by_ent = {}
+    for c in convs:
+        by_ent.setdefault(c.split("_")[0], []).append(c)
+    all_edges = [
+        (g[i], g[i + 1]) for g in by_ent.values() for i in range(len(g) - 1)
+    ]
+    assert len(all_edges) >= 4
+    half = len(all_edges) // 2
+    matches_dir = str(tmp_path / "matches")
+    schema = "id_A string, id_B string"
+    spark.createDataFrame(all_edges[:half], schema).write.mode(
+        "append"
+    ).parquet(matches_dir)
+
+    args = (
+        spark,
+        matches_dir,
+        base_dir,
+        str(tmp_path / "assign"),
+        str(tmp_path / "golden"),
+        str(tmp_path / "ckpt"),
+    )
+    stream_entities(*args).awaitTermination()
+    spark.createDataFrame(all_edges[half:], schema).write.mode(
+        "append"
+    ).parquet(matches_dir)
+    stream_entities(*args).awaitTermination()
+
+    # latest snapshot
+    import os
+
+    def latest(d):
+        eps = [int(n.split("=")[1]) for n in os.listdir(d) if n.startswith("epoch=")]
+        return spark.read.parquet(f"{d}/epoch={max(eps)}")
+
+    got_assign = latest(str(tmp_path / "assign"))
+    edges_df = spark.createDataFrame(all_edges, schema).select(
+        F.col("id_A").alias("src"), F.col("id_B").alias("dst")
+    )
+    linked_ids = (
+        edges_df.select(F.col("src").alias("conv_id"))
+        .unionByName(edges_df.select(F.col("dst").alias("conv_id")))
+        .distinct()
+    )
+    want_assign = assign_entities(linked_ids, edges_df)
+    assert sorted(map(tuple, got_assign.collect())) == sorted(
+        map(tuple, want_assign.collect())
+    )
+
+    fuse = dict(
+        id_col="conv_id",
+        mode_cols=("first_role", "primary_tool"),
+        longest_col="last_text_norm",
+        sum_cols=("n_tokens", "n_turns"),
+    )
+    prof_cols = ["conv_id", "first_role", "primary_tool", "last_text_norm",
+                 "n_tokens", "n_turns"]
+    want_golden = golden_records(
+        profiles.select(*prof_cols), want_assign, **fuse
+    )
+    got_golden = latest(str(tmp_path / "golden"))
+    assert sorted(map(tuple, got_golden.collect())) == sorted(
+        map(tuple, want_golden.collect())
+    )
