@@ -1,0 +1,37 @@
+"""Driver-contract invariants: the correctness gate only verdicts the
+first 50 ``queries()`` entries, so the window discipline is pinned here —
+a regression that strands an oracle-backed entry past the cutoff or lets
+a rows-only entry waste a slot fails CI, not the round."""
+
+import importlib.util
+
+
+def _entry_module():
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def test_window_is_wall_to_wall_oracle_backed():
+    m = _entry_module()
+    q = list(m.queries())
+    o = m.oracle_sql()
+    window = q[:50]
+    assert [k for k in window if k not in o] == [], (
+        "rows-only entry inside the 50-slot driver window"
+    )
+    assert [k for k in q[50:] if k in o] == [], (
+        "oracle-backed entry stranded past the driver's 50-entry cutoff"
+    )
+
+
+def test_every_oracle_has_a_query_and_queries_are_callable():
+    m = _entry_module()
+    q = m.queries()
+    o = m.oracle_sql()
+    assert [k for k in o if k not in q] == []
+    assert all(callable(fn) for fn in q.values())
+    assert all(isinstance(sql, str) and sql.strip() for sql in o.values())
