@@ -27,7 +27,7 @@ plan produced the comparison vectors.
 
 from __future__ import annotations
 
-from math import log2
+from math import log, log2
 from typing import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -104,3 +104,86 @@ def fs_classify(
         .when(F.col("fs_weight") < lower, "non_link")
         .otherwise("possible"),
     )
+
+
+def ecm_estimate(
+    pairs: DataFrame,
+    feature_cols: Sequence[str],
+    max_iter: int = 200,
+    tol: float = 1e-7,
+    init_p: float = 0.1,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    eps: float = 1e-6,
+) -> dict:
+    """UNSUPERVISED (m, u, p) estimation — the ECM/EM fit of the
+    Fellegi-Sunter mixture (Winkler 1988; the ``recordlinkage`` library's
+    ECMClassifier): no labels needed, the comparison vectors themselves
+    are modeled as a two-component product-of-Bernoullis mixture with
+    match prevalence p.
+
+    Distributed shape: the ONLY cluster job is one aggregation that
+    groups pairs by their binarized comparison PATTERN — at most 2^k
+    distinct rows for k features, independent of pair count — and EM
+    iterates driver-side over that tiny (pattern, count) table. The
+    same bounded-driver defense as the LR fit, but here the collected
+    table is provably <= 2^k rows, not just "the labeled sample".
+
+    Returns ``{"p": float, "weights": {col: (m, u)}, "iters": int}`` —
+    ``weights`` plugs straight into :func:`fs_weight_expr` /
+    :func:`fs_classify`."""
+    cols = list(feature_cols)
+    binarized = [(F.col(c) >= F.lit(0.5)).cast("int").alias(c) for c in cols]
+    rows = (
+        pairs.select(*binarized)
+        .groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    patterns = [([float(r[c]) for c in cols], float(r["_n"])) for r in rows]
+    total = sum(n for _, n in patterns)
+    if total == 0:
+        raise ValueError("ecm_estimate needs at least one pair")
+
+    p = init_p
+    m = [init_m] * len(cols)
+    u = [init_u] * len(cols)
+
+    def clamp(x: float) -> float:
+        return min(1.0 - eps, max(eps, x))
+
+    prev_ll = None
+    iters = 0
+    for iters in range(1, max_iter + 1):
+        # E-step over patterns
+        sw = 0.0                       # Σ n·w
+        swg = [0.0] * len(cols)        # Σ n·w·g_i
+        sug = [0.0] * len(cols)        # Σ n·(1-w)·g_i
+        ll = 0.0
+        for g, n in patterns:
+            pm, pu = p, 1.0 - p
+            for i, gi in enumerate(g):
+                pm *= m[i] if gi else (1.0 - m[i])
+                pu *= u[i] if gi else (1.0 - u[i])
+            z = pm + pu
+            w = pm / z
+            ll += n * log(z)
+            sw += n * w
+            for i, gi in enumerate(g):
+                if gi:
+                    swg[i] += n * w
+                    sug[i] += n * (1.0 - w)
+        # M-step
+        p = clamp(sw / total)
+        su = total - sw
+        m = [clamp(swg[i] / sw) for i in range(len(cols))]
+        u = [clamp(sug[i] / su) for i in range(len(cols))]
+        if prev_ll is not None and abs(ll - prev_ll) < tol * abs(prev_ll):
+            break
+        prev_ll = ll
+
+    return {
+        "p": p,
+        "weights": {c: (m[i], u[i]) for i, c in enumerate(cols)},
+        "iters": iters,
+    }

@@ -4,6 +4,7 @@ and the three-way decision band."""
 from math import log2
 
 import pytest
+from pyspark.sql import functions as F
 
 from record_linkage_spark.operators.fellegi_sunter import (
     estimate_mu,
@@ -72,3 +73,60 @@ def test_fs_end_to_end_estimation_separates_classes(spark):
     # weights estimated from this table fully separate it:
     # min match = dis(f1)+agree(f2) = 1.95 > max unmatch = -1.95
     assert min(match_scores) > max(unmatch_scores)
+
+
+def test_ecm_recovers_known_mixture_without_labels(spark):
+    """Pairs sampled from a known two-component Bernoulli mixture: the
+    unsupervised EM fit must recover (p, m, u) to ~±0.05 and its weights
+    must separate the (hidden) classes."""
+    import random
+
+    from record_linkage_spark.operators.fellegi_sunter import ecm_estimate
+
+    rng = random.Random(42)
+    true_p = 0.15
+    true_m = [0.92, 0.85, 0.80]
+    true_u = [0.08, 0.15, 0.25]
+    rows = []
+    for _ in range(6000):
+        is_match = rng.random() < true_p
+        probs = true_m if is_match else true_u
+        rows.append(
+            tuple(1.0 if rng.random() < pj else 0.0 for pj in probs)
+            + (int(is_match),)
+        )
+    df = spark.createDataFrame(
+        rows, "f1 double, f2 double, f3 double, hidden int"
+    )
+
+    got = ecm_estimate(df.select("f1", "f2", "f3"), ["f1", "f2", "f3"])
+    assert abs(got["p"] - true_p) < 0.05
+    for i, c in enumerate(["f1", "f2", "f3"]):
+        m, u = got["weights"][c]
+        assert abs(m - true_m[i]) < 0.07, (c, m)
+        assert abs(u - true_u[i]) < 0.07, (c, u)
+
+    scored = fs_score(df, got["weights"]).collect()
+    m_scores = [r.fs_weight for r in scored if r.hidden == 1]
+    u_scores = [r.fs_weight for r in scored if r.hidden == 0]
+    assert sum(m_scores) / len(m_scores) > sum(u_scores) / len(u_scores) + 2
+
+
+def test_ecm_pattern_aggregation_is_bounded(spark):
+    """The only cluster job groups by pattern: 3 binary features -> at
+    most 8 collected rows regardless of pair count (here 6,000)."""
+    from record_linkage_spark.operators.fellegi_sunter import ecm_estimate
+
+    df = spark.range(6000).select(
+        (F.col("id") % 2 == 0).cast("double").alias("f1"),
+        (F.col("id") % 3 == 0).cast("double").alias("f2"),
+        (F.col("id") % 5 == 0).cast("double").alias("f3"),
+    )
+    n_patterns = df.select(
+        (F.col("f1") >= 0.5).cast("int").alias("f1"),
+        (F.col("f2") >= 0.5).cast("int").alias("f2"),
+        (F.col("f3") >= 0.5).cast("int").alias("f3"),
+    ).distinct().count()
+    assert n_patterns <= 8
+    got = ecm_estimate(df, ["f1", "f2", "f3"])
+    assert 0.0 < got["p"] < 1.0 and got["iters"] >= 1
