@@ -197,8 +197,35 @@ def main() -> None:
     edges = scored_cands.filter(F.col("pred") == 1).select(
         F.col("id_A").alias("src"), F.col("id_B").alias("dst")
     )
-    _, queries["rl_connected_components"] = _timed_best2(
-        lambda: assign_entities(profiles.select("conv_id"), edges).count()
+    assignment, queries["rl_connected_components"] = _timed_best2(
+        lambda: assign_entities(profiles.select("conv_id"), edges).localCheckpoint()
+    )
+
+    # round-3 operators over the same corpus: survivorship fusion of the
+    # resolved entities, 1:1-constrained matching, meta-blocking pruning
+    from record_linkage_spark.operators.matching import one_to_one_matching
+    from record_linkage_spark.operators.survivorship import golden_records
+
+    _, queries["rl_golden_records"] = _timed_best2(
+        lambda: golden_records(
+            profiles.select(
+                "conv_id", "first_role", "primary_tool",
+                "last_text_norm", "n_tokens", "n_turns",
+            ),
+            assignment,
+            id_col="conv_id",
+            mode_cols=("first_role", "primary_tool"),
+            longest_col="last_text_norm",
+            sum_cols=("n_tokens", "n_turns"),
+        ).count()
+    )
+    _, queries["rl_one_to_one"] = _timed_best2(
+        lambda: one_to_one_matching(
+            scored_cands.select("id_A", "id_B", "score"), score_col="score"
+        ).count()
+    )
+    _, queries["meta_blocking"] = _timed_best2(
+        lambda: em.q_meta_blocking(spark, sf_dir).count()
     )
 
     pairs_per_sec = n_big / score_sec if score_sec > 0 else 0.0
