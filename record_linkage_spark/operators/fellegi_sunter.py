@@ -187,3 +187,52 @@ def ecm_estimate(
         "weights": {c: (m[i], u[i]) for i, c in enumerate(cols)},
         "iters": iters,
     }
+
+
+def fs_tf_adjusted_score(
+    pairs: DataFrame,
+    records: DataFrame,
+    value_col: str,
+    m: float,
+    value_a: str | None = None,
+    value_b: str | None = None,
+    out_col: str = "fs_tf_weight",
+    u_floor: float = 1e-9,
+) -> DataFrame:
+    """Term-frequency-adjusted agreement weight for ONE field (the
+    Splink-style tf adjustment): agreeing on a COMMON value is weak
+    evidence, agreeing on a rare one is strong, so the agreement weight
+    log2(m / u) replaces the global u with the VALUE's own random-match
+    probability u_v = tf(v) = count(v) / N. Disagreement keeps the
+    global-u weight log2((1-m) / (1-u_bar)) with
+    u_bar = Σ tf(v)^2 (the probability two random records agree at all).
+
+    Scale shape: the tf table is one groupBy on the field (map-side
+    combinable) carrying (value, tf) only; pairs join it on the agreed
+    value — an equality join sized by distinct values, never broadcast-
+    assumed. u_bar is a single-row aggregate. Everything else is codegen.
+
+    ``pairs`` must carry the field's two sides (default
+    ``{value_col}_A`` / ``{value_col}_B``). Returns ``pairs`` +
+    ``out_col`` (double)."""
+    va = value_a or f"{value_col}_A"
+    vb = value_b or f"{value_col}_B"
+    n_total = records.count()
+    tf = (
+        records.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("_tf_v"))
+        .agg((F.count(F.lit(1)) / F.lit(float(n_total))).alias("_tf"))
+    )
+    u_bar_row = tf.agg(F.sum(F.col("_tf") * F.col("_tf")).alias("u")).first()
+    u_bar = min(1.0 - 1e-9, max(u_floor, float(u_bar_row.u or u_floor)))
+    disagree_w = log2((1.0 - m) / (1.0 - u_bar))
+
+    agree = F.col(va).isNotNull() & F.col(va).eqNullSafe(F.col(vb))
+    joined = pairs.join(
+        tf, pairs[va] == tf["_tf_v"], "left"
+    )
+    u_v = F.greatest(F.coalesce(F.col("_tf"), F.lit(u_floor)), F.lit(u_floor))
+    w = F.when(
+        agree, F.log2(F.lit(float(m)) / u_v)
+    ).otherwise(F.lit(disagree_w))
+    return joined.withColumn(out_col, w).drop("_tf_v", "_tf")

@@ -130,3 +130,41 @@ def test_ecm_pattern_aggregation_is_bounded(spark):
     assert n_patterns <= 8
     got = ecm_estimate(df, ["f1", "f2", "f3"])
     assert 0.0 < got["p"] < 1.0 and got["iters"] >= 1
+
+
+def test_tf_adjusted_agreement_weights(spark):
+    """Agreeing on a rare value outweighs agreeing on a common one; the
+    numbers are hand-computed from the tf table."""
+    from math import log2 as py_log2
+
+    from record_linkage_spark.operators.fellegi_sunter import (
+        fs_tf_adjusted_score,
+    )
+
+    # 10 records: "smith" x 5 (tf 0.5), "wong" x 4 (tf 0.4), "zu" x 1 (0.1)
+    records = spark.createDataFrame(
+        [(i, "smith") for i in range(5)]
+        + [(i, "wong") for i in range(5, 9)]
+        + [(9, "zu")],
+        "rid bigint, surname string",
+    )
+    pairs = spark.createDataFrame(
+        [
+            (1, "smith", "smith"),  # common agree
+            (2, "zu", "zu"),        # rare agree
+            (3, "smith", "wong"),   # disagree
+            (4, None, "wong"),      # null side -> disagree weight
+        ],
+        "pid int, surname_A string, surname_B string",
+    )
+    m = 0.9
+    got = {
+        r.pid: r.fs_tf_weight
+        for r in fs_tf_adjusted_score(pairs, records, "surname", m).collect()
+    }
+    assert got[1] == pytest.approx(py_log2(0.9 / 0.5))
+    assert got[2] == pytest.approx(py_log2(0.9 / 0.1))
+    assert got[2] > got[1]  # rare agreement is stronger evidence
+    u_bar = 0.5**2 + 0.4**2 + 0.1**2  # 0.42
+    assert got[3] == pytest.approx(py_log2(0.1 / (1 - u_bar)))
+    assert got[4] == got[3]
