@@ -236,3 +236,30 @@ def fs_tf_adjusted_score(
         agree, F.log2(F.lit(float(m)) / u_v)
     ).otherwise(F.lit(disagree_w))
     return joined.withColumn(out_col, w).drop("_tf_v", "_tf")
+
+
+def fs_thresholds_from_prior(
+    p: float,
+    link_posterior: float = 0.95,
+    non_link_posterior: float = 0.95,
+) -> tuple[float, float]:
+    """Derive the (upper, lower) decision band from the match prevalence
+    ``p`` (e.g. ECM's estimate) and target posteriors — the Fellegi-Sunter
+    error-bounded rule in odds form. A pair links when
+    P(M | w) >= link_posterior, i.e. when the composite weight exceeds
+
+        upper = log2(odds(link_posterior)) - log2(p / (1 - p))
+
+    and symmetrically for the non-link bound. Plugs ``ecm_estimate``'s
+    output straight into :func:`fs_classify`:
+
+        fit = ecm_estimate(pairs, cols)
+        hi, lo = fs_thresholds_from_prior(fit["p"])
+        fs_classify(pairs, fit["weights"], upper=hi, lower=lo)
+    """
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"p must be in (0, 1), got {p}")
+    prior_odds = log2(p / (1.0 - p))
+    upper = log2(link_posterior / (1.0 - link_posterior)) - prior_odds
+    lower = -log2(non_link_posterior / (1.0 - non_link_posterior)) - prior_odds
+    return upper, lower

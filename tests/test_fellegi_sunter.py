@@ -168,3 +168,43 @@ def test_tf_adjusted_agreement_weights(spark):
     u_bar = 0.5**2 + 0.4**2 + 0.1**2  # 0.42
     assert got[3] == pytest.approx(py_log2(0.1 / (1 - u_bar)))
     assert got[4] == got[3]
+
+
+def test_thresholds_from_prior_band(spark):
+    """Posterior-odds thresholds: with p=0.5 the band is symmetric at
+    ±log2(19); an ECM fit + derived band separates the planted mixture
+    with high posterior confidence on the links."""
+    from math import log2 as py_log2
+
+    from record_linkage_spark.operators.fellegi_sunter import (
+        ecm_estimate,
+        fs_classify,
+        fs_thresholds_from_prior,
+    )
+
+    hi, lo = fs_thresholds_from_prior(0.5)
+    assert hi == pytest.approx(py_log2(19))
+    assert lo == pytest.approx(-py_log2(19))
+    with pytest.raises(ValueError):
+        fs_thresholds_from_prior(0.0)
+
+    # end to end: unsupervised fit -> derived band -> classify
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for _ in range(4000):
+        is_match = rng.random() < 0.2
+        probs = [0.95, 0.9] if is_match else [0.05, 0.1]
+        rows.append(
+            tuple(1.0 if rng.random() < pj else 0.0 for pj in probs)
+            + (int(is_match),)
+        )
+    df = spark.createDataFrame(rows, "f1 double, f2 double, hidden int")
+    fit = ecm_estimate(df.select("f1", "f2"), ["f1", "f2"])
+    hi, lo = fs_thresholds_from_prior(fit["p"], 0.9, 0.9)
+    out = fs_classify(df, fit["weights"], upper=hi, lower=lo).collect()
+    linked = [r for r in out if r.fs_decision == "link"]
+    assert linked, "band too tight: nothing linked"
+    precision = sum(r.hidden for r in linked) / len(linked)
+    assert precision >= 0.85  # links honor the target posterior-ish
