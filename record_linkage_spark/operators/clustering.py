@@ -203,6 +203,120 @@ def greedy_within_block_clusters(
     )
 
 
+def correlation_clustering(
+    match_edges: DataFrame,
+    seed: int = 42,
+    max_iterations: int = 64,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Pivot-based correlation clustering (QwickCluster) of match edges —
+    the noise-robust alternative to :func:`connected_components`.
+
+    CC computes the TRANSITIVE closure: one false positive edge between
+    two real entities fuses them, and a chain a-b, b-c, c-d collapses into
+    a single entity even when a and d share nothing. The pivot algorithm
+    (Ailon/Charikar/Newman JACM'08) bounds that damage: clusters are a
+    pivot plus a subset of its DIRECT neighbors (radius 1), so a noisy
+    chain breaks into multiple clusters instead of snowballing. This is
+    the standard 3-approximation for correlation clustering on +/- graphs
+    where the match edges are the "+" set.
+
+    Distributed shape is the parallel-pivot simulation (Chierichetti,
+    Dalvi, Kumar KDD'14): under a fixed random permutation pi, every
+    round all nodes that are local minima of pi among their still-active
+    neighbors become pivots at once; each remaining node adjacent to a
+    pivot joins its smallest-pi pivot; assigned nodes leave the graph.
+    The output is IDENTICAL to the sequential greedy scan of nodes in pi
+    order (asserted in tests), but needs only O(log n) rounds w.h.p. —
+    each round is one groupBy + one join on node id, no global sort.
+
+    pi is hash-derived (``xxhash64(seed, node)``, ties broken by node
+    id), never ``rand()``, so the clustering is bit-identical across
+    parallelism levels and reruns. Per-round frames are
+    ``localCheckpoint``-ed to cut plan lineage, mirroring
+    :func:`connected_components`.
+
+    Returns (conv_id, entity_id) for every node that appears in an edge;
+    entity_id is the cluster pivot's id. Use :func:`assign_entities`-style
+    left-join + coalesce for corpus singletons.
+    """
+    edges = _canon(
+        match_edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    ).select(F.col("u").alias("a"), F.col("v").alias("b")).localCheckpoint()
+
+    def rank(col: str):
+        # sortable permutation position: (hash, id) struct — struct
+        # comparison is field-wise, so distinct ids never tie
+        return F.struct(
+            F.xxhash64(F.lit(seed), F.col(col)).alias("h"),
+            F.col(col).alias("i"),
+        )
+
+    assigned_parts: list[DataFrame] = []
+    active = edges
+    converged = False
+    for _ in range(max_iterations):
+        if active.isEmpty():
+            converged = True
+            break
+        sym = active.union(
+            active.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        # smallest (pi, id) among each node's active neighbors
+        nbr_min = sym.groupBy("a").agg(F.min(rank("b")).alias("_mn"))
+        pivots = (
+            nbr_min.filter(rank("a") < F.col("_mn"))
+            .select(F.col("a").alias("pivot"))
+        )
+        # two pivots are never adjacent (the larger would see the smaller
+        # as a neighbor), so members join their min-pi adjacent pivot
+        members = (
+            sym.join(pivots, sym["b"] == pivots["pivot"])
+            .groupBy("a")
+            .agg(F.min(rank("b")).alias("_mp"))
+            .select(F.col("a").alias("conv_id"), F.col("_mp.i").alias("entity_id"))
+        )
+        new_assign = members.unionByName(
+            pivots.select(
+                F.col("pivot").alias("conv_id"), F.col("pivot").alias("entity_id")
+            )
+        ).localCheckpoint()
+        assigned_parts.append(new_assign)
+        done = new_assign.select(F.col("conv_id").alias("_done"))
+        active = (
+            active.join(done, active["a"] == done["_done"], "left_anti")
+            .join(done, active["b"] == done["_done"], "left_anti")
+            .localCheckpoint()
+        )
+    if not converged and not active.isEmpty():
+        raise RuntimeError(
+            f"correlation_clustering did not converge in {max_iterations} rounds"
+        )
+
+    if not assigned_parts:
+        # no edges at all: empty assignment with the input's id type
+        return edges.select(
+            F.col("a").alias("conv_id"), F.col("a").alias("entity_id")
+        ).limit(0)
+    out = assigned_parts[0]
+    for part in assigned_parts[1:]:
+        out = out.unionByName(part)
+    # a node isolated mid-loop (all neighbors claimed by pivots it is not
+    # adjacent to) drops out of the active edge set without an assignment;
+    # sequentially it would reach its own turn and pivot a singleton
+    # cluster — complete those here
+    all_nodes = (
+        edges.select(F.col("a").alias("conv_id"))
+        .union(edges.select(F.col("b").alias("conv_id")))
+        .distinct()
+    )
+    leftovers = all_nodes.join(out, "conv_id", "left_anti").select(
+        "conv_id", F.col("conv_id").alias("entity_id")
+    )
+    return out.unionByName(leftovers)
+
+
 def assign_entities(
     all_ids: DataFrame, match_edges: DataFrame, id_col: str = "conv_id"
 ) -> DataFrame:

@@ -118,3 +118,218 @@ def bcubed_metrics(
         ).alias("bcubed_f1"),
         "n_records",
     )
+
+
+def _sum_c2(df: DataFrame, count_col: str):
+    """sum over groups of C(n, 2) as decimal(38,0) — pair counts overflow
+    a long once any side exceeds ~4.3e9 records, which a 10^12-turn corpus
+    does; decimal keeps the arithmetic exact."""
+    n = F.col(count_col).cast("decimal(19,0)")
+    s = df.agg(F.sum(n * (n - 1)).alias("_s")).select(
+        (F.col("_s") / 2).cast("decimal(38,0)").alias("c2")
+    )
+    return s
+
+
+def pair_counting_metrics(
+    assignments: DataFrame,
+    truth: DataFrame,
+    id_col: str = "conv_id",
+    cluster_col: str = "entity_id",
+    truth_col: str = "entity_key",
+) -> DataFrame:
+    """Pair-counting cluster-quality metrics: pairwise precision/recall/F1,
+    Rand index, and Adjusted Rand Index (Hubert & Arabie 1985) — the
+    second standard extrinsic ER clustering family next to B-cubed
+    (:func:`bcubed_metrics`). Pairwise F1 is what the reference's labeled
+    evaluation approximates on its sampled pairs; this computes it exactly
+    over ALL implied pairs, and ARI corrects it for chance agreement.
+
+    Everything reduces to three sums of C(n, 2) over the cluster/class
+    contingency table: same-cluster-same-class pairs (tp), same-cluster
+    pairs, and same-class pairs. Scale shape: ONE shuffle builds the
+    (cluster, class, count) contingency frame; cluster and class sizes
+    re-aggregate from it (they are its marginals), so no second pass over
+    the records; the final combine is a cross join of three single-row
+    frames. No pair enumeration anywhere — cost is O(records) + O(distinct
+    contingency cells). Pair counts are decimal(38,0) (a long overflows
+    at ~4.3e9 records per side).
+
+    Returns one row: n_records, tp/fp/fn/tn pair counts,
+    pairwise_precision/recall/f1, rand_index, adjusted_rand (ratios as
+    doubles rounded to 6; ARI = 1.0 when both partitions are trivial and
+    identical, matching the scikit-learn convention).
+    """
+    a = assignments.select(F.col(id_col).alias("_id"), F.col(cluster_col).alias("_c"))
+    t = truth.select(F.col(id_col).alias("_id"), F.col(truth_col).alias("_k"))
+    cont = a.join(t, "_id").groupBy("_c", "_k").agg(F.count("*").alias("_n"))
+    cont = cont.localCheckpoint()  # reused four times below
+
+    tp = _sum_c2(cont, "_n").withColumnRenamed("c2", "tp")
+    pred = _sum_c2(cont.groupBy("_c").agg(F.sum("_n").alias("_n")), "_n")
+    pred = pred.withColumnRenamed("c2", "pred_pairs")
+    true_ = _sum_c2(cont.groupBy("_k").agg(F.sum("_n").alias("_n")), "_n")
+    true_ = true_.withColumnRenamed("c2", "true_pairs")
+    n_row = cont.agg(F.sum("_n").cast("decimal(19,0)").alias("n"))
+    tot = n_row.select(
+        F.col("n"),
+        ((F.col("n") * (F.col("n") - 1)) / 2).cast("decimal(38,0)").alias("tot"),
+    )
+
+    s = tp.crossJoin(pred).crossJoin(true_).crossJoin(tot)
+    s = s.select(
+        "*",
+        (F.col("pred_pairs") - F.col("tp")).alias("fp"),
+        (F.col("true_pairs") - F.col("tp")).alias("fn"),
+    ).select(
+        "*",
+        (F.col("tot") - F.col("pred_pairs") - F.col("fn")).alias("tn"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    expected = d("pred_pairs") * d("true_pairs") / d("tot")
+    max_index = (d("pred_pairs") + d("true_pairs")) / 2
+    ari = F.when(
+        max_index - expected != 0, (d("tp") - expected) / (max_index - expected)
+    ).otherwise(F.lit(1.0))  # both partitions trivial and identical
+    return s.select(
+        F.col("n").cast("decimal(38,0)").alias("n_records"),
+        F.col("tp"),
+        F.col("fp").cast("decimal(38,0)").alias("fp"),
+        F.col("fn").cast("decimal(38,0)").alias("fn"),
+        F.col("tn").cast("decimal(38,0)").alias("tn"),
+        F.round(
+            F.when(d("pred_pairs") > 0, d("tp") / d("pred_pairs")).otherwise(0.0), 6
+        ).alias("pairwise_precision"),
+        F.round(
+            F.when(d("true_pairs") > 0, d("tp") / d("true_pairs")).otherwise(0.0), 6
+        ).alias("pairwise_recall"),
+        F.round(
+            F.when(
+                d("pred_pairs") + d("true_pairs") > 0,
+                2 * d("tp") / (d("pred_pairs") + d("true_pairs")),
+            ).otherwise(0.0),
+            6,
+        ).alias("pairwise_f1"),
+        F.round(
+            F.when(d("tot") > 0, (d("tp") + d("tn")) / d("tot")).otherwise(1.0), 6
+        ).alias("rand_index"),
+        F.round(ari, 6).alias("adjusted_rand"),
+    )
+
+
+def cluster_cohesion(
+    assignments: DataFrame,
+    scored_pairs: DataFrame,
+    threshold: float,
+    id_col: str = "conv_id",
+    cluster_col: str = "entity_id",
+    id_a: str = "id_A",
+    id_b: str = "id_B",
+    score_col: str = "score",
+) -> DataFrame:
+    """Per-entity cohesion report — the diagnostics layer for cluster
+    REPAIR: transitive closure (or any clustering) can chain records
+    together through pairs the scorer itself rated below threshold, and
+    blocking leaves many within-cluster pairs never compared at all.
+    This surfaces both, per resolved entity:
+
+      n_members        cluster size
+      n_scored_within  scored pairs with both endpoints inside the entity
+      min_score / avg_score   over those within-pairs (rounded to 6)
+      n_conflicts      within-pairs scored BELOW ``threshold`` — evidence
+                       the cluster should split
+      n_unscored_pairs C(n_members, 2) - n_scored_within — pairs blocking
+                       never produced (un-audited glue)
+
+    Entities whose n_conflicts > 0 or whose min_score is far below the
+    threshold are split candidates; see :func:`merge_candidates` for the
+    dual (cross-entity pairs scoring above threshold).
+
+    Scale shape: two equality joins map pair endpoints to entities (the
+    assignment side shuffles on record id — no skew, ids are unique), one
+    groupBy per entity for the pair stats, one for sizes, then an equality
+    join of two per-entity frames. No pair enumeration beyond the already-
+    materialized scored pairs. The unscored count uses decimal C(n, 2)
+    (long overflows at ~4.3e9-member clusters).
+    """
+    a = assignments.select(
+        F.col(id_col).alias("_id"), F.col(cluster_col).alias("_e")
+    )
+    p = scored_pairs.select(
+        F.col(id_a).alias("_ia"), F.col(id_b).alias("_ib"), F.col(score_col).alias("_s")
+    )
+    within = (
+        p.join(a.withColumnRenamed("_id", "_ia").withColumnRenamed("_e", "_ea"), "_ia")
+        .join(a.withColumnRenamed("_id", "_ib").withColumnRenamed("_e", "_eb"), "_ib")
+        .filter(F.col("_ea") == F.col("_eb"))
+    )
+    pair_stats = within.groupBy(F.col("_ea").alias("entity_id")).agg(
+        F.count("*").cast("long").alias("n_scored_within"),
+        F.round(F.min("_s"), 6).alias("min_score"),
+        F.round(F.avg("_s"), 6).alias("avg_score"),
+        F.sum(F.when(F.col("_s") < F.lit(threshold), 1).otherwise(0))
+        .cast("long")
+        .alias("n_conflicts"),
+    )
+    sizes = a.groupBy(F.col("_e").alias("entity_id")).agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    nm = F.col("n_members").cast("decimal(19,0)")
+    return (
+        sizes.join(pair_stats, "entity_id", "left")
+        .select(
+            "entity_id",
+            "n_members",
+            F.coalesce("n_scored_within", F.lit(0)).alias("n_scored_within"),
+            "min_score",
+            "avg_score",
+            F.coalesce("n_conflicts", F.lit(0)).alias("n_conflicts"),
+            ((nm * (nm - 1)) / 2).cast("decimal(38,0)").alias("_c2"),
+        )
+        .withColumn(
+            "n_unscored_pairs",
+            (F.col("_c2") - F.col("n_scored_within")).cast("decimal(38,0)"),
+        )
+        .drop("_c2")
+    )
+
+
+def merge_candidates(
+    assignments: DataFrame,
+    scored_pairs: DataFrame,
+    threshold: float,
+    id_col: str = "conv_id",
+    cluster_col: str = "entity_id",
+    id_a: str = "id_A",
+    id_b: str = "id_B",
+    score_col: str = "score",
+) -> DataFrame:
+    """The dual of :func:`cluster_cohesion`: entity pairs connected by at
+    least one CROSS-entity scored pair at/above ``threshold`` — clusters
+    the scorer thinks should merge (e.g. edges a 1:1 constraint or a
+    conservative clusterer rejected). Returns one row per unordered
+    entity pair: (entity_lo, entity_hi, n_edges, max_score, avg_score).
+
+    Same join shape as cohesion; the groupBy key is the canonical entity
+    pair, bounded by the scored-pair count."""
+    a = assignments.select(F.col(id_col).alias("_id"), F.col(cluster_col).alias("_e"))
+    p = scored_pairs.select(
+        F.col(id_a).alias("_ia"), F.col(id_b).alias("_ib"), F.col(score_col).alias("_s")
+    )
+    cross = (
+        p.join(a.withColumnRenamed("_id", "_ia").withColumnRenamed("_e", "_ea"), "_ia")
+        .join(a.withColumnRenamed("_id", "_ib").withColumnRenamed("_e", "_eb"), "_ib")
+        .filter(F.col("_ea") != F.col("_eb"))
+        .filter(F.col("_s") >= F.lit(threshold))
+    )
+    return (
+        cross.groupBy(
+            F.least("_ea", "_eb").alias("entity_lo"),
+            F.greatest("_ea", "_eb").alias("entity_hi"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_edges"),
+            F.round(F.max("_s"), 6).alias("max_score"),
+            F.round(F.avg("_s"), 6).alias("avg_score"),
+        )
+    )

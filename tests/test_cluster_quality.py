@@ -1,0 +1,268 @@
+"""Pair-counting cluster metrics (ARI family), cohesion/merge diagnostics,
+and pivot-based correlation clustering.
+
+The metric tests check the distributed aggregation against a brute-force
+pure-python pair enumeration computed inside the test; correlation
+clustering is checked for EXACT equality with the sequential QwickCluster
+greedy scan under the same hash permutation (the Chierichetti-Dalvi-Kumar
+simulation property the implementation relies on)."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import pytest
+from pyspark.sql import functions as F
+
+from record_linkage_spark.operators.clustering import (
+    connected_components,
+    correlation_clustering,
+)
+from record_linkage_spark.operators.evaluate import (
+    cluster_cohesion,
+    merge_candidates,
+    pair_counting_metrics,
+)
+
+
+def _brute_pair_metrics(pred: dict, truth: dict):
+    """Reference implementation: enumerate all record pairs."""
+    ids = sorted(pred)
+    tp = fp = fn = tn = 0
+    for a, b in combinations(ids, 2):
+        same_c = pred[a] == pred[b]
+        same_k = truth[a] == truth[b]
+        if same_c and same_k:
+            tp += 1
+        elif same_c:
+            fp += 1
+        elif same_k:
+            fn += 1
+        else:
+            tn += 1
+    tot = tp + fp + fn + tn
+    pred_pairs, true_pairs = tp + fp, tp + fn
+    precision = tp / pred_pairs if pred_pairs else 0.0
+    recall = tp / true_pairs if true_pairs else 0.0
+    f1 = (
+        2 * tp / (pred_pairs + true_pairs) if pred_pairs + true_pairs else 0.0
+    )
+    rand = (tp + tn) / tot if tot else 1.0
+    expected = pred_pairs * true_pairs / tot if tot else 0.0
+    max_index = (pred_pairs + true_pairs) / 2
+    ari = (
+        (tp - expected) / (max_index - expected)
+        if max_index - expected != 0
+        else 1.0
+    )
+    return dict(
+        tp=tp, fp=fp, fn=fn, tn=tn, precision=precision, recall=recall,
+        f1=f1, rand=rand, ari=ari,
+    )
+
+
+def _metrics_df(spark, pred: dict, truth: dict):
+    a = spark.createDataFrame(
+        [(k, v) for k, v in pred.items()], "conv_id string, entity_id string"
+    )
+    t = spark.createDataFrame(
+        [(k, v) for k, v in truth.items()], "conv_id string, entity_key string"
+    )
+    return pair_counting_metrics(a, t).first()
+
+
+def test_pair_counting_matches_bruteforce(spark):
+    # 10 records, imperfect clustering: splits, merges, singletons
+    truth = {f"r{i}": f"K{i // 3}" for i in range(10)}  # classes of 3/3/3/1
+    pred = {
+        "r0": "A", "r1": "A", "r2": "B",   # K0 split across A/B
+        "r3": "B", "r4": "B", "r5": "B",   # K1 merged into B with r2
+        "r6": "C", "r7": "C", "r8": "C",   # K2 exact
+        "r9": "D",                          # singleton
+    }
+    want = _brute_pair_metrics(pred, truth)
+    row = _metrics_df(spark, pred, truth)
+    assert int(row.n_records) == 10
+    assert (int(row.tp), int(row.fp), int(row.fn), int(row.tn)) == (
+        want["tp"], want["fp"], want["fn"], want["tn"],
+    )
+    assert row.pairwise_precision == pytest.approx(want["precision"], abs=1e-6)
+    assert row.pairwise_recall == pytest.approx(want["recall"], abs=1e-6)
+    assert row.pairwise_f1 == pytest.approx(want["f1"], abs=1e-6)
+    assert row.rand_index == pytest.approx(want["rand"], abs=1e-6)
+    assert row.adjusted_rand == pytest.approx(want["ari"], abs=1e-6)
+
+
+def test_ari_extremes(spark):
+    truth = {f"r{i}": f"K{i % 2}" for i in range(8)}
+    # identical partitions -> every metric is 1.0
+    row = _metrics_df(spark, {k: "P" + v for k, v in truth.items()}, truth)
+    assert row.adjusted_rand == 1.0 and row.pairwise_f1 == 1.0
+    # everything in one cluster -> recall 1, ARI ~0 (chance-corrected)
+    row = _metrics_df(spark, {k: "ALL" for k in truth}, truth)
+    want = _brute_pair_metrics({k: "ALL" for k in truth}, truth)
+    assert row.pairwise_recall == 1.0
+    assert row.adjusted_rand == pytest.approx(want["ari"], abs=1e-6)
+    assert abs(row.adjusted_rand) < 0.2  # near-chance
+
+
+def test_cohesion_report(spark):
+    a = spark.createDataFrame(
+        [("a", "E1"), ("b", "E1"), ("c", "E1"), ("d", "E2"), ("e", "E2")],
+        "conv_id string, entity_id string",
+    )
+    pairs = spark.createDataFrame(
+        [
+            ("a", "b", 0.9),   # within E1, ok
+            ("b", "c", 0.3),   # within E1, conflict (< 0.5)
+            ("a", "d", 0.8),   # cross E1-E2
+            ("d", "e", 0.7),   # within E2, ok
+        ],
+        "id_A string, id_B string, score double",
+    )
+    rows = {
+        r.entity_id: r
+        for r in cluster_cohesion(a, pairs, threshold=0.5).collect()
+    }
+    e1, e2 = rows["E1"], rows["E2"]
+    assert (e1.n_members, e1.n_scored_within, e1.n_conflicts) == (3, 2, 1)
+    assert e1.min_score == pytest.approx(0.3)
+    assert e1.avg_score == pytest.approx(0.6)
+    assert int(e1.n_unscored_pairs) == 1  # C(3,2)=3 pairs, 2 scored
+    assert (e2.n_members, e2.n_scored_within, e2.n_conflicts) == (2, 1, 0)
+    assert int(e2.n_unscored_pairs) == 0
+    # entity with no scored pairs at all: null min/avg, all pairs unscored
+    a3 = a.union(
+        spark.createDataFrame([("x", "E3"), ("y", "E3")], a.schema)
+    )
+    e3 = {
+        r.entity_id: r
+        for r in cluster_cohesion(a3, pairs, threshold=0.5).collect()
+    }["E3"]
+    assert (e3.n_scored_within, e3.n_conflicts, int(e3.n_unscored_pairs)) == (0, 0, 1)
+    assert e3.min_score is None
+
+
+def test_merge_candidates(spark):
+    a = spark.createDataFrame(
+        [("a", "E1"), ("b", "E1"), ("d", "E2"), ("e", "E3")],
+        "conv_id string, entity_id string",
+    )
+    pairs = spark.createDataFrame(
+        [
+            ("a", "d", 0.9),   # E1-E2 strong
+            ("b", "d", 0.95),  # E1-E2 strong (second edge)
+            ("d", "e", 0.2),   # E2-E3 weak: filtered
+            ("a", "b", 0.99),  # within E1: ignored
+        ],
+        "id_A string, id_B string, score double",
+    )
+    rows = merge_candidates(a, pairs, threshold=0.5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.entity_lo, r.entity_hi, r.n_edges) == ("E1", "E2", 2)
+    assert r.max_score == pytest.approx(0.95)
+
+
+# ---------------------------------------------------------------------------
+# correlation clustering (parallel pivot)
+# ---------------------------------------------------------------------------
+
+
+def _pi(spark, nodes: list[str], seed: int) -> dict:
+    df = spark.createDataFrame([(n,) for n in nodes], "n string").select(
+        "n", F.xxhash64(F.lit(seed), F.col("n")).alias("h")
+    )
+    return {r.n: (r.h, r.n) for r in df.collect()}
+
+
+def _sequential_pivot(edges: list[tuple], pi: dict) -> dict:
+    """Greedy QwickCluster scan in permutation order."""
+    adj: dict[str, set] = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    active = set(adj)
+    assign = {}
+    for v in sorted(adj, key=lambda n: pi[n]):
+        if v not in active:
+            continue
+        cluster = {v} | (adj[v] & active)
+        for u in cluster:
+            assign[u] = v
+        active -= cluster
+    return assign
+
+
+def _random_graph(n_nodes=60, n_edges=120, seed=7):
+    import random
+
+    rng = random.Random(seed)
+    nodes = [f"n{i:03d}" for i in range(n_nodes)]
+    edges = set()
+    while len(edges) < n_edges:
+        a, b = rng.sample(nodes, 2)
+        edges.add((min(a, b), max(a, b)))
+    return sorted(edges)
+
+
+def test_correlation_clustering_equals_sequential_pivot(spark):
+    edges = _random_graph()
+    nodes = sorted({x for e in edges for x in e})
+    pi = _pi(spark, nodes, seed=42)
+    want = _sequential_pivot(edges, pi)
+    got = {
+        r.conv_id: r.entity_id
+        for r in correlation_clustering(
+            spark.createDataFrame(edges, "src string, dst string"), seed=42
+        ).collect()
+    }
+    assert got == want
+
+
+def test_correlation_clusters_have_radius_one(spark):
+    edges = _random_graph(n_nodes=40, n_edges=90, seed=11)
+    nbrs: dict[str, set] = {}
+    for u, v in edges:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    got = correlation_clustering(
+        spark.createDataFrame(edges, "src string, dst string"), seed=1
+    ).collect()
+    for r in got:
+        assert r.conv_id == r.entity_id or r.conv_id in nbrs[r.entity_id]
+
+
+def test_correlation_splits_noisy_chain_cc_merges(spark):
+    # a path a-b-c-d-e: transitive closure fuses all five into one entity;
+    # pivot clustering bounds clusters to pivot+neighbors (radius 1), so
+    # the chain breaks into >= 2 clusters — the noise-robustness property
+    chain = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    df = spark.createDataFrame(chain, "src string, dst string")
+    cc = connected_components(df)
+    assert cc.select("entity_id").distinct().count() == 1
+    corr = correlation_clustering(df, seed=42)
+    assert corr.select("entity_id").distinct().count() >= 2
+    assert corr.count() == 5  # every node assigned exactly once
+    assert corr.select("conv_id").distinct().count() == 5
+
+
+def test_correlation_clustering_parallelism_invariance(spark):
+    edges = _random_graph(n_nodes=50, n_edges=100, seed=3)
+    df = spark.createDataFrame(edges, "src string, dst string")
+    r1 = sorted(
+        (r.conv_id, r.entity_id)
+        for r in correlation_clustering(df.repartition(1), seed=5).collect()
+    )
+    r8 = sorted(
+        (r.conv_id, r.entity_id)
+        for r in correlation_clustering(df.repartition(8), seed=5).collect()
+    )
+    assert r1 == r8
+
+
+def test_correlation_clustering_empty(spark):
+    df = spark.createDataFrame([], "src string, dst string")
+    assert correlation_clustering(df).count() == 0
