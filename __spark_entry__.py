@@ -964,6 +964,29 @@ def q_rl_clusters(spark, sf):
     return assign_entities(keys.select("conv_id"), edges)
 
 
+def q_rl_corr_clusters(spark, sf):
+    """Pivot correlation clustering over the same positive-pair match
+    edges as ``rl_clusters`` — the noise-robust (radius-1) alternative to
+    transitive closure. Iterative rounds under a hash permutation; no SQL
+    twin (pinned by the sequential-equivalence tests in
+    ``test_cluster_quality.py``)."""
+    from record_linkage_spark.operators.clustering import correlation_clustering
+    from record_linkage_spark.operators.ground_truth import (
+        positive_pairs,
+        validate_keys,
+    )
+    from record_linkage_spark.synth.transcripts import hidden_key_table
+
+    raw = _synth(spark)
+    keys = (
+        hidden_key_table(raw).select("conv_id", "entity_key").localCheckpoint()
+    )
+    edges = positive_pairs(validate_keys(keys)).select(
+        F.col("id_A").alias("src"), F.col("id_B").alias("dst")
+    )
+    return correlation_clustering(edges)
+
+
 def q_rl_minhash(spark, sf):
     """MinHash-LSH near-duplicate detection on documents."""
     from record_linkage_spark.operators.dedup import minhash_near_duplicates
@@ -1569,18 +1592,103 @@ def q_length_quantiles(spark, sf):
     return length_quantiles(_t(spark, sf, "documents"), exact=True)
 
 
-def q_bcubed(spark, sf):
-    """B-cubed cluster-quality metrics (the standard extrinsic ER
-    clustering score) over a deterministic clustering of documents
-    (cluster = doc_id div 7) against the lang column as the truth
-    partition — three grouped sizes + one per-record average, all
-    equality joins; DuckDB recomputes the same quantities from scratch."""
-    from record_linkage_spark.operators.evaluate import bcubed_metrics
+def q_cluster_quality(spark, sf):
+    """Cluster-quality + cluster-repair composite — four oracle checks in
+    one window slot, all over the deterministic doc clustering
+    (entity = doc_id div 7) against the lang column as truth:
+
+      chk='bcubed'   B-cubed P/R/F1 + n (``bcubed_metrics``)
+      chk='pc'       pair-counting metrics: pairwise P/R/F1, Rand,
+                     Adjusted Rand, tp/fp/fn/tn (``pair_counting_metrics``)
+      chk='cohesion' per-entity split evidence (``cluster_cohesion``)
+                     over JW-scored near-id pairs at threshold 0.8
+      chk='merge'    cross-entity merge candidates (``merge_candidates``)
+                     over the same pairs
+
+    The scored pairs are (doc_id, doc_id+k) k in 1..3 with JW over
+    40-char normalized slices — under the kernel's 48-char cap, so
+    DuckDB's native jaro_winkler computes on identical strings (the same
+    portability argument as ``similarity_funcs``). Tagged (chk, k, v)
+    rows carry every value verbatim, so the merged hash check is exactly
+    as strong as four separate entries."""
+    from record_linkage_spark.functions.similarity import jw_sim
+    from record_linkage_spark.functions.text import norm_text
+    from record_linkage_spark.operators.evaluate import (
+        bcubed_metrics,
+        cluster_cohesion,
+        merge_candidates,
+        pair_counting_metrics,
+    )
 
     d = _t(spark, sf, "documents").filter(F.col("lang").isNotNull())
     a = d.select("doc_id", F.floor(F.col("doc_id") / 7).alias("entity_id"))
     t = d.select("doc_id", F.col("lang").alias("entity_key"))
-    return bcubed_metrics(a, t, id_col="doc_id")
+
+    s = (
+        d.filter(F.col("text").isNotNull())
+        .select("doc_id", norm_text(F.substring("text", 1, 40)).alias("sl"))
+        .filter(F.col("sl").isNotNull())
+    )
+    offs = spark.range(1, 4).select(F.col("id").alias("off"))
+    pairs = (
+        s.crossJoin(offs)
+        .select(
+            F.col("doc_id").alias("id_A"),
+            (F.col("doc_id") + F.col("off")).alias("id_B"),
+            F.col("sl").alias("sl_a"),
+        )
+        .join(
+            s.select(F.col("doc_id").alias("id_B"), F.col("sl").alias("sl_b")),
+            "id_B",
+        )
+        .select(
+            "id_A", "id_B", F.round(jw_sim("sl_a", "sl_b"), 6).alias("score")
+        )
+    )
+
+    def unpivot(df, chk, cols, key_expr=None):
+        stack = ", ".join(f"'{c}', CAST(`{c}` AS DOUBLE)" for c in cols)
+        out = df.select(
+            *([key_expr.alias("_key")] if key_expr is not None else []),
+            F.expr(f"stack({len(cols)}, {stack}) AS (k, v)"),
+        )
+        key = (
+            F.concat(F.col("_key"), F.lit(":"), F.col("k"))
+            if key_expr is not None
+            else F.col("k")
+        )
+        return out.select(F.lit(chk).alias("chk"), key.alias("k"), "v")
+
+    bc = unpivot(
+        bcubed_metrics(a, t, id_col="doc_id"),
+        "bcubed",
+        ["bcubed_precision", "bcubed_recall", "bcubed_f1", "n_records"],
+    )
+    pc = unpivot(
+        pair_counting_metrics(a, t, id_col="doc_id"),
+        "pc",
+        [
+            "n_records", "tp", "fp", "fn", "tn",
+            "pairwise_precision", "pairwise_recall", "pairwise_f1",
+            "rand_index", "adjusted_rand",
+        ],
+    )
+    coh = unpivot(
+        cluster_cohesion(a, pairs, threshold=0.8, id_col="doc_id"),
+        "cohesion",
+        [
+            "n_members", "n_scored_within", "min_score", "avg_score",
+            "n_conflicts", "n_unscored_pairs",
+        ],
+        key_expr=F.col("entity_id").cast("string"),
+    )
+    mrg = unpivot(
+        merge_candidates(a, pairs, threshold=0.8, id_col="doc_id"),
+        "merge",
+        ["n_edges", "max_score", "avg_score"],
+        key_expr=F.concat_ws("-", F.col("entity_lo"), F.col("entity_hi")),
+    )
+    return bc.unionByName(pc).unionByName(coh).unionByName(mrg)
 
 
 def _doc_profiles(spark, sf):
@@ -2193,7 +2301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,              # token counts + quality + langid
         "event_windows": q_event_windows,        # tumbling + session windows
         "rl_multimodal_features": q_rl_multimodal_features,
-        "bcubed_eval": q_bcubed,
+        "cluster_quality": q_cluster_quality,  # B-cubed + ARI family + cohesion/merge repair
         # ---- position 51+: rows-only (hash-kernel / pipeline / streaming
         # ops — no portable SQL twin; each pinned by pytest) ----
         "rl_profiles": q_rl_profiles,
@@ -2206,6 +2314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rl_compare_report": q_rl_compare_report,
         "rl_clusters": q_rl_clusters,
         "rl_greedy_clusters": q_rl_greedy_clusters,
+        "rl_corr_clusters": q_rl_corr_clusters,
         "rl_minhash": q_rl_minhash,
         "rl_simhash": q_rl_simhash,
         "rl_lsh_topk": q_rl_lsh_topk,
@@ -2886,11 +2995,84 @@ def oracle_sql() -> dict[str, str]:
         "round(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0 END, 6) "
         "AS bcubed_f1, n AS n_records FROM a"
     )
+    norm40 = NORM_SQL.format(c="substr(text, 1, 40)")
+    cluster_quality_sql = (
+        # shared inputs: doc clustering (doc_id div 7) vs lang truth, plus
+        # JW-scored (doc_id, doc_id+k) k in 1..3 pairs over 40-char
+        # normalized slices — identical strings to the Spark side, DuckDB
+        # native jaro_winkler (same portability as similarity_funcs)
+        "WITH d AS (SELECT doc_id, lang, text FROM documents "
+        "WHERE lang IS NOT NULL), "
+        "asg AS (SELECT doc_id, CAST(floor(doc_id / 7) AS BIGINT) AS e FROM d), "
+        f"s AS (SELECT doc_id, {norm40} AS sl FROM d "
+        f"WHERE text IS NOT NULL AND {norm40} IS NOT NULL), "
+        "pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib, "
+        "round(jaro_winkler_similarity(a.sl, b.sl), 6) AS sc "
+        "FROM s a JOIN s b "
+        "ON b.doc_id IN (a.doc_id + 1, a.doc_id + 2, a.doc_id + 3)), "
+        # pair-counting metrics from the contingency table
+        "cont AS (SELECT e AS c, lang AS k, count(*) AS n "
+        "FROM asg JOIN d USING (doc_id) GROUP BY 1, 2), "
+        "tpv AS (SELECT CAST(sum(n * (n - 1)) / 2 AS DOUBLE) AS tp FROM cont), "
+        "ppv AS (SELECT CAST(sum(s * (s - 1)) / 2 AS DOUBLE) AS pp "
+        "FROM (SELECT sum(n) AS s FROM cont GROUP BY c)), "
+        "tqv AS (SELECT CAST(sum(s * (s - 1)) / 2 AS DOUBLE) AS tq "
+        "FROM (SELECT sum(n) AS s FROM cont GROUP BY k)), "
+        "nv AS (SELECT CAST(sum(n) AS DOUBLE) AS n, "
+        "CAST(sum(n) * (sum(n) - 1) / 2 AS DOUBLE) AS tot FROM cont), "
+        "pcm AS (SELECT n, tp, pp, tq, tot, pp - tp AS fp, tq - tp AS fn, "
+        "tot - pp - (tq - tp) AS tn FROM tpv, ppv, tqv, nv), "
+        "pcrow AS (SELECT n AS n_records, tp, fp, fn, tn, "
+        "round(CASE WHEN pp > 0 THEN tp / pp ELSE 0 END, 6) AS p_prec, "
+        "round(CASE WHEN tq > 0 THEN tp / tq ELSE 0 END, 6) AS p_rec, "
+        "round(CASE WHEN pp + tq > 0 THEN 2 * tp / (pp + tq) ELSE 0 END, 6) AS p_f1, "
+        "round(CASE WHEN tot > 0 THEN (tp + tn) / tot ELSE 1.0 END, 6) AS rand_i, "
+        "round(CASE WHEN (pp + tq) / 2 - pp * tq / tot <> 0 "
+        "THEN (tp - pp * tq / tot) / ((pp + tq) / 2 - pp * tq / tot) "
+        "ELSE 1.0 END, 6) AS ari FROM pcm), "
+        # cohesion: per-entity within-pair stats + unscored pair count
+        "within AS (SELECT ea.e AS e, sc FROM pr "
+        "JOIN asg ea ON pr.ia = ea.doc_id JOIN asg eb ON pr.ib = eb.doc_id "
+        "WHERE ea.e = eb.e), "
+        "sizes AS (SELECT e, count(*) AS nm FROM asg GROUP BY 1), "
+        "ps AS (SELECT e, count(*) AS nsw, round(min(sc), 6) AS mn, "
+        "round(avg(sc), 6) AS av, "
+        "sum(CASE WHEN sc < 0.8 THEN 1 ELSE 0 END) AS ncf FROM within GROUP BY 1), "
+        "coh AS (SELECT sizes.e, nm, coalesce(nsw, 0) AS nsw, mn, av, "
+        "coalesce(ncf, 0) AS ncf, "
+        "nm * (nm - 1) / 2 - coalesce(nsw, 0) AS nup "
+        "FROM sizes LEFT JOIN ps USING (e)), "
+        # merge candidates: cross-entity pairs at/above threshold
+        "crossx AS (SELECT ea.e AS e1, eb.e AS e2, sc FROM pr "
+        "JOIN asg ea ON pr.ia = ea.doc_id JOIN asg eb ON pr.ib = eb.doc_id "
+        "WHERE ea.e <> eb.e AND sc >= 0.8), "
+        "mrg AS (SELECT least(e1, e2) AS lo, greatest(e1, e2) AS hi, "
+        "count(*) AS ne, round(max(sc), 6) AS mx, round(avg(sc), 6) AS av "
+        "FROM crossx GROUP BY 1, 2) "
+        "SELECT 'bcubed' AS chk, unnest(['bcubed_precision', 'bcubed_recall', "
+        "'bcubed_f1', 'n_records']) AS k, unnest([bcubed_precision, "
+        "bcubed_recall, bcubed_f1, CAST(n_records AS DOUBLE)]) AS v "
+        f"FROM ({bcubed_sql}) "
+        "UNION ALL SELECT 'pc' AS chk, unnest(['n_records', 'tp', 'fp', 'fn', "
+        "'tn', 'pairwise_precision', 'pairwise_recall', 'pairwise_f1', "
+        "'rand_index', 'adjusted_rand']) AS k, "
+        "unnest([n_records, tp, fp, fn, tn, p_prec, p_rec, p_f1, rand_i, ari]) "
+        "AS v FROM pcrow "
+        "UNION ALL SELECT 'cohesion' AS chk, CAST(e AS VARCHAR) || ':' || "
+        "unnest(['n_members', 'n_scored_within', 'min_score', 'avg_score', "
+        "'n_conflicts', 'n_unscored_pairs']) AS k, "
+        "unnest([CAST(nm AS DOUBLE), CAST(nsw AS DOUBLE), mn, av, "
+        "CAST(ncf AS DOUBLE), CAST(nup AS DOUBLE)]) AS v FROM coh "
+        "UNION ALL SELECT 'merge' AS chk, CAST(lo AS VARCHAR) || '-' || "
+        "CAST(hi AS VARCHAR) || ':' || "
+        "unnest(['n_edges', 'max_score', 'avg_score']) AS k, "
+        "unnest([CAST(ne AS DOUBLE), mx, av]) AS v FROM mrg"
+    )
     out = {
         "curation_funnel": curation_funnel_sql,
         "blocking_b1": blocking_b1_sql,
         "blocking_b2": blocking_b2_sql,
-        "bcubed_eval": bcubed_sql,
+        "cluster_quality": cluster_quality_sql,
         "ngram_topk": ngram_topk_sql,
         "length_quantiles": length_quantiles_sql,
         "event_hourly": (
