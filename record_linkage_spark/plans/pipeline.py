@@ -72,7 +72,10 @@ class LinkagePipeline:
         transcripts_df: DataFrame | None = None,
         keys_df: DataFrame | None = None,
         one_to_one: bool = False,
+        clusterer: str = "cc",
     ):
+        if clusterer not in ("cc", "pivot"):
+            raise KeyError(f"unknown clusterer {clusterer!r} (cc|pivot)")
         self.spark = spark
         self.wh = Warehouse(root=warehouse, spark=spark)
         self.n_entities = n_entities
@@ -80,6 +83,7 @@ class LinkagePipeline:
         self.strategy = strategy
         self.neg_ratio = neg_ratio
         self.one_to_one = one_to_one
+        self.clusterer = clusterer
         self._transcripts_df = transcripts_df
         self._keys_df = keys_df
         self.model: LinearModel | None = None
@@ -92,6 +96,7 @@ class LinkagePipeline:
             "dup_rate": self.dup_rate,
             "strategy": self.strategy,
             "one_to_one": self.one_to_one,
+            "clusterer": self.clusterer,
             **kw,
         }
 
@@ -204,9 +209,27 @@ class LinkagePipeline:
             inputs=["scored_pairs"],
             resume=resume,
         )
+        def _clusters() -> DataFrame:
+            if self.clusterer == "pivot":
+                # noise-robust alternative: pivot correlation clustering
+                # bounds clusters to radius 1 around a pivot, so a false
+                # match edge can't fuse whole entities transitively
+                from record_linkage_spark.operators.clustering import (
+                    correlation_clustering,
+                )
+
+                cc = correlation_clustering(edges)
+                return (
+                    profiles.select("conv_id")
+                    .distinct()
+                    .join(cc, "conv_id", "left")
+                    .withColumn("entity_id", F.coalesce("entity_id", "conv_id"))
+                )
+            return assign_entities(profiles.select("conv_id"), edges)
+
         clusters = wh.run_stage(
             "clusters",
-            lambda: assign_entities(profiles.select("conv_id"), edges),
+            _clusters,
             self._cfg(),
             inputs=["match_edges", "profiles"],
             resume=resume,
@@ -256,15 +279,56 @@ class LinkagePipeline:
         # synth keys with corrupted check digits would otherwise split an
         # entity into two truth classes and understate precision/recall
         # even for a perfect clustering
-        from record_linkage_spark.operators.evaluate import bcubed_metrics
+        from record_linkage_spark.operators.evaluate import (
+            bcubed_metrics,
+            cluster_cohesion,
+            merge_candidates,
+            pair_counting_metrics,
+        )
         from record_linkage_spark.operators.ground_truth import validate_keys
 
-        bc = bcubed_metrics(clusters, validate_keys(keys)).first().asDict()
+        vkeys = validate_keys(keys)
+        bc = bcubed_metrics(clusters, vkeys).first().asDict()
+        # pair-counting family (pairwise F1 over ALL implied pairs, Rand,
+        # chance-corrected ARI) next to B-cubed; decimal pair counts ->
+        # plain numbers for the JSON report
+        pc = {
+            k: float(v) if hasattr(v, "as_tuple") else v
+            for k, v in pair_counting_metrics(clusters, vkeys).first().asDict().items()
+        }
+        # cluster-repair summary: split evidence (within-cluster pairs the
+        # scorer rated below threshold / pairs blocking never compared)
+        # and merge evidence (cross-cluster pairs above threshold)
+        tau = self.model.threshold if self.model else 0.5
+        coh = cluster_cohesion(
+            clusters, scored.select("id_A", "id_B", "score"), threshold=tau
+        )
+        coh_row = coh.agg(
+            F.sum(F.when(F.col("n_conflicts") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("entities_with_conflicts"),
+            F.sum("n_conflicts").cast("long").alias("conflict_pairs"),
+            F.sum(F.col("n_unscored_pairs").cast("double"))
+            .cast("long")
+            .alias("unscored_within_pairs"),
+        ).first()
+        n_merge = merge_candidates(
+            clusters, scored.select("id_A", "id_B", "score"), threshold=tau
+        ).count()
+        repair = {
+            "entities_with_conflicts": int(coh_row.entities_with_conflicts or 0),
+            "conflict_pairs": int(coh_row.conflict_pairs or 0),
+            "unscored_within_pairs": int(coh_row.unscored_within_pairs or 0),
+            "merge_candidate_entity_pairs": int(n_merge),
+        }
         self.report = {
             "strategy": self.strategy,
+            "clusterer": self.clusterer,
             "blocking": bm,
             "global": gm,
             "bcubed": bc,
+            "pair_counting": pc,
+            "repair": repair,
             "threshold": self.model.threshold if self.model else None,
             "n_candidates": cands.count(),
             "n_clusters": clusters.select("entity_id").distinct().count(),
@@ -321,6 +385,13 @@ def main() -> None:
         "locally-dominant matching on score)",
     )
     ap.add_argument(
+        "--clusterer",
+        default="cc",
+        choices=["cc", "pivot"],
+        help="transitive closure (cc, default) or pivot correlation "
+        "clustering (noise-robust, radius-1 clusters)",
+    )
+    ap.add_argument(
         "--compare",
         action="store_true",
         help="after the pipeline, emit the (strategy x model) comparison "
@@ -353,6 +424,7 @@ def main() -> None:
         dup_rate=args.dup_rate,
         strategy=args.strategy,
         one_to_one=args.one_to_one,
+        clusterer=args.clusterer,
     )
     report = pipe.run(resume=not args.no_resume)
     if args.compare:
