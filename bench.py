@@ -200,6 +200,12 @@ def main() -> None:
     assignment, queries["rl_connected_components"] = _timed_best2(
         lambda: assign_entities(profiles.select("conv_id"), edges).localCheckpoint()
     )
+    # noise-robust clustering alternative over the same match edges
+    from record_linkage_spark.operators.clustering import correlation_clustering
+
+    _, queries["rl_corr_clustering"] = _timed_best2(
+        lambda: correlation_clustering(edges).count()
+    )
 
     # round-3 operators over the same corpus: survivorship fusion of the
     # resolved entities, 1:1-constrained matching, meta-blocking pruning
