@@ -987,6 +987,38 @@ def q_rl_corr_clusters(spark, sf):
     return correlation_clustering(edges)
 
 
+def q_rl_canopies(spark, sf):
+    """Canopy blocking membership over cheap JW scores on near-id doc
+    pairs (tight 0.9 / loose 0.6) — overlapping blocks from a cheap
+    similarity. The tight-graph pivot rounds are iterative (no SQL
+    twin); sequential-scan equality is pinned in ``test_canopy.py``."""
+    from record_linkage_spark.functions.similarity import jw_sim
+    from record_linkage_spark.functions.text import norm_text
+    from record_linkage_spark.operators.blocking import canopies
+
+    d = _t(spark, sf, "documents").filter(
+        F.col("lang").isNotNull() & F.col("text").isNotNull()
+    )
+    s = d.select(
+        "doc_id", norm_text(F.substring("text", 1, 40)).alias("sl")
+    ).filter(F.col("sl").isNotNull())
+    offs = spark.range(1, 4).select(F.col("id").alias("off"))
+    pairs = (
+        s.crossJoin(offs)
+        .select(
+            F.col("doc_id").alias("id_A"),
+            (F.col("doc_id") + F.col("off")).alias("id_B"),
+            F.col("sl").alias("sl_a"),
+        )
+        .join(
+            s.select(F.col("doc_id").alias("id_B"), F.col("sl").alias("sl_b")),
+            "id_B",
+        )
+        .select("id_A", "id_B", F.round(jw_sim("sl_a", "sl_b"), 6).alias("score"))
+    )
+    return canopies(pairs, tight=0.9, loose=0.6)
+
+
 def q_rl_minhash(spark, sf):
     """MinHash-LSH near-duplicate detection on documents."""
     from record_linkage_spark.operators.dedup import minhash_near_duplicates
@@ -2315,6 +2347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rl_clusters": q_rl_clusters,
         "rl_greedy_clusters": q_rl_greedy_clusters,
         "rl_corr_clusters": q_rl_corr_clusters,
+        "rl_canopies": q_rl_canopies,
         "rl_minhash": q_rl_minhash,
         "rl_simhash": q_rl_simhash,
         "rl_lsh_topk": q_rl_lsh_topk,

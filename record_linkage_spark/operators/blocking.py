@@ -414,3 +414,108 @@ def meta_block_prune(
         F.greatest("node", "nbr").alias("id_B"),
     ).distinct()
     return weighted.join(survivors, ["id_A", "id_B"], "left_semi")
+
+
+def canopies(
+    cheap_pairs: DataFrame,
+    tight: float,
+    loose: float,
+    seed: int = 42,
+    id_a: str = "id_A",
+    id_b: str = "id_B",
+    score_col: str = "score",
+) -> DataFrame:
+    """Canopy blocking (McCallum, Nigam & Ungar, KDD 2000): overlapping
+    blocks from a CHEAP similarity, so the expensive pairwise scorer only
+    runs inside canopies. Sequential definition: repeatedly pick a seed
+    from the remaining list, its canopy is every listed point within the
+    ``loose`` threshold, and points within ``tight`` leave the list —
+    loose-but-not-tight points stay listed and can join MORE canopies
+    (the overlap is what preserves recall vs disjoint blocking).
+
+    Distributed derivation (no sequential scan): because only tight
+    matches remove points from the list, the seed competition is exactly
+    pivot clustering on the TIGHT graph — a point's canopy-remover is its
+    :func:`~record_linkage_spark.operators.clustering.correlation_clustering`
+    pivot (its first tight claimer in hash-permutation order), and points
+    without tight claimers seed themselves. Loose membership then falls
+    out non-iteratively: p joined seed q's canopy iff q is a seed,
+    loose(p, q), and q's turn came no later than p's removal — i.e.
+    rank(q) <= rank(tight_claimer(p)). One pivot clustering on the
+    (usually much sparser) tight edges + one join on the loose edges;
+    equality with the sequential scan is asserted in tests.
+
+    cheap_pairs: (id_a, id_b, score_col) with HIGHER score = more
+    similar (e.g. shared-token Jaccard); tight >= loose. Returns
+    (conv_id, canopy_id) membership rows — a record appears once per
+    canopy it belongs to; every record in the pair graph is covered.
+    Isolated records (no pair at the loose threshold) are each their own
+    canopy; include them by unioning a self-row per missing id, as
+    :func:`~record_linkage_spark.operators.clustering.assign_entities`
+    does for singletons.
+    """
+    if tight < loose:
+        raise ValueError(f"tight ({tight}) must be >= loose ({loose})")
+    from record_linkage_spark.operators.clustering import correlation_clustering
+
+    p = cheap_pairs.select(
+        F.col(id_a).alias("a"), F.col(id_b).alias("b"), F.col(score_col).alias("s")
+    ).filter(F.col("a") != F.col("b"))
+    loose_e = p.filter(F.col("s") >= loose).select("a", "b").distinct()
+    tight_e = p.filter(F.col("s") >= tight)
+
+    # first tight claimer per node (pivot clustering on the tight graph);
+    # nodes with no tight edge claim themselves when their turn comes
+    claimed = correlation_clustering(
+        tight_e, seed=seed, src_col="a", dst_col="b"
+    ).select(F.col("conv_id").alias("node"), F.col("entity_id").alias("claimer"))
+    nodes = (
+        loose_e.select(F.col("a").alias("node"))
+        .union(loose_e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    claim = (
+        nodes.join(claimed, "node", "left")
+        .select("node", F.coalesce("claimer", "node").alias("claimer"))
+        .localCheckpoint()
+    )
+
+    def rank(col: str):
+        return F.struct(
+            F.xxhash64(F.lit(seed), F.col(col)).alias("h"), F.col(col).alias("i")
+        )
+
+    seeds = claim.filter(F.col("node") == F.col("claimer")).select(
+        F.col("node").alias("seed")
+    )
+    # membership via removal: p is in its claimer's canopy (tight subset
+    # of loose, and the claimer removes p at its own turn)
+    base = claim.select(
+        F.col("node").alias("conv_id"), F.col("claimer").alias("canopy_id")
+    )
+    # membership via loose adjacency to an earlier-or-equal-rank seed
+    sym = loose_e.union(
+        loose_e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    loose_members = (
+        sym.join(seeds, sym["b"] == seeds["seed"])
+        .join(claim, sym["a"] == claim["node"])
+        .filter(rank("b") < rank("claimer"))
+        .select(F.col("a").alias("conv_id"), F.col("b").alias("canopy_id"))
+    )
+    return base.unionByName(loose_members).distinct()
+
+
+def canopy_candidate_pairs(membership: DataFrame) -> DataFrame:
+    """Candidate pairs from canopy membership: every unordered record
+    pair sharing at least one canopy, deduped across canopies. The
+    equality self-join on canopy_id is the standard blocked shape;
+    canopy sizes are bounded by the loose threshold's selectivity."""
+    left = membership.select(F.col("conv_id").alias("id_A"), "canopy_id")
+    right = membership.select(F.col("conv_id").alias("id_B"), "canopy_id")
+    return (
+        left.join(right, "canopy_id")
+        .where(F.col("id_A") < F.col("id_B"))
+        .select("id_A", "id_B")
+        .distinct()
+    )
