@@ -361,12 +361,21 @@ def q_a6_confusion(spark, sf):
 
 def q_a7_threshold_sweep(spark, sf):
     """A7: threshold sweep as explode + conditional agg, no driver loop
-    (logistic_regression.py:110-125)."""
+    (logistic_regression.py:110-125) — plus the threshold-free companion:
+    ROC AUC (``roc_auc``, Mann-Whitney over distinct-score counts, no
+    global pair sort) rides as a constant column, value-checked on every
+    sweep row by the DuckDB window-cumsum replay."""
+    from record_linkage_spark.operators.evaluate import roc_auc
+
     li = _t(spark, sf, "lineitem")
     taus = [round(0.01 * k, 2) for k in range(1, 10)]
-    d = li.select(
+    labeled = li.select(
         (F.col("l_returnflag") == "R").cast("int").alias("label"),
         F.col("l_discount").alias("score"),
+    )
+    d = labeled.select(
+        "label",
+        "score",
         F.explode(F.array(*[F.lit(t) for t in taus])).alias("tau"),
     )
     agg = d.groupBy("tau").agg(
@@ -380,7 +389,7 @@ def q_a7_threshold_sweep(spark, sf):
     ).otherwise(F.lit(0.0))
     return agg.select(
         F.round("tau", 2).alias("tau"), F.round(f1, 6).alias("f1")
-    )
+    ).crossJoin(roc_auc(labeled).select("auc"))
 
 
 def q_a8_doc_freq(spark, sf):
@@ -3280,9 +3289,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN l_discount >= tau AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS tp, "
             "CAST(sum(CASE WHEN l_discount >= tau AND l_returnflag != 'R' THEN 1 ELSE 0 END) AS BIGINT) AS fp, "
             "CAST(sum(CASE WHEN l_discount < tau AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS fn "
-            "FROM lineitem CROSS JOIN taus GROUP BY tau) "
+            "FROM lineitem CROSS JOIN taus GROUP BY tau), "
+            # ROC AUC over the same labeled scores: distinct-score counts,
+            # strictly-below cumulative negatives, tie credit via the
+            # integral 2*numerator form (mirrors evaluate.roc_auc)
+            "dist AS (SELECT round(l_discount, 6) AS s, "
+            "sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS np, "
+            "sum(CASE WHEN l_returnflag != 'R' THEN 1 ELSE 0 END) AS nn "
+            "FROM lineitem GROUP BY 1), "
+            "cum AS (SELECT np, nn, coalesce(sum(nn) OVER (ORDER BY s "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb "
+            "FROM dist), "
+            "aucv AS (SELECT round(CAST(sum(np * (2*cnb + nn)) AS DOUBLE) / "
+            "(2 * CAST(sum(np) AS DOUBLE) * CAST(sum(nn) AS DOUBLE)), 6) AS auc "
+            "FROM cum) "
             "SELECT round(tau, 2) AS tau, "
-            "round(CASE WHEN 2*tp + fp + fn > 0 THEN 2.0*tp/(2*tp + fp + fn) ELSE 0.0 END, 6) AS f1 "
+            "round(CASE WHEN 2*tp + fp + fn > 0 THEN 2.0*tp/(2*tp + fp + fn) ELSE 0.0 END, 6) AS f1, "
+            "(SELECT auc FROM aucv) AS auc "
             "FROM agg"
         ),
         "a8_doc_freq": (

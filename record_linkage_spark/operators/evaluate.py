@@ -333,3 +333,73 @@ def merge_candidates(
             F.round(F.avg("_s"), 6).alias("avg_score"),
         )
     )
+
+
+def roc_auc(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+    digits: int | None = 6,
+) -> DataFrame:
+    """Threshold-free ranking quality: ROC AUC in the Mann-Whitney form
+    AUC = P(score_pos > score_neg) + 0.5 * P(score_pos = score_neg) —
+    the natural companion to the fixed-grid threshold sweep (A7), since
+    it scores the whole ranking rather than nine operating points.
+
+    Scale shape: NO global sort of the pairs. Scores aggregate to one
+    row per DISTINCT score value (pairs_scored -> (score, n_pos, n_neg)
+    with map-side combine); the ordered cumulative then runs over that
+    bounded frame — ``digits`` rounds scores first, capping distinct
+    values at 2*10^digits regardless of corpus size (pass None to rank
+    raw scores when their cardinality is known-small). Counts and the
+    tie-corrected numerator stay in decimal so 10^12-pair inputs don't
+    overflow; the single division happens in double at the end.
+
+    Returns one row: (auc, n_pos, n_neg); auc is NULL when either class
+    is absent.
+    """
+    from pyspark.sql.window import Window
+
+    s = (
+        F.round(F.col(score_col), digits)
+        if digits is not None
+        else F.col(score_col)
+    )
+    g = (
+        scored.select(s.alias("_s"), F.col(label_col).alias("_l"))
+        .groupBy("_s")
+        .agg(
+            F.sum(F.when(F.col("_l") == 1, 1).otherwise(0))
+            .cast("decimal(19,0)")
+            .alias("_np"),
+            F.sum(F.when(F.col("_l") == 0, 1).otherwise(0))
+            .cast("decimal(19,0)")
+            .alias("_nn"),
+        )
+    )
+    # negatives strictly below each score; the window input is one row
+    # per distinct score (bounded by `digits`), not one row per pair
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = g.withColumn(
+        "_cnb",
+        F.coalesce(F.sum("_nn").over(w), F.lit(0).cast("decimal(19,0)")),
+    )
+    agg = cum.agg(
+        # 2*numerator = sum np * (2*cum_neg_below + nn) keeps the 0.5 tie
+        # credit integral
+        F.sum(F.col("_np") * (2 * F.col("_cnb") + F.col("_nn"))).alias("_num2"),
+        F.sum("_np").alias("_p"),
+        F.sum("_nn").alias("_n"),
+    )
+    return agg.select(
+        F.round(
+            F.when(
+                (F.col("_p") > 0) & (F.col("_n") > 0),
+                F.col("_num2").cast("double")
+                / (2 * F.col("_p").cast("double") * F.col("_n").cast("double")),
+            ),
+            6,
+        ).alias("auc"),
+        F.col("_p").cast("decimal(38,0)").alias("n_pos"),
+        F.col("_n").cast("decimal(38,0)").alias("n_neg"),
+    )

@@ -5,6 +5,8 @@ TP=FP=FN=TN=1, P=R=F1=0.5."""
 
 from __future__ import annotations
 
+import pytest
+
 from record_linkage_spark.operators.evaluate import (
     confusion_metrics,
     evaluate_global,
@@ -109,3 +111,31 @@ def test_bcubed_metrics_matches_bruteforce_on_random_partitions(spark):
         assert abs(got.bcubed_precision - p) < 1e-6, trial
         assert abs(got.bcubed_recall - r) < 1e-6, trial
         assert abs(got.bcubed_f1 - f1) < 1e-6, trial
+
+
+def test_roc_auc_matches_pair_enumeration(spark):
+    """Mann-Whitney AUC with ties must equal the brute-force definition
+    AUC = [#(pos>neg) + 0.5*#(pos==neg)] / (P*N)."""
+    from record_linkage_spark.operators.evaluate import roc_auc
+
+    rows = [
+        (1, 0.9), (1, 0.8), (1, 0.5), (1, 0.5), (1, 0.2),
+        (0, 0.8), (0, 0.5), (0, 0.4), (0, 0.1), (0, 0.1), (0, 0.05),
+    ]
+    wins = ties = 0
+    for lp, sp in [r for r in rows if r[0] == 1]:
+        for ln, sn in [r for r in rows if r[0] == 0]:
+            wins += sp > sn
+            ties += sp == sn
+    want = (wins + 0.5 * ties) / (5 * 6)
+    df = spark.createDataFrame(rows, "label int, score double")
+    got = roc_auc(df).first()
+    assert got.auc == pytest.approx(want, abs=1e-6)
+    assert (int(got.n_pos), int(got.n_neg)) == (5, 6)
+    # perfect separation and degenerate single-class inputs
+    perfect = spark.createDataFrame(
+        [(1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)], "label int, score double"
+    )
+    assert roc_auc(perfect).first().auc == 1.0
+    onecls = spark.createDataFrame([(1, 0.9)], "label int, score double")
+    assert roc_auc(onecls).first().auc is None
