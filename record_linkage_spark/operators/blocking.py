@@ -162,14 +162,20 @@ def candidate_pairs(
 
 
 def apply_blocking_filter(
-    hydrated_pairs: DataFrame, strategy: str
+    hydrated_pairs: DataFrame, strategy: str, keys_only: bool = False
 ) -> DataFrame:
-    """Filter form over a hydrated (_A/_B) labeled pair table."""
+    """Filter form over a hydrated (_A/_B) labeled pair table.
+
+    keys_only=True stops after the block-KEY equality legs (no JW/exact
+    cascade filters) — the \"labeled pairs at the same blocking key\"
+    domain, where hard negatives survive for ranking-quality metrics."""
     spec = STRATEGIES[strategy]
     pairs = hydrated_pairs
     for name in spec["equality"]:
         a, b = _key_pair_cols(name, pairs)
         pairs = pairs.filter(a.isNotNull() & a.eqNullSafe(b))
+    if keys_only:
+        return pairs
     for colname, thr in spec["jw"]:
         pairs = pairs.filter(
             jaro_winkler_pairs(F.col(f"{colname}_A"), F.col(f"{colname}_B"))

@@ -284,6 +284,7 @@ class LinkagePipeline:
             cluster_cohesion,
             merge_candidates,
             pair_counting_metrics,
+            roc_auc,
         )
         from record_linkage_spark.operators.ground_truth import validate_keys
 
@@ -321,11 +322,29 @@ class LinkagePipeline:
             "unscored_within_pairs": int(coh_row.unscored_within_pairs or 0),
             "merge_candidate_entity_pairs": int(n_merge),
         }
+        # threshold-free ranking quality over labeled pairs AT THE SAME
+        # BLOCKING KEY (keys_only keeps the hard negatives; the full
+        # cascade filter leaves candidates ∩ GT nearly all-positive and
+        # unblocked pairs are out-of-domain for the scorer)
+        auc_val = None
+        if self.model is not None:
+            gt_all = score_pairs(
+                add_features(
+                    apply_blocking_filter(
+                        hydrate_pairs(gt, profiles, HYDRATE_COLS),
+                        self.strategy,
+                        keys_only=True,
+                    )
+                ),
+                self.model,
+            )
+            auc_val = roc_auc(gt_all.select("label", "score")).first().auc
         self.report = {
             "strategy": self.strategy,
             "clusterer": self.clusterer,
             "blocking": bm,
             "global": gm,
+            "auc_labeled_pairs": auc_val,
             "bcubed": bc,
             "pair_counting": pc,
             "repair": repair,

@@ -219,3 +219,60 @@ def test_meta_blocking_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan  # weights combine before the exchange
+
+
+def test_pair_counting_metrics_plan_shape(spark):
+    """ARI family: the contingency table is the ONLY record-sized
+    aggregation (marginals re-aggregate from it), no window and no pair
+    enumeration anywhere; the single-row combines are the only
+    nested-loop joins."""
+    from record_linkage_spark.operators.evaluate import pair_counting_metrics
+
+    docs = _doc_df(spark)
+    a = docs.select("doc_id", (F.col("doc_id") % 7).alias("entity_id"))
+    t = docs.select("doc_id", (F.col("doc_id") % 5).alias("entity_key"))
+    out = pair_counting_metrics(a, t, id_col="doc_id")
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    # map-side partial aggregation on the contingency/marginal groupBys
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_roc_auc_window_runs_over_distinct_scores(spark):
+    """The AUC cumulative window must consume the distinct-score
+    aggregate, never the raw pair rows — the one structural property
+    that makes it safe at 10^12 pairs."""
+    from record_linkage_spark.operators.evaluate import roc_auc
+
+    pairs = _doc_df(spark).select(
+        (F.col("doc_id") % 2).cast("int").alias("label"),
+        (F.col("doc_id") % 13 / 13.0).alias("score"),
+    )
+    plan = _plan(roc_auc(pairs))
+    assert plan.count("Window") == 1
+    # reading top-down: final agg, then the window, then the grouping
+    # aggregate it consumes — a HashAggregate must appear BELOW Window
+    below_window = plan[plan.index("Window"):]
+    assert "HashAggregate" in below_window
+    assert "partial_sum" in below_window  # grouping combines map-side
+
+
+def test_cluster_cohesion_plan_shape(spark):
+    """Cohesion diagnostics: endpoint mapping is two equality joins,
+    per-entity stats aggregate with map-side combine, and the unscored
+    count is arithmetic — no pair generation, no cartesian."""
+    from record_linkage_spark.operators.evaluate import cluster_cohesion
+
+    docs = _doc_df(spark)
+    a = docs.select("doc_id", (F.col("doc_id") % 7).alias("entity_id"))
+    pairs = docs.select(
+        F.col("doc_id").alias("id_A"),
+        (F.col("doc_id") + 1).alias("id_B"),
+        (F.col("doc_id") % 10 / 10.0).alias("score"),
+    )
+    plan = _plan(cluster_cohesion(a, pairs, threshold=0.5, id_col="doc_id"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    assert "partial_count" in plan
