@@ -1633,6 +1633,43 @@ def q_length_quantiles(spark, sf):
     return length_quantiles(_t(spark, sf, "documents"), exact=True)
 
 
+def q_corpus_profile(spark, sf):
+    """Corpus-profile composite — boilerplate n-gram mining + length
+    quantiles folded to one tagged (chk, k, v) frame:
+
+      chk='ngram'  top-50 token 3-grams by doc frequency (planted banner
+                   head; total order under ties) — ``frequent_ngrams``
+      chk='lq'     exact length quantiles at 5 probs (ANSI quantile_cont
+                   definition) — ``length_quantiles``
+
+    Both standalone twins ride verbatim inside the merged oracle, so the
+    hash check is exactly as strong as the two separate entries were."""
+    ng = q_ngram_topk(spark, sf).select(
+        F.lit("ngram").alias("chk"),
+        F.col("gram").alias("k"),
+        F.col("n_docs").cast("double").alias("v"),
+    )
+    lq = q_length_quantiles(spark, sf).select(
+        F.lit("lq").alias("chk"),
+        F.col("p").cast("string").alias("k"),
+        F.col("n_chars_q").cast("double").alias("v"),
+    )
+    return ng.unionByName(lq)
+
+
+def q_ssjoin_prefix(spark, sf):
+    """Prefix-filter set-similarity self-join (AllPairs/PPJoin family)
+    over documents at Jaccard >= 0.6. The DuckDB twin is the BRUTE-FORCE
+    all-shared-token-pairs answer, so a hash match proves the
+    frequency-ordered prefix + length + positional filters lose zero
+    recall — the property that separates this from heuristic blocking."""
+    from record_linkage_spark.operators.dedup import set_similarity_pairs
+
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 250)
+    out = set_similarity_pairs(docs, threshold=0.85)
+    return out.select("id_A", "id_B", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_cluster_quality(spark, sf):
     """Cluster-quality + cluster-repair composite — four oracle checks in
     one window slot, all over the deterministic doc clustering
@@ -2325,6 +2362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- dedup / similarity-search / curation extras
         "dedup_exact": q_dedup_exact,
         "dedup_token_jaccard": q_dedup_token_jaccard,
+        "ssjoin_prefix": q_ssjoin_prefix,  # guaranteed-recall prefix filter
         "dedup_keep_best": q_dedup_keep_best,
         "span_overlap": q_span_overlap,
         "minhash_pairs": q_minhash_pairs,  # symmetric + cross-corpus LSH
@@ -2336,8 +2374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_overlap": q_decontam_overlap,
         "seq_pack": q_seq_pack,
         "token_budget": q_token_budget,
-        "ngram_topk": q_ngram_topk,
-        "length_quantiles": q_length_quantiles,
+        "corpus_profile": q_corpus_profile,   # ngram_topk + length_quantiles
         "fp_winnow": q_fp_winnow,
         "text_stats": q_text_stats,              # token counts + quality + langid
         "event_windows": q_event_windows,        # tumbling + session windows
@@ -2544,6 +2581,13 @@ def _composite_oracles(base: dict[str, str]) -> dict[str, str]:
             f"SELECT 'stratified' AS kind, doc_id, lang FROM ({base['strat_sample']})"
         ),
         "scalar_checks": " UNION ALL ".join(scalar_parts),
+        "corpus_profile": " UNION ALL ".join(
+            [
+                tagged("ngram", base["ngram_topk"], "gram", "n_docs"),
+                # p unnests as DECIMAL(3,2) ('0.50'); double renders '0.5'
+                tagged("lq", base["length_quantiles"], "CAST(p AS DOUBLE)", "n_chars_q"),
+            ]
+        ),
         "p2_p11_filter_canon": (
             "SELECT doc_id, lang, n_chars, CASE WHEN lang = 'en' THEN 'english' "
             "WHEN lang = 'de' THEN 'german' WHEN lang = 'fr' THEN 'french' "
@@ -3368,11 +3412,28 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_copies, min(doc_id) AS keep_id "
             "FROM all_docs GROUP BY 1 HAVING count(*) > 1"
         ),
+        # brute force on purpose: a hash match proves the Spark side's
+        # prefix + length + positional filters lose zero recall
+        "ssjoin_prefix": (
+            "WITH base AS (SELECT doc_id, "
+            "list_distinct(string_split(" + NORM_URL_SQL.format(c="text") + ", ' ')) AS toks "
+            "FROM documents WHERE doc_id < 250 AND " + NORM_URL_SQL.format(c="text") + " IS NOT NULL), "
+            "sized AS (SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) > 0), "
+            "tok AS (SELECT doc_id, unnest(toks) AS token FROM sized), "
+            "cand AS (SELECT a.doc_id AS id_A, b.doc_id AS id_B, count(*) AS inter "
+            "FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT c.id_A, c.id_B, "
+            "round(CAST(c.inter AS DOUBLE) / (sa.n + sb.n - c.inter), 6) AS jaccard "
+            "FROM cand c JOIN sized sa ON sa.doc_id = c.id_A "
+            "JOIN sized sb ON sb.doc_id = c.id_B "
+            "WHERE CAST(c.inter AS DOUBLE) / (sa.n + sb.n - c.inter) >= 0.85"
+        ),
         "dedup_token_jaccard": (
             "WITH base AS (SELECT doc_id, "
             "list_distinct(string_split(coalesce(" + NORM_URL_SQL.format(c="text") + ", ''), ' ')) AS toks, "
             "array_to_string(list_slice(string_split(coalesce(" + NORM_URL_SQL.format(c="text") + ", ''), ' '), 1, 2), ' ') AS bk "
-            "FROM documents WHERE " + NORM_URL_SQL.format(c="text") + " IS NOT NULL), "
+            "FROM documents WHERE doc_id < 250 AND " + NORM_URL_SQL.format(c="text") + " IS NOT NULL), "
             "pairs AS (SELECT a.doc_id AS id_A, b.doc_id AS id_B, "
             "len(list_intersect(a.toks, b.toks)) AS inter, "
             "len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS uni "
@@ -3771,6 +3832,7 @@ def oracle_sql() -> dict[str, str]:
         "p8_norm_text", "p12_numeric_norm", "p16_regex_filter",
         "p18_checksum", "f4_gauss_comparator", "u1_union_sources",
         "u3_canonical_dedup", "minhash_exactset", "minhash_cross",
+        "ngram_topk", "length_quantiles",
     ):
         out.pop(merged, None)
     return out

@@ -475,6 +475,137 @@ def ngram_jaccard_pairs(
     )
 
 
+def set_similarity_pairs(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Prefix-filter token-set similarity self-join (the AllPairs /
+    PPJoin family: Bayardo et al. WWW'07, Xiao et al. WWW'08): EVERY
+    pair with token-set Jaccard >= ``threshold`` — guaranteed recall, no
+    blocking heuristic. Contrast :func:`ngram_jaccard_pairs`, which
+    blocks on the first two positional tokens and (a) misses pairs that
+    differ in their opening words and (b) turns a boilerplate opening
+    shared by millions of docs into one hot join key.
+
+    Candidate generation, all Catalyst built-ins (no UDF):
+
+    1. global token order = (document frequency asc, token asc) —
+       rarest tokens first;
+    2. per-doc PREFIX under that order: the first
+       ``n - ceil(tau*n) + 1`` tokens. Pigeonhole: if two sets with
+       J >= tau shared no prefix token, all shared tokens would sit in
+       one side's suffix, capping overlap at ``ceil(tau*n) - 1`` <
+       the ``tau*n`` that J >= tau forces — so the postings self-join
+       on prefix tokens alone reaches every qualifying pair;
+    3. length filter ``tau*|A| <= |B|`` and ``tau*|B| <= |A|`` applied
+       on the postings join;
+    4. positional filter at the first shared prefix token (the
+       minimal-order one, where min(pa) and min(pb) coincide because
+       both docs order tokens by the same global rank): true overlap
+       <= 1 + min(|A|-pa, |B|-pb), pruned against the required
+       overlap ``ceil(tau/(1+tau) * (|A|+|B|))``.
+
+    Verification hydrates token arrays for survivors only and checks
+    exact Jaccard — the output is exactly the brute-force answer (the
+    ``ssjoin_prefix`` contract entry proves set equality against a
+    DuckDB all-shared-token-pairs replay).
+
+    Scale shape: frequent tokens sort OUT of prefixes, so postings
+    lists stay short and there is no head-token hot key; the
+    df-annotation join fans out 1:1 per (doc, token) row (AQE absorbs
+    its key skew); only (doc_id, token, n) rows shuffle until the final
+    bounded hydration of surviving candidate pairs. Float guards: the
+    prefix ceil subtracts eps (prefix can only lengthen — recall-safe)
+    and the required-overlap ceil subtracts eps (alpha can only drop —
+    prune-safe).
+    """
+    eps = 1e-9
+    tau = float(threshold)
+    if not 0.0 < tau <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    base = (
+        _ensure_parallelism(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(_norm_tokens(F.col(text_col))).alias("toks"),
+        )
+        .filter(F.size("toks") > 0)
+        .select("doc_id", "toks", F.size("toks").alias("n"))
+    )
+    tok = base.select("doc_id", "n", F.explode("toks").alias("token"))
+    dfreq = tok.groupBy("token").agg(F.count("*").alias("df"))
+    plen = (
+        F.col("n") - F.ceil(F.lit(tau) * F.col("n") - F.lit(eps)) + F.lit(1)
+    ).cast("int")
+    prefix = (
+        tok.join(dfreq, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n"),
+            F.array_sort(F.collect_list(F.struct("df", "token"))).alias("ordered"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            F.posexplode(
+                F.slice(F.col("ordered.token"), F.lit(1), plen)
+            ).alias("pos", "token"),
+        )
+    )
+    a = prefix.select(
+        "token",
+        F.col("doc_id").alias("id_A"),
+        F.col("n").alias("n_A"),
+        (F.col("pos") + 1).alias("pa"),
+    )
+    b = prefix.select(
+        "token",
+        F.col("doc_id").alias("id_B"),
+        F.col("n").alias("n_B"),
+        (F.col("pos") + 1).alias("pb"),
+    )
+    alpha = F.ceil(
+        F.lit(tau / (1.0 + tau)) * (F.col("n_A") + F.col("n_B")) - F.lit(eps)
+    )
+    cand = (
+        a.join(b, "token")
+        .filter(F.col("id_A") < F.col("id_B"))
+        .filter(
+            (F.col("n_B") * F.lit(tau) <= F.col("n_A") + F.lit(eps))
+            & (F.col("n_A") * F.lit(tau) <= F.col("n_B") + F.lit(eps))
+        )
+        .groupBy("id_A", "id_B")
+        .agg(
+            F.max("n_A").alias("n_A"),
+            F.max("n_B").alias("n_B"),
+            F.min("pa").alias("pa1"),
+            F.min("pb").alias("pb1"),
+        )
+        .filter(
+            F.lit(1)
+            + F.least(F.col("n_A") - F.col("pa1"), F.col("n_B") - F.col("pb1"))
+            >= alpha
+        )
+    )
+    ta = base.select(F.col("doc_id").alias("id_A"), F.col("toks").alias("t_A"))
+    tb = base.select(F.col("doc_id").alias("id_B"), F.col("toks").alias("t_B"))
+    inter = F.size(F.array_intersect("t_A", "t_B"))
+    return (
+        cand.join(ta, "id_A")
+        .join(tb, "id_B")
+        .withColumn("inter", inter)
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.col("n_A") + F.col("n_B") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= tau)
+        .select("id_A", "id_B", "jaccard")
+    )
+
+
 def simhash64(text_col) -> Column:
     """64-bit SimHash of normalized tokens, entirely with built-ins.
 

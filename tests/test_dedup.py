@@ -246,3 +246,83 @@ def test_span_overlap_pairs_portable_matches_default(spark):
         for r in span_overlap_pairs(docs, window=8, min_shared=2, portable=True).collect()
     }
     assert a == b and len(a) == 15  # all C(6,2) pairs share the base spans
+
+
+def _brute_jaccard_pairs(spark, docs, tau):
+    """All-pairs token-set Jaccard >= tau (reference answer)."""
+    from record_linkage_spark.operators.dedup import _norm_tokens
+
+    base = docs.select(
+        "doc_id", F.array_distinct(_norm_tokens(F.col("text"))).alias("toks")
+    ).filter(F.size("toks") > 0)
+    a = base.select(F.col("doc_id").alias("id_A"), F.col("toks").alias("tA"))
+    b = base.select(F.col("doc_id").alias("id_B"), F.col("toks").alias("tB"))
+    return {
+        (r.id_A, r.id_B): round(r.j, 9)
+        for r in (
+            a.crossJoin(b)
+            .filter(F.col("id_A") < F.col("id_B"))
+            .withColumn("i", F.size(F.array_intersect("tA", "tB")))
+            .withColumn(
+                "j",
+                F.col("i")
+                / (F.size("tA") + F.size("tB") - F.col("i")).cast("double"),
+            )
+            .filter(F.col("j") >= tau)
+            .select("id_A", "id_B", "j")
+            .collect()
+        )
+    }
+
+
+def test_set_similarity_pairs_equals_brute_force(spark):
+    """Guaranteed recall: the prefix-filtered join returns EXACTLY the
+    brute-force answer at several thresholds (incl. tau values whose
+    ceil() sits near float-rounding boundaries)."""
+    from record_linkage_spark.operators.dedup import set_similarity_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for tau in (0.5, 0.6, 0.7, 0.8, 1.0):
+        got = {
+            (r.id_A, r.id_B): round(r.jaccard, 9)
+            for r in set_similarity_pairs(docs, threshold=tau).collect()
+        }
+        want = _brute_jaccard_pairs(spark, docs, tau)
+        assert got == want, f"tau={tau}: {len(got)} vs {len(want)}"
+
+
+def test_set_similarity_pairs_catches_what_prefix_blocking_misses(spark):
+    """Two docs sharing 90% of tokens but DIFFERENT opening words: the
+    positional-prefix heuristic (ngram_jaccard_pairs' blocker) cannot
+    pair them; the frequency-ordered prefix filter must."""
+    from record_linkage_spark.operators.dedup import set_similarity_pairs
+
+    body = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (1, f"first opening {body}"),
+        (2, f"second start {body}"),
+        (3, "unrelated content entirely disjoint from the others here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_A, r.id_B)
+        for r in set_similarity_pairs(docs, threshold=0.7).collect()
+    }
+    assert got == {(1, 2)}  # J = 10/14 ≈ 0.714
+
+
+def test_set_similarity_pairs_plan_shape(spark):
+    """No cartesian anywhere; candidate generation is equality joins on
+    prefix tokens; the df-annotation join carries only (doc_id, n,
+    token) rows."""
+    from record_linkage_spark.operators.dedup import set_similarity_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        set_similarity_pairs(docs, threshold=0.7)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
