@@ -234,6 +234,16 @@ def main() -> None:
         lambda: em.q_meta_blocking(spark, sf_dir).count()
     )
 
+    # guaranteed-recall prefix-filter set-similarity join over the doc
+    # corpus (tau=0.95; the synth corpus is dense with near-copies, so
+    # this stage is verify-bound — throughput of exact Jaccard checks)
+    from record_linkage_spark.operators.dedup import set_similarity_pairs
+
+    docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _, queries["ssjoin_prefix"] = _timed_best2(
+        lambda: set_similarity_pairs(docs_tbl, threshold=0.95).count()
+    )
+
     pairs_per_sec = n_big / score_sec if score_sec > 0 else 0.0
     total = sum(queries.values())
     print(

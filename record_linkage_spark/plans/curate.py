@@ -41,6 +41,7 @@ from record_linkage_spark.operators.curation import (
 from record_linkage_spark.operators.dedup import (
     exact_duplicates,
     minhash_near_duplicates,
+    set_similarity_pairs,
 )
 from record_linkage_spark.operators.text_analysis import (
     language_id,
@@ -94,7 +95,33 @@ def apply_quality_filter(
     )
 
 
-def dedup_corpus(filtered: DataFrame, minhash_threshold: float = 0.8) -> DataFrame:
+def _near_dup_pairs(
+    docs: DataFrame, threshold: float, pair_strategy: str
+) -> DataFrame:
+    """Near-dup pair generation for the funnel, selectable:
+
+    ``minhash`` (default): MinHash-LSH over 3-gram shingles — the
+    probabilistic 100 TB path (banded bucket join, tunable recall).
+    ``ssjoin``: prefix-filter set-similarity join over TOKEN sets —
+    exact, guaranteed recall at the threshold (the two paths score
+    different set families, shingles vs tokens, so thresholds are not
+    numerically interchangeable; both are Jaccard in [0, 1])."""
+    if pair_strategy == "ssjoin":
+        return set_similarity_pairs(docs, threshold=threshold).select(
+            "id_A", "id_B"
+        )
+    if pair_strategy == "minhash":
+        return minhash_near_duplicates(docs, jaccard_threshold=threshold).select(
+            "id_A", "id_B"
+        )
+    raise ValueError(f"unknown pair_strategy: {pair_strategy}")
+
+
+def dedup_corpus(
+    filtered: DataFrame,
+    minhash_threshold: float = 0.8,
+    pair_strategy: str = "minhash",
+) -> DataFrame:
     """Exact (md5 groupBy) then MinHash-LSH near-dup removal. Drop
     policy: a doc goes iff ANY smaller-id doc (kept or itself dropped)
     duplicates it — pairs are canonical id_A < id_B and the drop set is
@@ -115,7 +142,7 @@ def dedup_corpus(filtered: DataFrame, minhash_threshold: float = 0.8) -> DataFra
     )
     after_exact = filtered.join(exact_drop, "doc_id", "left_anti")
     near_drop = (
-        minhash_near_duplicates(after_exact, jaccard_threshold=minhash_threshold)
+        _near_dup_pairs(after_exact, minhash_threshold, pair_strategy)
         .select(F.col("id_B").alias("doc_id"))
         .distinct()
     )
@@ -126,6 +153,7 @@ def dedup_corpus_keep_best(
     filtered: DataFrame,
     minhash_threshold: float = 0.8,
     order_col: str = "q_score",
+    pair_strategy: str = "minhash",
 ) -> DataFrame:
     """Keep-one-representative-per-component dedup — the alternative
     policy :func:`dedup_corpus` documents: exact-dup edges (md5 group
@@ -148,8 +176,8 @@ def dedup_corpus_keep_best(
     )
     exact_drop = ex.select(F.explode("dup_ids").alias("doc_id")).distinct()
     after_exact = filtered.join(exact_drop, "doc_id", "left_anti")
-    near_edges = minhash_near_duplicates(
-        after_exact, jaccard_threshold=minhash_threshold
+    near_edges = _near_dup_pairs(
+        after_exact, minhash_threshold, pair_strategy
     ).select(F.col("id_A").alias("src"), F.col("id_B").alias("dst"))
     kept = keep_best_per_cluster(
         filtered,
@@ -192,6 +220,7 @@ class CurationPipeline:
         max_dup_line_frac: float = 0.50,
         minhash_threshold: float = 0.8,
         dedup_policy: str = "droplist",
+        pair_strategy: str = "minhash",
         decontam_ngram: int = 8,
         min_shared_grams: int = 1,
         strata_cols: tuple[str, ...] = ("lang",),
@@ -212,6 +241,9 @@ class CurationPipeline:
         if dedup_policy not in ("droplist", "keep_best"):
             raise ValueError(f"unknown dedup_policy: {dedup_policy}")
         self.dedup_policy = dedup_policy
+        if pair_strategy not in ("minhash", "ssjoin"):
+            raise ValueError(f"unknown pair_strategy: {pair_strategy}")
+        self.pair_strategy = pair_strategy
         self.decontam_ngram = decontam_ngram
         self.min_shared_grams = min_shared_grams
         self.strata_cols = list(strata_cols)
@@ -297,10 +329,15 @@ class CurationPipeline:
         )
         deduped = wh.run_stage(
             "deduped",
-            lambda: dedup_fn(filtered, self.minhash_threshold),
+            lambda: dedup_fn(
+                filtered,
+                self.minhash_threshold,
+                pair_strategy=self.pair_strategy,
+            ),
             self._cfg(
                 minhash_threshold=self.minhash_threshold,
                 policy=self.dedup_policy,
+                pair_strategy=self.pair_strategy,
             ),
             inputs=["filtered"],
             resume=resume,
@@ -386,6 +423,7 @@ class CurationPipeline:
                 "min_quality": self.min_quality,
                 "minhash_threshold": self.minhash_threshold,
                 "dedup_policy": self.dedup_policy,
+                "pair_strategy": self.pair_strategy,
                 "decontam_ngram": self.decontam_ngram,
                 "quota": self.quota,
                 "strata": self.strata_cols,
@@ -416,6 +454,14 @@ def main() -> None:
         "id; keep_best: one best-quality representative per CC component",
     )
     ap.add_argument(
+        "--pair-strategy",
+        choices=("minhash", "ssjoin"),
+        default="minhash",
+        help="near-dup pair generator: minhash = LSH over 3-gram shingles "
+        "(probabilistic); ssjoin = prefix-filter set-similarity join over "
+        "token sets (exact, guaranteed recall at the threshold)",
+    )
+    ap.add_argument(
         "--benchmark-parquet",
         default=None,
         help="parquet of (doc_id, text) benchmark docs to decontaminate against",
@@ -434,6 +480,7 @@ def main() -> None:
         pack_budget=args.pack_budget,
         minhash_threshold=args.minhash_threshold,
         dedup_policy=args.dedup_policy,
+        pair_strategy=args.pair_strategy,
     )
     pipe.benchmark_path = args.benchmark_parquet
     report = pipe.run(resume=not args.no_resume)

@@ -173,3 +173,35 @@ def test_unknown_dedup_policy_rejected(spark):
 
     with pytest.raises(ValueError, match="unknown dedup_policy"):
         CurationPipeline(spark, "/tmp/never", docs_df=None, dedup_policy="nope")
+
+
+def test_ssjoin_pair_strategy_exact_recall(spark, corpus, bench_docs, tmp_path_factory):
+    """pair_strategy='ssjoin': the exact prefix-filter join drives the
+    dedup stage — the planted exact dup and the one-word-changed near
+    dup are both dropped (token-set Jaccard of the near pair is 22/24 ≈
+    0.92), while doc 9 (doc 2 + appended benchmark text, token-set
+    J = 23/37 ≈ 0.62 — token sets score containment-ish pairs higher
+    than shingle sets, hence tau=0.8 here) survives to be caught by
+    decontamination instead. The report records the strategy."""
+    wh = str(tmp_path_factory.mktemp("curate_wh_ss"))
+    pipe = CurationPipeline(
+        spark,
+        wh,
+        docs_df=corpus,
+        benchmark_df=bench_docs,
+        quota=10,
+        pack_budget=30,
+        minhash_threshold=0.8,
+        pair_strategy="ssjoin",
+    )
+    report = pipe.run(resume=True)
+    kept = {r.doc_id for r in pipe.wh.read("deduped").select("doc_id").collect()}
+    assert 4 not in kept and 5 not in kept  # exact dup + near dup dropped
+    assert {1, 2, 3, 8, 9} <= kept
+    assert report["removed"]["dedup"] == 2
+    assert report["config"]["pair_strategy"] == "ssjoin"
+
+
+def test_unknown_pair_strategy_rejected(spark):
+    with pytest.raises(ValueError, match="unknown pair_strategy"):
+        CurationPipeline(spark, "/tmp/never", docs_df=None, pair_strategy="nope")
