@@ -326,3 +326,29 @@ def test_set_similarity_pairs_plan_shape(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_set_similarity_pairs_random_corpora_awkward_taus(spark):
+    """Seeded random corpora over a tiny vocabulary (dense overlaps,
+    repeated tokens, single-token docs, planted exact dups) at
+    thresholds whose tau*n products land on ceil() boundaries — the
+    prefix/alpha float guards must never cost a pair."""
+    import numpy as np
+
+    from record_linkage_spark.operators.dedup import set_similarity_pairs
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(80):
+        k = int(rng.integers(1, 12))
+        rows.append((i, " ".join(rng.choice(vocab, size=k, replace=True))))
+    rows += [(100, rows[0][1]), (101, "w0"), (102, "w0")]  # dups + singles
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for tau in (1.0 / 3.0, 0.5, 2.0 / 3.0, 0.75, 1.0):
+        got = {
+            (r.id_A, r.id_B): round(r.jaccard, 9)
+            for r in set_similarity_pairs(docs, threshold=tau).collect()
+        }
+        want = _brute_jaccard_pairs(spark, docs, tau)
+        assert got == want, f"tau={tau}: {len(got)} vs {len(want)}"
