@@ -363,9 +363,14 @@ def q_a7_threshold_sweep(spark, sf):
     """A7: threshold sweep as explode + conditional agg, no driver loop
     (logistic_regression.py:110-125) — plus the threshold-free companion:
     ROC AUC (``roc_auc``, Mann-Whitney over distinct-score counts, no
-    global pair sort) rides as a constant column, value-checked on every
-    sweep row by the DuckDB window-cumsum replay."""
-    from record_linkage_spark.operators.evaluate import roc_auc
+    global pair sort) and average precision (``average_precision``,
+    PR-curve area in the sklearn step form, same bounded distinct-score
+    frame) ride as constant columns, value-checked on every sweep row
+    by the DuckDB window-cumsum replays."""
+    from record_linkage_spark.operators.evaluate import (
+        average_precision,
+        roc_auc,
+    )
 
     li = _t(spark, sf, "lineitem")
     taus = [round(0.01 * k, 2) for k in range(1, 10)]
@@ -387,9 +392,13 @@ def q_a7_threshold_sweep(spark, sf):
         2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
         2 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
     ).otherwise(F.lit(0.0))
-    return agg.select(
-        F.round("tau", 2).alias("tau"), F.round(f1, 6).alias("f1")
-    ).crossJoin(roc_auc(labeled).select("auc"))
+    return (
+        agg.select(
+            F.round("tau", 2).alias("tau"), F.round(f1, 6).alias("f1")
+        )
+        .crossJoin(roc_auc(labeled).select("auc"))
+        .crossJoin(average_precision(labeled).select("ap"))
+    )
 
 
 def q_a8_doc_freq(spark, sf):
@@ -3346,10 +3355,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM dist), "
             "aucv AS (SELECT round(CAST(sum(np * (2*cnb + nn)) AS DOUBLE) / "
             "(2 * CAST(sum(np) AS DOUBLE) * CAST(sum(nn) AS DOUBLE)), 6) AS auc "
-            "FROM cum) "
+            "FROM cum), "
+            # average precision: descending cumulative tp/fp over the same
+            # distinct-score frame (mirrors evaluate.average_precision)
+            "cumd AS (SELECT np, "
+            "sum(np) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ctp, "
+            "sum(nn) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cfp "
+            "FROM dist), "
+            "apv AS (SELECT round(sum(CAST(np AS DOUBLE) * (CAST(ctp AS DOUBLE) / CAST(ctp + cfp AS DOUBLE))) / "
+            "CAST(sum(np) AS DOUBLE), 6) AS ap FROM cumd) "
             "SELECT round(tau, 2) AS tau, "
             "round(CASE WHEN 2*tp + fp + fn > 0 THEN 2.0*tp/(2*tp + fp + fn) ELSE 0.0 END, 6) AS f1, "
-            "(SELECT auc FROM aucv) AS auc "
+            "(SELECT auc FROM aucv) AS auc, "
+            "(SELECT ap FROM apv) AS ap "
             "FROM agg"
         ),
         "a8_doc_freq": (

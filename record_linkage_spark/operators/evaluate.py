@@ -335,6 +335,81 @@ def merge_candidates(
     )
 
 
+def average_precision(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+    digits: int | None = 6,
+) -> DataFrame:
+    """Average precision (area under the precision-recall curve, step
+    interpolation over distinct thresholds — the sklearn
+    ``average_precision_score`` definition): AP = sum over distinct
+    scores s (descending) of [n_pos(s)/P] * precision_at(s). The PR
+    companion to :func:`roc_auc` — preferred when positives are rare
+    (linkage pair pools are overwhelmingly negative, so ROC AUC can
+    look flattering while precision is poor).
+
+    Same scale shape as roc_auc: pairs aggregate to ONE row per
+    distinct rounded score (map-side combine; ``digits`` caps the
+    frame's cardinality), the cumulative window runs over that bounded
+    frame, never over pairs. Counts stay decimal until the per-row
+    precision division. Returns one row (ap, n_pos, n_neg); ap is NULL
+    when no positives exist.
+    """
+    from pyspark.sql.window import Window
+
+    s = (
+        F.round(F.col(score_col), digits)
+        if digits is not None
+        else F.col(score_col)
+    )
+    g = (
+        scored.select(s.alias("_s"), F.col(label_col).alias("_l"))
+        .groupBy("_s")
+        .agg(
+            F.sum(F.when(F.col("_l") == 1, 1).otherwise(0))
+            .cast("decimal(19,0)")
+            .alias("_np"),
+            F.sum(F.when(F.col("_l") == 0, 1).otherwise(0))
+            .cast("decimal(19,0)")
+            .alias("_nn"),
+        )
+    )
+    w = Window.orderBy(F.col("_s").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = g.select(
+        "_np",
+        "_nn",
+        F.sum("_np").over(w).alias("_ctp"),
+        F.sum("_nn").over(w).alias("_cfp"),
+    )
+    agg = cum.agg(
+        F.sum(
+            F.col("_np").cast("double")
+            * (
+                F.col("_ctp").cast("double")
+                / (F.col("_ctp") + F.col("_cfp")).cast("double")
+            )
+        ).alias("_num"),
+        F.sum("_np").alias("_p"),
+        F.sum("_nn").alias("_n"),
+    )
+    return (
+        agg.select(
+            F.round(
+                F.when(
+                    F.col("_p") > 0,
+                    F.col("_num") / F.col("_p").cast("double"),
+                ),
+                6,
+            ).alias("ap"),
+            F.col("_p").cast("decimal(38,0)").alias("n_pos"),
+            F.col("_n").cast("decimal(38,0)").alias("n_neg"),
+        )
+    )
+
+
 def roc_auc(
     scored: DataFrame,
     label_col: str = "label",

@@ -283,6 +283,7 @@ class LinkagePipeline:
             bcubed_metrics,
             cluster_cohesion,
             merge_candidates,
+            average_precision,
             pair_counting_metrics,
             roc_auc,
         )
@@ -326,7 +327,7 @@ class LinkagePipeline:
         # BLOCKING KEY (keys_only keeps the hard negatives; the full
         # cascade filter leaves candidates ∩ GT nearly all-positive and
         # unblocked pairs are out-of-domain for the scorer)
-        auc_val = None
+        auc_val = ap_val = None
         if self.model is not None:
             gt_all = score_pairs(
                 add_features(
@@ -338,13 +339,21 @@ class LinkagePipeline:
                 ),
                 self.model,
             )
-            auc_val = roc_auc(gt_all.select("label", "score")).first().auc
+            ranked = gt_all.select("label", "score")
+            rank_row = (
+                roc_auc(ranked)
+                .select("auc")
+                .crossJoin(average_precision(ranked).select("ap"))
+                .first()
+            )
+            auc_val, ap_val = rank_row.auc, rank_row.ap
         self.report = {
             "strategy": self.strategy,
             "clusterer": self.clusterer,
             "blocking": bm,
             "global": gm,
             "auc_labeled_pairs": auc_val,
+            "ap_labeled_pairs": ap_val,
             "bcubed": bc,
             "pair_counting": pc,
             "repair": repair,

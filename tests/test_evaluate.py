@@ -139,3 +139,50 @@ def test_roc_auc_matches_pair_enumeration(spark):
     assert roc_auc(perfect).first().auc == 1.0
     onecls = spark.createDataFrame([(1, 0.9)], "label int, score double")
     assert roc_auc(onecls).first().auc is None
+
+
+def test_average_precision_matches_step_definition(spark):
+    """AP must equal the sklearn step definition
+    AP = sum_k (R_k - R_{k-1}) * P_k over distinct thresholds
+    (descending), with ties grouped into one threshold."""
+    from record_linkage_spark.operators.evaluate import average_precision
+
+    def ref_ap(rows):
+        from collections import defaultdict
+
+        by_s = defaultdict(lambda: [0, 0])
+        for lbl, sc in rows:
+            by_s[sc][0 if lbl == 1 else 1] += 1
+        P = sum(v[0] for v in by_s.values())
+        ctp = cfp = 0
+        ap = 0.0
+        for sc in sorted(by_s, reverse=True):
+            np_, nn_ = by_s[sc]
+            ctp += np_
+            cfp += nn_
+            ap += np_ * (ctp / (ctp + cfp))
+        return ap / P
+
+    rows = [
+        (1, 0.9), (0, 0.8), (1, 0.7), (1, 0.6),
+        (0, 0.5), (1, 0.3), (0, 0.2), (0, 0.1),
+    ]
+    df = spark.createDataFrame(rows, "label int, score double")
+    got = average_precision(df).first()
+    assert got.ap == pytest.approx(ref_ap(rows), abs=1e-6)
+    assert (int(got.n_pos), int(got.n_neg)) == (4, 4)
+
+    # ties collapse into one threshold (2 pos + 1 neg at 0.5)
+    tied = [(1, 0.5), (0, 0.5), (1, 0.5), (0, 0.2)]
+    got_t = average_precision(
+        spark.createDataFrame(tied, "label int, score double")
+    ).first()
+    assert got_t.ap == pytest.approx(ref_ap(tied), abs=1e-6) == pytest.approx(2 / 3)
+
+    # perfect ranking -> 1.0; no positives -> NULL
+    perfect = spark.createDataFrame(
+        [(1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)], "label int, score double"
+    )
+    assert average_precision(perfect).first().ap == 1.0
+    nopos = spark.createDataFrame([(0, 0.9)], "label int, score double")
+    assert average_precision(nopos).first().ap is None

@@ -276,3 +276,19 @@ def test_cluster_cohesion_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
     assert "partial_count" in plan
+
+
+def test_average_precision_window_runs_over_distinct_scores(spark):
+    """Like roc_auc: the descending cumulative window must consume the
+    distinct-score aggregate, never raw pair rows."""
+    from record_linkage_spark.operators.evaluate import average_precision
+
+    pairs = _doc_df(spark).select(
+        (F.col("doc_id") % 2).cast("int").alias("label"),
+        (F.col("doc_id") % 13 / 13.0).alias("score"),
+    )
+    plan = _plan(average_precision(pairs))
+    assert plan.count("Window") == 1
+    below_window = plan[plan.index("Window"):]
+    assert "HashAggregate" in below_window
+    assert "partial_sum" in below_window
