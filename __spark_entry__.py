@@ -664,12 +664,24 @@ def q_dedup_exact(spark, sf):
 
 
 def q_dedup_token_jaccard(spark, sf):
-    """Blocked token-set Jaccard near-dup pairs (word 1-grams)."""
+    """Blocked token-set Jaccard near-dup pairs (word 1-grams), plus the
+    corpus-weighted TF-IDF cosine (``tfidf_cosine_pairs``, the
+    Cohen/Ravikumar/Fienberg hybrid-comparator family) on the same
+    pairs — DuckDB replays both the unweighted and the idf-weighted
+    similarity, so the whole weight pipeline (tf, df, ln(N/df), norms,
+    shared-token dot) is value-checked."""
     from record_linkage_spark.operators.dedup import ngram_jaccard_pairs
+    from record_linkage_spark.operators.text_analysis import tfidf_cosine_pairs
 
     d = _t(spark, sf, "documents")
     out = ngram_jaccard_pairs(d, ngram=1, threshold=0.5, block_prefix_tokens=2)
-    return out.select("id_A", "id_B", F.round("jaccard", 6).alias("jaccard"))
+    out = tfidf_cosine_pairs(out, d)
+    return out.select(
+        "id_A",
+        "id_B",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("tfidf_cosine", 6).alias("tfidf_cos"),
+    )
 
 
 def q_ann_brute_topk(spark, sf):
@@ -3448,16 +3460,35 @@ def oracle_sql() -> dict[str, str]:
             "WHERE CAST(c.inter AS DOUBLE) / (sa.n + sb.n - c.inter) >= 0.85"
         ),
         "dedup_token_jaccard": (
+            # NOTE: no doc_id slice here — this twin covers the FULL
+            # documents table, unlike ssjoin_prefix's sliced brute force
             "WITH base AS (SELECT doc_id, "
             "list_distinct(string_split(coalesce(" + NORM_URL_SQL.format(c="text") + ", ''), ' ')) AS toks, "
             "array_to_string(list_slice(string_split(coalesce(" + NORM_URL_SQL.format(c="text") + ", ''), ' '), 1, 2), ' ') AS bk "
-            "FROM documents WHERE doc_id < 250 AND " + NORM_URL_SQL.format(c="text") + " IS NOT NULL), "
+            "FROM documents WHERE " + NORM_URL_SQL.format(c="text") + " IS NOT NULL), "
             "pairs AS (SELECT a.doc_id AS id_A, b.doc_id AS id_B, "
             "len(list_intersect(a.toks, b.toks)) AS inter, "
             "len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS uni "
-            "FROM base a JOIN base b ON a.bk = b.bk AND a.doc_id < b.doc_id WHERE a.bk != '') "
-            "SELECT id_A, id_B, round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard "
-            "FROM pairs WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.5"
+            "FROM base a JOIN base b ON a.bk = b.bk AND a.doc_id < b.doc_id WHERE a.bk != ''), "
+            "sel AS (SELECT id_A, id_B, round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard "
+            "FROM pairs WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.5), "
+            # TF-IDF cosine replay (mirrors text_analysis.tfidf_cosine_pairs:
+            # accent tokenizer, tf * ln(N/df), norms, shared-token dot)
+            "tokf AS (SELECT doc_id, unnest(string_split(" + acc_norm.format(c="text") + ", ' ')) AS token FROM documents), "
+            "tfq AS (SELECT doc_id, token, count(*) AS tf FROM tokf WHERE token IS NOT NULL AND token != '' GROUP BY 1, 2), "
+            "dfq AS (SELECT token, count(*) AS df FROM tfq GROUP BY 1), "
+            "nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents), "
+            "wt AS (SELECT doc_id, token, tf * ln(n / df) AS w FROM tfq JOIN dfq USING (token) CROSS JOIN nd), "
+            "nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nr FROM wt GROUP BY 1), "
+            "dots AS (SELECT p.id_A, p.id_B, sum(wa.w * wb.w) AS dt "
+            "FROM sel p JOIN wt wa ON wa.doc_id = p.id_A "
+            "JOIN wt wb ON wb.doc_id = p.id_B AND wb.token = wa.token GROUP BY 1, 2) "
+            "SELECT p.id_A, p.id_B, p.jaccard, "
+            "round(CASE WHEN na.nr > 0 AND nb.nr > 0 "
+            "THEN coalesce(dt, 0) / (na.nr * nb.nr) ELSE 0.0 END, 6) AS tfidf_cos "
+            "FROM sel p LEFT JOIN dots d ON d.id_A = p.id_A AND d.id_B = p.id_B "
+            "LEFT JOIN nrm na ON na.doc_id = p.id_A "
+            "LEFT JOIN nrm nb ON nb.doc_id = p.id_B"
         ),
         "ann_brute_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10), "

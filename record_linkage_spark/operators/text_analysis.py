@@ -185,6 +185,92 @@ def doc_token_idf(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
 
 
+def tfidf_weights(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-(doc, token) TF-IDF weight: tf(count in doc) * ln(N / df).
+    The vector table behind :func:`tfidf_cosine_pairs`; at scale it is
+    the thing to persist (bucketed by doc id) rather than recompute."""
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tokens(F.col(text_col))).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = ex.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").cast("double").alias("_n_docs"))
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            (F.col("tf") * F.log(F.col("_n_docs") / F.col("df"))).alias("w"),
+        )
+    )
+
+
+def tfidf_cosine_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """TF-IDF cosine similarity for candidate pairs — the classic
+    corpus-weighted hybrid comparator (Cohen/Ravikumar/Fienberg 2003,
+    the TF-IDF half of SoftTFIDF): rare shared tokens count, boilerplate
+    shared by the whole corpus counts for nothing. Complements the
+    unweighted token-set Jaccard on templated corpora where every pair
+    shares the chrome.
+
+    Input ``pairs`` needs (id_A, id_B); output adds ``tfidf_cosine`` in
+    [0, 1] (0 when either side has an all-zero vector).
+
+    Scale shape: all equality joins. The dot product joins pair ids to
+    the (doc_id, token, w) weight table — |pairs| x tokens-per-doc rows,
+    the same order as any pairwise text comparator — then reduces with
+    map-side combine; norms are one grouped aggregate of the weight
+    table; nothing enumerates non-candidate pairs, and idf comes from
+    one broadcast single-row corpus count.
+    """
+    w = tfidf_weights(docs, id_col=id_col, text_col=text_col)
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("_norm")
+    )
+    pa = pairs.select("id_A", "id_B")
+    dot = (
+        pa.join(
+            w.select(
+                F.col("doc_id").alias("id_A"), "token", F.col("w").alias("_wa")
+            ),
+            "id_A",
+        )
+        .join(
+            w.select(
+                F.col("doc_id").alias("id_B"), "token", F.col("w").alias("_wb")
+            ),
+            ["id_B", "token"],
+        )
+        .groupBy("id_A", "id_B")
+        .agg(F.sum(F.col("_wa") * F.col("_wb")).alias("_dot"))
+    )
+    return (
+        pairs.join(dot, ["id_A", "id_B"], "left")
+        # left: a tokenless doc has no norm row but its pairs must
+        # surface with cosine 0, not vanish
+        .join(norms.select(F.col("doc_id").alias("id_A"), F.col("_norm").alias("_na")), "id_A", "left")
+        .join(norms.select(F.col("doc_id").alias("id_B"), F.col("_norm").alias("_nb")), "id_B", "left")
+        .withColumn(
+            "tfidf_cosine",
+            F.when(
+                (F.col("_na") > 0) & (F.col("_nb") > 0),
+                F.coalesce(F.col("_dot"), F.lit(0.0))
+                / (F.col("_na") * F.col("_nb")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("_dot", "_na", "_nb")
+    )
+
+
 def top_idf_tokens(
     docs: DataFrame,
     k: int = 8,

@@ -3,6 +3,7 @@ fingerprint."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from record_linkage_spark.operators.text_analysis import (
@@ -105,3 +106,51 @@ def test_serialize_record(spark):
         serialize_pair(ser, ser, F.lit(1)).alias("p")
     ).collect()[0].p
     assert pair.count("\t") == 2 and pair.endswith("\t1")
+
+
+def test_tfidf_cosine_pairs_matches_numpy_reference(spark):
+    """tf * ln(N/df) weights, norms, shared-token dot — checked against
+    a hand-rolled reference; identical docs cos 1, disjoint 0, and a
+    tokenless doc's pairs surface with 0 (never dropped)."""
+    import math
+    from collections import Counter
+
+    from record_linkage_spark.operators.text_analysis import tfidf_cosine_pairs
+
+    corpus = {
+        1: "apple banana apple",
+        2: "apple banana cherry",
+        3: "dog elephant fox",
+        4: "apple banana apple",
+        5: None,
+    }
+    docs = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5), (2, 3)], "id_A long, id_B long"
+    )
+    got = {
+        (r.id_A, r.id_B): r.tfidf_cosine
+        for r in tfidf_cosine_pairs(pairs, docs).collect()
+    }
+
+    tfs = {d: Counter((t or "").split()) for d, t in corpus.items()}
+    dfc = Counter(tok for c in tfs.values() for tok in c)
+    n = len(corpus)
+
+    def vec(d):
+        return {t: c * math.log(n / dfc[t]) for t, c in tfs[d].items()}
+
+    def ref(a, b):
+        va, vb = vec(a), vec(b)
+        dot = sum(va[t] * vb.get(t, 0.0) for t in va)
+        na = math.sqrt(sum(v * v for v in va.values()))
+        nb = math.sqrt(sum(v * v for v in vb.values()))
+        return dot / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    assert set(got) == {(1, 2), (1, 3), (1, 4), (1, 5), (2, 3)}
+    for k, v in got.items():
+        assert v == pytest.approx(ref(*k), abs=1e-9), k
+    assert got[(1, 4)] == pytest.approx(1.0)
+    assert got[(1, 3)] == 0.0 and got[(1, 5)] == 0.0
