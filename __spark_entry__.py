@@ -1997,18 +1997,63 @@ def q_w2_latest_parsed(spark, sf):
 
 
 def q_similarity_funcs(spark, sf):
-    """F1 Jaro-Winkler (Arrow kernel vs DuckDB native) + F2 Levenshtein
-    distance/similarity over the same name pairs."""
-    from record_linkage_spark.functions.similarity import jw_sim, levenshtein_sim
+    """Scalar-comparator composite, tagged (kind, id1, id2, v1, v2, v3):
+
+      kind='names'  F1 Jaro-Winkler (Arrow kernel vs DuckDB native JW) +
+                    F2 Levenshtein distance/similarity over the
+                    customer x supplier name pairs
+                    (v1=jw, v2=lev, v3=lev_sim)
+      kind='monge'  Monge-Elkan hybrid comparator (JW inner metric,
+                    ``monge_elkan_pairs`` — ONE flattened kernel call
+                    per batch) over brand-blocked part name+type pairs;
+                    DuckDB replays the token cross-product with native
+                    jaro_winkler_similarity (v1=symmetric max,
+                    v2=me_ab, v3=me_ba)
+    """
+    from record_linkage_spark.functions.similarity import (
+        jw_sim,
+        levenshtein_sim,
+        monge_elkan_pairs,
+    )
 
     p = _name_pairs(spark, sf)
-    return p.select(
-        "c_custkey",
-        "s_suppkey",
-        F.round(jw_sim("c_name", "s_name"), 6).alias("jw"),
-        F.levenshtein("c_name", "s_name").cast("bigint").alias("lev"),
-        F.round(levenshtein_sim("c_name", "s_name"), 6).alias("lev_sim"),
+    names = p.select(
+        F.lit("names").alias("kind"),
+        F.col("c_custkey").cast("bigint").alias("id1"),
+        F.col("s_suppkey").cast("bigint").alias("id2"),
+        F.round(jw_sim("c_name", "s_name"), 6).alias("v1"),
+        F.levenshtein("c_name", "s_name").cast("double").alias("v2"),
+        F.round(levenshtein_sim("c_name", "s_name"), 6).alias("v3"),
     )
+    part = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_partkey") < 500)
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.concat_ws(" ", "p_name", "p_type").alias("nm"),
+        )
+    )
+    a = part.select(
+        F.col("p_partkey").alias("id1"), "p_brand", F.col("nm").alias("nm_a")
+    )
+    b = part.select(
+        F.col("p_partkey").alias("id2"), "p_brand", F.col("nm").alias("nm_b")
+    )
+    me = (
+        a.join(b, "p_brand")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("_me", monge_elkan_pairs("nm_a", "nm_b"))
+        .select(
+            F.lit("monge").alias("kind"),
+            F.col("id1").cast("bigint").alias("id1"),
+            F.col("id2").cast("bigint").alias("id2"),
+            F.round(F.greatest("_me.me_ab", "_me.me_ba"), 6).alias("v1"),
+            F.round("_me.me_ab", 6).alias("v2"),
+            F.round("_me.me_ba", 6).alias("v3"),
+        )
+    )
+    return names.unionByName(me)
 
 
 def q_text_stats(spark, sf):
@@ -2645,15 +2690,38 @@ def _composite_oracles(base: dict[str, str]) -> dict[str, str]:
             "ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) WHERE rn = 1"
         ),
         "similarity_funcs": (
-            "SELECT c_custkey, s_suppkey, "
-            "round(jaro_winkler_similarity(c_name, s_name), 6) AS jw, "
-            "CAST(levenshtein(c_name, s_name) AS BIGINT) AS lev, "
+            "WITH names AS (SELECT 'names' AS kind, "
+            "CAST(c_custkey AS BIGINT) AS id1, CAST(s_suppkey AS BIGINT) AS id2, "
+            "round(jaro_winkler_similarity(c_name, s_name), 6) AS v1, "
+            "CAST(levenshtein(c_name, s_name) AS DOUBLE) AS v2, "
             "round(CASE WHEN c_name IS NULL OR s_name IS NULL "
             "OR greatest(length(c_name), length(s_name)) = 0 THEN 0.0 "
             "ELSE 1.0 - levenshtein(c_name, s_name) / "
-            "CAST(greatest(length(c_name), length(s_name)) AS DOUBLE) END, 6) AS lev_sim "
-            "FROM (SELECT c_custkey, s_suppkey, c_name, s_name FROM customer "
-            "JOIN supplier ON c_nationkey = s_nationkey)"
+            "CAST(greatest(length(c_name), length(s_name)) AS DOUBLE) END, 6) AS v3 "
+            "FROM customer JOIN supplier ON c_nationkey = s_nationkey), "
+            # Monge-Elkan replay: token cross-product + native JW, per-
+            # direction max/mean (mirrors similarity.monge_elkan_np)
+            "mp AS (SELECT a.p_partkey AS id1, b.p_partkey AS id2, "
+            "concat_ws(' ', a.p_name, a.p_type) AS ta, "
+            "concat_ws(' ', b.p_name, b.p_type) AS tb "
+            "FROM part a JOIN part b ON a.p_brand = b.p_brand "
+            "AND a.p_partkey < b.p_partkey "
+            "WHERE a.p_partkey < 500 AND b.p_partkey < 500), "
+            "atoks AS (SELECT id1, id2, unnest(string_split(ta, ' ')) AS t FROM mp), "
+            "btoks AS (SELECT id1, id2, unnest(string_split(tb, ' ')) AS t FROM mp), "
+            "xp AS (SELECT a.id1, a.id2, a.t AS at, b.t AS bt, "
+            "jaro_winkler_similarity(a.t, b.t) AS s "
+            "FROM atoks a JOIN btoks b ON a.id1 = b.id1 AND a.id2 = b.id2), "
+            "amax AS (SELECT id1, id2, at, max(s) AS m FROM xp GROUP BY 1, 2, 3), "
+            "meab AS (SELECT id1, id2, avg(m) AS v FROM amax GROUP BY 1, 2), "
+            "bmax AS (SELECT id1, id2, bt, max(s) AS m FROM xp GROUP BY 1, 2, 3), "
+            "meba AS (SELECT id1, id2, avg(m) AS v FROM bmax GROUP BY 1, 2), "
+            "monge AS (SELECT 'monge' AS kind, "
+            "CAST(ab.id1 AS BIGINT) AS id1, CAST(ab.id2 AS BIGINT) AS id2, "
+            "round(greatest(ab.v, ba.v), 6) AS v1, "
+            "round(ab.v, 6) AS v2, round(ba.v, 6) AS v3 "
+            "FROM meab ab JOIN meba ba ON ab.id1 = ba.id1 AND ab.id2 = ba.id2) "
+            "SELECT * FROM names UNION ALL SELECT * FROM monge"
         ),
         "text_stats": (
             f"SELECT tc.doc_id, tc.n_ws, tc.n_bpe, q.n_tokens, q.stopword_ratio, "

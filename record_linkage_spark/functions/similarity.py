@@ -32,6 +32,8 @@ from record_linkage_spark.config import (
 
 __all__ = [
     "jaro_winkler_np",
+    "monge_elkan_np",
+    "monge_elkan_pairs",
     "jaro_winkler_pairs",
     "token_jaccard_np",
     "jw_sim",
@@ -197,11 +199,77 @@ def token_jaccard_np(a_tokens, b_tokens) -> np.ndarray:
     return out
 
 
+def monge_elkan_np(
+    s1, s2, max_len: int = JW_MAX_LEN
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batched Monge-Elkan hybrid similarity (Monge & Elkan 1996) with
+    Jaro-Winkler as the inner metric:
+
+        ME(A→B) = mean over tokens a of A of  max over tokens b of B
+                  of JW(a, b)
+
+    Returns (me_ab, me_ba); the symmetric form is max of the two.
+    Token-level typos and word reorderings score high where whole-string
+    JW collapses ("acme corp intl" vs "intl acme corporation").
+
+    Batch shape: tokens split per row (whitespace), the FULL batch's
+    token cross-products flatten into ONE :func:`jaro_winkler_np` call
+    (unique-pair collapse and the equal fast path apply across rows —
+    repeated vocabulary costs one matrix each), then per-row
+    max/mean segment reductions. Either side tokenless -> 0.0 both ways.
+    """
+    a = pd.Series(s1).fillna("").astype(str).to_numpy(dtype=object)
+    b = pd.Series(s2).fillna("").astype(str).to_numpy(dtype=object)
+    n = a.shape[0]
+    me_ab = np.zeros(n)
+    me_ba = np.zeros(n)
+    if n == 0:
+        return me_ab, me_ba
+    ta = [x.split() for x in a]
+    tb = [x.split() for x in b]
+    fa: list[str] = []
+    fb: list[str] = []
+    for t_a, t_b in zip(ta, tb):
+        if not t_a or not t_b:
+            continue
+        for x in t_a:
+            fa.extend([x] * len(t_b))
+            fb.extend(t_b)
+    if not fa:
+        return me_ab, me_ba
+    sims = jaro_winkler_np(fa, fb, max_len)
+    off = 0
+    for i, (t_a, t_b) in enumerate(zip(ta, tb)):
+        na, nb = len(t_a), len(t_b)
+        if na == 0 or nb == 0:
+            continue
+        block = sims[off : off + na * nb].reshape(na, nb)
+        off += na * nb
+        me_ab[i] = block.max(axis=1).mean()
+        me_ba[i] = block.max(axis=0).mean()
+    return me_ab, me_ba
+
+
 # --- Spark-facing pandas UDFs ---------------------------------------------
 
 @F.pandas_udf(T.DoubleType())
 def jaro_winkler_pairs(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(jaro_winkler_np(a, b))
+
+
+@F.pandas_udf(
+    T.StructType(
+        [
+            T.StructField("me_ab", T.DoubleType()),
+            T.StructField("me_ba", T.DoubleType()),
+        ]
+    )
+)
+def monge_elkan_pairs(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+    """Both Monge-Elkan directions in one kernel pass; symmetric form =
+    greatest(me_ab, me_ba) on the Spark side."""
+    me_ab, me_ba = monge_elkan_np(a, b)
+    return pd.DataFrame({"me_ab": me_ab, "me_ba": me_ba})
 
 
 def jw_sim(a, b):

@@ -221,3 +221,54 @@ class TestAffineGap:
         got = [r.s for r in df.select(affine_sim("a", "b").alias("s")).collect()]
         exp = affine_gap_np([r[0] for r in rows], [r[1] for r in rows])
         assert np.allclose(got, exp)
+
+
+def test_monge_elkan_np_matches_per_token_reference():
+    """ME must equal the per-token max/mean reference; word reordering
+    keeps ME high where whole-string JW collapses; tokenless sides 0."""
+    import numpy as np
+
+    from record_linkage_spark.functions.similarity import (
+        jaro_winkler_np,
+        monge_elkan_np,
+    )
+
+    a = ["acme corp intl", "hello", "", "one two", "john smith"]
+    b = ["intl acme corporation", "hello", "x", "", "smith john"]
+    ab, ba = monge_elkan_np(a, b)
+
+    def ref(x, y):
+        tx, ty = x.split(), y.split()
+        if not tx or not ty:
+            return 0.0, 0.0
+        m = np.array(
+            [[jaro_winkler_np([p], [q])[0] for q in ty] for p in tx]
+        )
+        return m.max(axis=1).mean(), m.max(axis=0).mean()
+
+    for i, (x, y) in enumerate(zip(a, b)):
+        w_ab, w_ba = ref(x, y)
+        assert ab[i] == pytest.approx(w_ab, abs=1e-12)
+        assert ba[i] == pytest.approx(w_ba, abs=1e-12)
+    # reordered full-token match is exactly 1.0 both ways
+    assert ab[4] == ba[4] == 1.0
+    # whole-string JW on the same reordered pair is far lower
+    assert jaro_winkler_np(["john smith"], ["smith john"])[0] < 0.75
+
+
+def test_monge_elkan_pairs_udf_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from record_linkage_spark.functions.similarity import monge_elkan_pairs
+
+    df = spark.createDataFrame(
+        [("acme corp", "acme corporation"), ("a b", None)],
+        "x string, y string",
+    )
+    rows = (
+        df.withColumn("m", monge_elkan_pairs("x", "y"))
+        .select("m.me_ab", "m.me_ba")
+        .collect()
+    )
+    assert rows[0].me_ab > 0.9 and rows[0].me_ba > 0.9
+    assert rows[1].me_ab == 0.0 and rows[1].me_ba == 0.0
