@@ -1017,6 +1017,29 @@ def q_rl_corr_clusters(spark, sf):
     return correlation_clustering(edges)
 
 
+def q_rl_star_clusters(spark, sf):
+    """Star clustering over the same positive-pair match edges — the
+    degree-anchored radius-1 clusterer (highest-evidence record becomes
+    each cluster's center). Iterative locally-dominant rounds; no SQL
+    twin (pinned by the sequential-equivalence tests in
+    ``test_cluster_quality.py``)."""
+    from record_linkage_spark.operators.clustering import star_clustering
+    from record_linkage_spark.operators.ground_truth import (
+        positive_pairs,
+        validate_keys,
+    )
+    from record_linkage_spark.synth.transcripts import hidden_key_table
+
+    raw = _synth(spark)
+    keys = (
+        hidden_key_table(raw).select("conv_id", "entity_key").localCheckpoint()
+    )
+    edges = positive_pairs(validate_keys(keys)).select(
+        F.col("id_A").alias("src"), F.col("id_B").alias("dst")
+    )
+    return star_clustering(edges)
+
+
 def q_rl_canopies(spark, sf):
     """Canopy blocking membership over cheap JW scores on near-id doc
     pairs (tight 0.9 / loose 0.6) — overlapping blocks from a cheap
@@ -2459,6 +2482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rl_clusters": q_rl_clusters,
         "rl_greedy_clusters": q_rl_greedy_clusters,
         "rl_corr_clusters": q_rl_corr_clusters,
+        "rl_star_clusters": q_rl_star_clusters,
         "rl_canopies": q_rl_canopies,
         "rl_minhash": q_rl_minhash,
         "rl_simhash": q_rl_simhash,

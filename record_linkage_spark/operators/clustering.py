@@ -253,68 +253,172 @@ def correlation_clustering(
             F.col(col).alias("i"),
         )
 
-    assigned_parts: list[DataFrame] = []
-    active = edges
+    return _dominant_rounds(
+        edges.select("a", "b", rank("a").alias("ra"), rank("b").alias("rb")),
+        max_iterations,
+        "correlation_clustering",
+    )
+
+
+def _dominant_rounds(
+    edges_ranked: DataFrame, max_iterations: int, label: str
+) -> DataFrame:
+    """Shared locally-dominant greedy simulation over rank-annotated
+    undirected edges (a, b, ra, rb): every round, nodes whose rank
+    precedes all active neighbors' ranks become cluster centers at once;
+    remaining nodes adjacent to a center join their best-ranked center;
+    assigned nodes leave the graph. Output is IDENTICAL to the
+    sequential greedy scan of nodes in rank order (asserted in tests
+    for both rank families) — rounds are O(log n) w.h.p. when the rank
+    carries a hash component. Rank structs compare field-wise and must
+    end with the node id (field ``i``) so distinct nodes never tie."""
+    # Phase 1 — centers: the parallel lexicographic-MIS simulation
+    # (Blelloch/Fineman/Shun 2012). Each round, nodes preceding ALL
+    # still-active neighbors enter the MIS; MIS nodes AND their
+    # neighbors leave the graph. The resulting center set equals the
+    # sequential greedy scan's centers exactly. Members are NOT
+    # assigned per round: a member's best adjacent center can surface
+    # in a LATER round than its removal (its earlier rounds' centers
+    # merely blocked it), so per-round assignment diverges from the
+    # sequential scan — membership is resolved globally in phase 2.
+    edges_ranked = edges_ranked.localCheckpoint()
+    sym_all = edges_ranked.union(
+        edges_ranked.select(
+            F.col("b").alias("a"),
+            F.col("a").alias("b"),
+            F.col("rb").alias("ra"),
+            F.col("ra").alias("rb"),
+        )
+    )
+    all_nodes = sym_all.select(F.col("a").alias("conv_id")).distinct()
+    pivot_parts: list[DataFrame] = []
+    active = edges_ranked
     converged = False
     for _ in range(max_iterations):
         if active.isEmpty():
             converged = True
             break
         sym = active.union(
-            active.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        )
-        # smallest (pi, id) among each node's active neighbors
-        nbr_min = sym.groupBy("a").agg(F.min(rank("b")).alias("_mn"))
-        pivots = (
-            nbr_min.filter(rank("a") < F.col("_mn"))
-            .select(F.col("a").alias("pivot"))
-        )
-        # two pivots are never adjacent (the larger would see the smaller
-        # as a neighbor), so members join their min-pi adjacent pivot
-        members = (
-            sym.join(pivots, sym["b"] == pivots["pivot"])
-            .groupBy("a")
-            .agg(F.min(rank("b")).alias("_mp"))
-            .select(F.col("a").alias("conv_id"), F.col("_mp.i").alias("entity_id"))
-        )
-        new_assign = members.unionByName(
-            pivots.select(
-                F.col("pivot").alias("conv_id"), F.col("pivot").alias("entity_id")
+            active.select(
+                F.col("b").alias("a"),
+                F.col("a").alias("b"),
+                F.col("rb").alias("ra"),
+                F.col("ra").alias("rb"),
             )
-        ).localCheckpoint()
-        assigned_parts.append(new_assign)
-        done = new_assign.select(F.col("conv_id").alias("_done"))
+        )
+        # best rank among each node's active neighbors
+        nbr_min = sym.groupBy("a", "ra").agg(F.min("rb").alias("_mn"))
+        pivots = (
+            nbr_min.filter(F.col("ra") < F.col("_mn"))
+            .select(F.col("a").alias("pivot"))
+            .localCheckpoint()
+        )
+        pivot_parts.append(pivots)
+        removed = (
+            sym.join(pivots, sym["b"] == pivots["pivot"])
+            .select(F.col("a").alias("_done"))
+            .union(pivots.select(F.col("pivot").alias("_done")))
+            .distinct()
+        )
         active = (
-            active.join(done, active["a"] == done["_done"], "left_anti")
-            .join(done, active["b"] == done["_done"], "left_anti")
+            active.join(removed, active["a"] == removed["_done"], "left_anti")
+            .join(removed, active["b"] == removed["_done"], "left_anti")
             .localCheckpoint()
         )
     if not converged and not active.isEmpty():
-        raise RuntimeError(
-            f"correlation_clustering did not converge in {max_iterations} rounds"
-        )
+        raise RuntimeError(f"{label} did not converge in {max_iterations} rounds")
 
-    if not assigned_parts:
+    if not pivot_parts:
         # no edges at all: empty assignment with the input's id type
-        return edges.select(
+        return edges_ranked.select(
             F.col("a").alias("conv_id"), F.col("a").alias("entity_id")
         ).limit(0)
-    out = assigned_parts[0]
-    for part in assigned_parts[1:]:
-        out = out.unionByName(part)
-    # a node isolated mid-loop (all neighbors claimed by pivots it is not
-    # adjacent to) drops out of the active edge set without an assignment;
-    # sequentially it would reach its own turn and pivot a singleton
-    # cluster — complete those here
-    all_nodes = (
-        edges.select(F.col("a").alias("conv_id"))
-        .union(edges.select(F.col("b").alias("conv_id")))
-        .distinct()
+    centers = pivot_parts[0]
+    for part in pivot_parts[1:]:
+        centers = centers.union(part)
+
+    # Phase 2 — membership over the ORIGINAL graph: every non-center
+    # joins its best-ranked adjacent center (sequentially, the first
+    # adjacent center processed claims it — i.e. the global min-rank
+    # one, since a node stays active until an adjacent center appears).
+    # Centers are pairwise non-adjacent (MIS), so no center shows up on
+    # the member side; MIS maximality gives every non-center an
+    # adjacent center, so nothing is left unassigned.
+    members = (
+        sym_all.join(centers, sym_all["b"] == centers["pivot"])
+        .groupBy("a")
+        .agg(F.min("rb").alias("_mp"))
+        .select(F.col("a").alias("conv_id"), F.col("_mp.i").alias("entity_id"))
     )
+    out = members.unionByName(
+        centers.select(
+            F.col("pivot").alias("conv_id"), F.col("pivot").alias("entity_id")
+        )
+    )
+    # safety net (should be empty by maximality)
     leftovers = all_nodes.join(out, "conv_id", "left_anti").select(
         "conv_id", F.col("conv_id").alias("entity_id")
     )
     return out.unionByName(leftovers)
+
+
+def star_clustering(
+    match_edges: DataFrame,
+    seed: int = 42,
+    max_iterations: int = 64,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Star clustering of match edges (Aslam/Pelekhov/Rus 2004; the ER
+    benchmark form in Hassanzadeh & Miller's dedup-clustering study):
+    the highest-DEGREE unassigned node becomes a star center and its
+    unassigned neighbors become satellites, repeatedly. Well-connected
+    records — the ones with the most independent match evidence — anchor
+    the clusters, so a single high-scoring noise edge cannot make a
+    peripheral record the representative; like the pivot clusterer,
+    clusters have radius 1 and noisy chains cannot snowball.
+
+    Distributed shape: the same locally-dominant simulation as
+    :func:`correlation_clustering` (one degree aggregation up front,
+    then per-round one groupBy + one join), with the STATIC total order
+    (degree desc, hash, id) instead of a random permutation. Degrees
+    are computed once on the input graph, matching the sequential
+    definition; the hash tiebreak keeps equal-degree runs (paths,
+    grids) from serializing into O(n) rounds — id-only ties would make
+    a 100-node path take ~50 rounds; hash ties keep it O(log n) w.h.p.
+    Output equals the sequential greedy scan in that order (asserted
+    in tests).
+
+    Returns (conv_id, entity_id = center id) for every node in an edge.
+    """
+    edges = (
+        _canon(
+            match_edges.select(
+                F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+            )
+        )
+        .select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .localCheckpoint()
+    )
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    ranks = (
+        sym.groupBy("a")
+        .agg(F.count("*").alias("_deg"))
+        .select(
+            F.col("a").alias("_n"),
+            F.struct(
+                (-F.col("_deg")).alias("d"),
+                F.xxhash64(F.lit(seed), F.col("a")).alias("h"),
+                F.col("a").alias("i"),
+            ).alias("_r"),
+        )
+    )
+    er = (
+        edges.join(ranks.select(F.col("_n").alias("a"), F.col("_r").alias("ra")), "a")
+        .join(ranks.select(F.col("_n").alias("b"), F.col("_r").alias("rb")), "b")
+        .select("a", "b", "ra", "rb")
+    )
+    return _dominant_rounds(er, max_iterations, "star_clustering")
 
 
 def assign_entities(

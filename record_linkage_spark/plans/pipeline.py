@@ -74,8 +74,8 @@ class LinkagePipeline:
         one_to_one: bool = False,
         clusterer: str = "cc",
     ):
-        if clusterer not in ("cc", "pivot"):
-            raise KeyError(f"unknown clusterer {clusterer!r} (cc|pivot)")
+        if clusterer not in ("cc", "pivot", "star"):
+            raise KeyError(f"unknown clusterer {clusterer!r} (cc|pivot|star)")
         self.spark = spark
         self.wh = Warehouse(root=warehouse, spark=spark)
         self.n_entities = n_entities
@@ -210,15 +210,22 @@ class LinkagePipeline:
             resume=resume,
         )
         def _clusters() -> DataFrame:
-            if self.clusterer == "pivot":
-                # noise-robust alternative: pivot correlation clustering
-                # bounds clusters to radius 1 around a pivot, so a false
-                # match edge can't fuse whole entities transitively
+            if self.clusterer in ("pivot", "star"):
+                # noise-robust alternatives: both bound clusters to
+                # radius 1 around a center, so a false match edge can't
+                # fuse whole entities transitively; pivot centers by a
+                # random permutation, star by match-evidence degree
                 from record_linkage_spark.operators.clustering import (
                     correlation_clustering,
+                    star_clustering,
                 )
 
-                cc = correlation_clustering(edges)
+                fn = (
+                    star_clustering
+                    if self.clusterer == "star"
+                    else correlation_clustering
+                )
+                cc = fn(edges)
                 return (
                     profiles.select("conv_id")
                     .distinct()
@@ -415,7 +422,7 @@ def main() -> None:
     ap.add_argument(
         "--clusterer",
         default="cc",
-        choices=["cc", "pivot"],
+        choices=["cc", "pivot", "star"],
         help="transitive closure (cc, default) or pivot correlation "
         "clustering (noise-robust, radius-1 clusters)",
     )

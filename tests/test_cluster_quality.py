@@ -211,15 +211,17 @@ def _random_graph(n_nodes=60, n_edges=120, seed=7):
 def test_correlation_clustering_equals_sequential_pivot(spark):
     edges = _random_graph()
     nodes = sorted({x for e in edges for x in e})
-    pi = _pi(spark, nodes, seed=42)
-    want = _sequential_pivot(edges, pi)
-    got = {
-        r.conv_id: r.entity_id
-        for r in correlation_clustering(
-            spark.createDataFrame(edges, "src string, dst string"), seed=42
-        ).collect()
-    }
-    assert got == want
+    df = spark.createDataFrame(edges, "src string, dst string")
+    # several permutations: membership must match the sequential scan's
+    # global first-adjacent-center rule, not a per-round approximation
+    for seed in (42, 7, 19):
+        pi = _pi(spark, nodes, seed=seed)
+        want = _sequential_pivot(edges, pi)
+        got = {
+            r.conv_id: r.entity_id
+            for r in correlation_clustering(df, seed=seed).collect()
+        }
+        assert got == want, f"seed={seed}"
 
 
 def test_correlation_clusters_have_radius_one(spark):
@@ -300,3 +302,81 @@ def test_pipeline_pivot_clusterer_and_repair_report(spark, tmp_path):
         )
     with pytest.raises(KeyError):
         LinkagePipeline(spark, str(tmp_path / "x"), clusterer="NOPE")
+
+
+def _star_order(spark, edges: list[tuple], seed: int) -> dict:
+    """Rank key (degree desc, hash, id) — the star clusterer's static
+    total order."""
+    deg: dict[str, int] = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    h = _pi(spark, sorted(deg), seed=seed)
+    return {n: (-deg[n], h[n][0], n) for n in deg}
+
+
+def test_star_clustering_equals_sequential_greedy(spark):
+    from record_linkage_spark.operators.clustering import star_clustering
+
+    edges = _random_graph()
+    order = _star_order(spark, edges, seed=42)
+    want = _sequential_pivot(edges, order)  # same greedy scan, star order
+    got = {
+        r.conv_id: r.entity_id
+        for r in star_clustering(
+            spark.createDataFrame(edges, "src string, dst string"), seed=42
+        ).collect()
+    }
+    assert got == want
+
+
+def test_star_centers_are_local_degree_maxima_round_one(spark):
+    """Every entity id is a real record adjacent to its members, and the
+    chain-breaking property holds (no snowballing through paths)."""
+    from record_linkage_spark.operators.clustering import star_clustering
+
+    chain = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    df = spark.createDataFrame(chain, "src string, dst string")
+    star = star_clustering(df, seed=42)
+    assert star.count() == 5
+    assert star.select("entity_id").distinct().count() >= 2
+    nbrs: dict[str, set] = {}
+    for u, v in chain:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    for r in star.collect():
+        assert r.conv_id == r.entity_id or r.conv_id in nbrs[r.entity_id]
+
+
+def test_star_clustering_hub_anchors_its_spokes(spark):
+    """A hub with 5 spokes plus one stray spoke-spoke edge: the hub (max
+    degree) must be the center of every spoke's cluster."""
+    from record_linkage_spark.operators.clustering import star_clustering
+
+    edges = [("hub", f"s{i}") for i in range(5)] + [("s0", "s1")]
+    got = {
+        r.conv_id: r.entity_id
+        for r in star_clustering(
+            spark.createDataFrame(edges, "src string, dst string"), seed=7
+        ).collect()
+    }
+    assert got == {n: "hub" for n in ["hub", "s0", "s1", "s2", "s3", "s4"]}
+
+
+def test_star_clustering_parallelism_invariance_and_long_path(spark):
+    from record_linkage_spark.operators.clustering import star_clustering
+
+    # 120-node path: id-only tiebreaks would serialize into ~60 rounds
+    # and trip max_iterations=64; the hash tiebreak must converge fast
+    path = [(f"p{i:03d}", f"p{i+1:03d}") for i in range(120)]
+    df = spark.createDataFrame(path, "src string, dst string")
+    r1 = sorted(
+        (r.conv_id, r.entity_id)
+        for r in star_clustering(df.repartition(1), seed=5).collect()
+    )
+    r8 = sorted(
+        (r.conv_id, r.entity_id)
+        for r in star_clustering(df.repartition(8), seed=5).collect()
+    )
+    assert r1 == r8
+    assert len(r1) == 121
