@@ -203,6 +203,11 @@ def main() -> None:
     # noise-robust clustering alternative over the same match edges
     from record_linkage_spark.operators.clustering import correlation_clustering
 
+    from record_linkage_spark.operators.clustering import star_clustering
+
+    _, queries["rl_star_clustering"] = _timed_best2(
+        lambda: star_clustering(edges).count()
+    )
     _, queries["rl_corr_clustering"] = _timed_best2(
         lambda: correlation_clustering(edges).count()
     )
