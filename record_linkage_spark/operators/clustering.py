@@ -368,6 +368,7 @@ def star_clustering(
     max_iterations: int = 64,
     src_col: str = "src",
     dst_col: str = "dst",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Star clustering of match edges (Aslam/Pelekhov/Rus 2004; the ER
     benchmark form in Hassanzadeh & Miller's dedup-clustering study):
@@ -389,21 +390,49 @@ def star_clustering(
     Output equals the sequential greedy scan in that order (asserted
     in tests).
 
+    ``weight_col`` switches the anchor order from plain degree to
+    SUMMED EDGE WEIGHT (e.g. match scores): centers are then the
+    records with the most *total* match evidence, so ten 0.6-score
+    edges outrank three 0.99 ones only if that is what the scores say.
+
     Returns (conv_id, entity_id = center id) for every node in an edge.
     """
-    edges = (
-        _canon(
-            match_edges.select(
-                F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    cols = [F.col(src_col).alias("src"), F.col(dst_col).alias("dst")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("double").alias("_w"))
+    canon = _canon(match_edges.select(*cols))
+    if weight_col is not None:
+        # _canon dedupes on the canonical pair; re-attach max weight per
+        # undirected pair from the input (deterministic under dup edges)
+        wsrc = match_edges.select(*cols)
+        wmax = (
+            wsrc.select(
+                F.greatest("src", "dst").alias("u"),
+                F.least("src", "dst").alias("v"),
+                "_w",
             )
+            .groupBy("u", "v")
+            .agg(F.max("_w").alias("_w"))
         )
-        .select(F.col("u").alias("a"), F.col("v").alias("b"))
-        .localCheckpoint()
-    )
-    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        canon = canon.select("u", "v").join(wmax, ["u", "v"])
+    edges = canon.select(
+        F.col("u").alias("a"),
+        F.col("v").alias("b"),
+        *([F.col("_w")] if weight_col is not None else []),
+    ).localCheckpoint()
+    if weight_col is not None:
+        sym = edges.union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"), "_w")
+        )
+        deg_expr = F.sum("_w")
+    else:
+        sym = edges.union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        deg_expr = F.count("*").cast("double")
     ranks = (
         sym.groupBy("a")
-        .agg(F.count("*").alias("_deg"))
+        .agg(deg_expr.alias("_deg"))
         .select(
             F.col("a").alias("_n"),
             F.struct(
@@ -414,7 +443,8 @@ def star_clustering(
         )
     )
     er = (
-        edges.join(ranks.select(F.col("_n").alias("a"), F.col("_r").alias("ra")), "a")
+        edges.select("a", "b")
+        .join(ranks.select(F.col("_n").alias("a"), F.col("_r").alias("ra")), "a")
         .join(ranks.select(F.col("_n").alias("b"), F.col("_r").alias("rb")), "b")
         .select("a", "b", "ra", "rb")
     )

@@ -380,3 +380,39 @@ def test_star_clustering_parallelism_invariance_and_long_path(spark):
     )
     assert r1 == r8
     assert len(r1) == 121
+
+
+def test_star_clustering_weighted_anchor(spark):
+    """weight_col: total match evidence, not edge count, picks centers —
+    a hub with three weak edges loses to a node with two strong ones;
+    unweighted star anchors on the raw-degree hub instead."""
+    from record_linkage_spark.operators.clustering import star_clustering
+
+    edges = [
+        ("hub", "x", 0.2), ("hub", "y", 0.2), ("hub", "z", 0.2),
+        ("anchor", "y", 0.9), ("anchor", "z", 0.9),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, score double")
+    weighted = {
+        r.conv_id: r.entity_id
+        for r in star_clustering(df, weight_col="score").collect()
+    }
+    # anchor: 1.8 total > hub: 0.6 total -> anchor centers y and z
+    assert weighted["anchor"] == "anchor"
+    assert weighted["y"] == "anchor" and weighted["z"] == "anchor"
+    plain = {
+        r.conv_id: r.entity_id for r in star_clustering(df).collect()
+    }
+    # unweighted: hub degree 3 beats anchor degree 2
+    assert plain["hub"] == "hub"
+    assert plain["x"] == plain["y"] == plain["z"] == "hub"
+    # duplicate edges with differing weights: max wins, output stable
+    dup = df.union(
+        spark.createDataFrame(
+            [("y", "anchor", 0.1)], "src string, dst string, score double"
+        )
+    )
+    assert {
+        r.conv_id: r.entity_id
+        for r in star_clustering(dup, weight_col="score").collect()
+    } == weighted
