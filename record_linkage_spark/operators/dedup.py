@@ -23,7 +23,7 @@ import re
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -739,6 +739,103 @@ def simhash_near_duplicates(
         .withColumn("hamming", hamming64("fp_A", "fp_B"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_A", "id_B", "hamming")
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    window: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_first: bool = True,
+    portable: bool = False,
+) -> DataFrame:
+    """Span-granular dedup TRANSFORM: rewrite each document with its
+    corpus-duplicated ``window``-token spans removed — the removal
+    counterpart of :func:`span_overlap_pairs` (Lee et al. 2107.06499
+    dedup exact repeated substrings and keep one occurrence; whole-doc
+    dedup cannot touch a copied paragraph inside an otherwise-unique doc).
+
+    Semantics: every ``window``-token span occurring >= 2 times in the
+    corpus (across docs OR repeated within one doc) is a duplicate span.
+    With ``keep_first=True`` the globally-first occurrence — smallest
+    ``(doc_id, position)`` — survives; all other occurrences have their
+    tokens removed. A token goes iff some removed span covers it, so a
+    copied paragraph of length L >= window disappears wholly from every
+    non-surviving doc while boundary-crossing context stays. With
+    ``keep_first=False`` every occurrence of a duplicated span is removed
+    (the aggressive boilerplate-stripping mode).
+
+    Output: one row per input doc —
+    ``(doc_id, text_dedup, n_tokens, n_kept_tokens, n_removed_spans)``
+    where ``text_dedup`` re-joins the SURVIVING normalized tokens (the
+    same ``_tokens`` normalizer as the detection path, so detect and
+    remove agree on positions).
+
+    The 100 TB shape: only ``(span_hash, doc_id, pos)`` postings shuffle
+    (two hash exchanges: the count and the survivor window share the
+    span_hash key); the doc payload re-joins once by id. The final
+    cover test is per-row Catalyst (``exists`` over the doc's own removal
+    positions) — no Python, no extra shuffle. Docs with self-repeated
+    boilerplate are O(tokens x removals) in the cover test; removal lists
+    are bounded by doc length.
+    """
+    from record_linkage_spark.operators.text_analysis import _tokens
+
+    hash_fn = F.md5 if portable else F.xxhash64
+    base = _ensure_parallelism(docs).select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    )
+    toks = _tokens(F.col("_text"))
+    n = F.size(toks) - (window - 1)
+    # (pos:1-based span start, h:span hash) per doc
+    span_structs = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.struct(
+            i.alias("pos"),
+            hash_fn(F.concat_ws(" ", F.slice(toks, i, window))).alias("h"),
+        ),
+    )
+    occ = (
+        base.filter(F.size(toks) >= window)
+        .select("_id", F.explode(span_structs).alias("s"))
+        .select("_id", F.col("s.pos").alias("_pos"), F.col("s.h").alias("_h"))
+    )
+
+    counts = occ.groupBy("_h").agg(F.count("*").alias("_c"))
+    dup_occ = occ.join(counts.filter(F.col("_c") >= 2).select("_h"), "_h")
+    if keep_first:
+        w = Window.partitionBy("_h").orderBy(F.asc("_id"), F.asc("_pos"))
+        removals = (
+            dup_occ.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") >= 2)
+            .select("_id", "_pos")
+        )
+    else:
+        removals = dup_occ.select("_id", "_pos")
+
+    per_doc = removals.groupBy("_id").agg(
+        F.sort_array(F.collect_list("_pos")).alias("_drops")
+    )
+    out = base.join(per_doc, "_id", "left").withColumn(
+        "_drops", F.coalesce("_drops", F.array().cast("array<int>"))
+    )
+    toks2 = _tokens(F.col("_text"))
+    # token at 0-based index j is covered by a removed span starting at
+    # 1-based pos iff pos-1 <= j <= pos+window-2
+    kept = F.filter(
+        F.transform(toks2, lambda x, j: F.struct(x.alias("t"), j.alias("j"))),
+        lambda s: ~F.exists(
+            F.col("_drops"),
+            lambda p: (p - 1 <= s["j"]) & (s["j"] <= p + F.lit(window) - 2),
+        ),
+    )
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.concat_ws(" ", F.transform(kept, lambda s: s["t"])).alias("text_dedup"),
+        F.size(toks2).cast("int").alias("n_tokens"),
+        F.size(kept).cast("int").alias("n_kept_tokens"),
+        F.size("_drops").cast("int").alias("n_removed_spans"),
     )
 
 

@@ -185,7 +185,8 @@ def embedding_near_duplicates(
 
 def _assign_cells(vectors: DataFrame, centroids: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """Nearest-centroid assignment: broadcast the (tiny) centroid table,
-    exact cosine per (vector, centroid), keep the argmax."""
+    exact cosine per (vector, centroid), keep the argmax. Output carries
+    the winning cosine as ``_csim`` (the SemDeDup keep policy reads it)."""
     scored = (
         vectors.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
         .crossJoin(F.broadcast(centroids))
@@ -195,7 +196,7 @@ def _assign_cells(vectors: DataFrame, centroids: DataFrame, id_col: str, vec_col
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select(F.col("_vid"), F.col("_v"), F.col("cell"))
+        .select(F.col("_vid"), F.col("_v"), F.col("cell"), F.col("_sim").alias("_csim"))
     )
 
 
@@ -237,6 +238,90 @@ def train_ivf_centroids(
         # empty cells drop out; localCheckpoint keeps the loop's lineage flat
         centroids = means.localCheckpoint()
     return centroids
+
+
+def semantic_duplicate_pairs(
+    vectors: DataFrame,
+    cosine_threshold: float = 0.95,
+    n_clusters: int = 16,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style candidate generation (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-partition the embedding space with the
+    deterministic quantizer (``train_ivf_centroids`` — hash-seeded, no
+    rand()), then compute exact cosine only WITHIN each cell. Each vector
+    lands in exactly one cell, so unlike the banded LSH path there is no
+    cross-band dedup and the per-pair cost is paid once. At 100 TB the
+    within-cell self-join replaces the corpus-wide cross product; cell
+    count scales with the corpus so cells stay bounded.
+
+    Returns (id_A, id_B, cosine, cell) with id_A < id_B."""
+    centroids = train_ivf_centroids(vectors, n_clusters, iterations, id_col, vec_col)
+    cells = _assign_cells(vectors, centroids, id_col, vec_col)
+    a = cells.select("cell", F.col("_vid").alias("id_A"), F.col("_v").alias("va"))
+    b = cells.select("cell", F.col("_vid").alias("id_B"), F.col("_v").alias("vb"))
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_A") < F.col("id_B"))
+        .withColumn("cosine", cosine_sim("va", "vb"))
+        .filter(F.col("cosine") >= cosine_threshold)
+        .select("id_A", "id_B", "cosine", "cell")
+    )
+
+
+def semantic_deduplicate(
+    vectors: DataFrame,
+    cosine_threshold: float = 0.95,
+    n_clusters: int = 16,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic dedup over an embedding column — the SemDeDup policy
+    (Abbas et al. 2023): duplicate groups are connected components of the
+    within-cell cosine>=tau pair graph, and the member KEPT from each
+    group is the one with the LOWEST cosine to its cell centroid (the
+    paper keeps the cluster outlier to preserve diversity; ties break to
+    the smallest id). Components reuse the audited large-star/small-star
+    loop, so the group structure is exactly what the pair graph implies —
+    no greedy order dependence.
+
+    Returns one row per input vector:
+    (vec_id, cell, centroid_sim, group_id, keep:boolean); singletons
+    (no duplicate above tau) always keep=true with group_id = own id."""
+    from record_linkage_spark.operators.clustering import connected_components
+
+    centroids = train_ivf_centroids(vectors, n_clusters, iterations, id_col, vec_col)
+    cells = _assign_cells(vectors, centroids, id_col, vec_col)
+    a = cells.select("cell", F.col("_vid").alias("id_A"), F.col("_v").alias("va"))
+    b = cells.select("cell", F.col("_vid").alias("id_B"), F.col("_v").alias("vb"))
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_A") < F.col("id_B"))
+        .withColumn("cosine", cosine_sim("va", "vb"))
+        .filter(F.col("cosine") >= cosine_threshold)
+        .select("id_A", "id_B")
+    )
+    comps = connected_components(pairs, src_col="id_A", dst_col="id_B").select(
+        F.col("conv_id").alias("_vid"), F.col("entity_id").alias("group_id")
+    )
+    members = (
+        cells.join(comps, "_vid", "left")
+        .withColumn("group_id", F.coalesce("group_id", F.col("_vid")))
+    )
+    w = Window.partitionBy("group_id").orderBy(F.asc("_csim"), F.asc("_vid"))
+    return (
+        members.withColumn("_rn", F.row_number().over(w))
+        .select(
+            F.col("_vid").alias(id_col),
+            "cell",
+            F.col("_csim").alias("centroid_sim"),
+            "group_id",
+            (F.col("_rn") == 1).alias("keep"),
+        )
+    )
 
 
 def ivf_topk(
