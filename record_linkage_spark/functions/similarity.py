@@ -272,6 +272,92 @@ def monge_elkan_pairs(a: pd.Series, b: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"me_ab": me_ab, "me_ba": me_ba})
 
 
+def soft_tfidf_np(
+    ta, va, tb, vb, theta: float = 0.9, max_len: int = JW_MAX_LEN
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batched SoftTFIDF (Cohen, Ravikumar & Fienberg 2003, IIWeb —
+    their best name-matching metric): TF-IDF cosine where tokens need
+    not match exactly — each token of A pairs with its best-JW token of
+    B, and tokens whose best match clears ``theta`` (strict >) contribute
+    ``v(a) * v(b_best) * jw``:
+
+        ST(A→B) = Σ_{a ∈ A, max_b jw(a,b) > θ}  v_A(a) · v_B(b*) · jw(a, b*)
+
+    Inputs are per-row token lists (SORTED ascending — argmax tiebreak is
+    first-max, i.e. smallest token) and their L2-normalized TF-IDF
+    weights. Returns (st_ab, st_ba); identical strings score 1.0.
+
+    Batch shape mirrors :func:`monge_elkan_np`: the whole batch's token
+    cross-products flatten into ONE :func:`jaro_winkler_np` call
+    (unique-pair collapse + equal fast path apply across rows), then
+    per-row argmax reductions. Either side empty/null -> 0.0 both ways.
+    """
+    n = len(ta)
+    st_ab = np.zeros(n)
+    st_ba = np.zeros(n)
+    if n == 0:
+        return st_ab, st_ba
+    rows = []
+    fa: list[str] = []
+    fb: list[str] = []
+    for i in range(n):
+        A = list(ta[i]) if ta[i] is not None else []
+        B = list(tb[i]) if tb[i] is not None else []
+        rows.append((A, B))
+        if A and B:
+            for x in A:
+                fa.extend([x] * len(B))
+                fb.extend(B)
+    if not fa:
+        return st_ab, st_ba
+    sims = jaro_winkler_np(fa, fb, max_len)
+    off = 0
+    for i, (A, B) in enumerate(rows):
+        la, lb = len(A), len(B)
+        if la and lb:
+            m = sims[off : off + la * lb].reshape(la, lb)
+            off += la * lb
+            wa = np.asarray(va[i], dtype=float)
+            wb = np.asarray(vb[i], dtype=float)
+            jb = m.argmax(axis=1)  # first max == smallest token (sorted)
+            best = m[np.arange(la), jb]
+            mask = best > theta
+            st_ab[i] = float(np.sum(wa[mask] * wb[jb[mask]] * best[mask]))
+            ja = m.argmax(axis=0)
+            bestb = m[ja, np.arange(lb)]
+            maskb = bestb > theta
+            st_ba[i] = float(np.sum(wb[maskb] * wa[ja[maskb]] * bestb[maskb]))
+    return st_ab, st_ba
+
+
+def soft_tfidf_udf(ta, va, tb, vb, theta: float = 0.9):
+    """Column expression: both SoftTFIDF directions in one kernel pass
+    over (tokens_A, weights_A, tokens_B, weights_B) array columns;
+    returns struct(st_ab, st_ba). Symmetric form = greatest of the two
+    on the Spark side."""
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("st_ab", T.DoubleType()),
+                T.StructField("st_ba", T.DoubleType()),
+            ]
+        )
+    )
+    def _kernel(a: pd.Series, w1: pd.Series, b: pd.Series, w2: pd.Series) -> pd.DataFrame:
+        ab, ba = soft_tfidf_np(
+            a.to_numpy(dtype=object),
+            w1.to_numpy(dtype=object),
+            b.to_numpy(dtype=object),
+            w2.to_numpy(dtype=object),
+            theta,
+        )
+        return pd.DataFrame({"st_ab": ab, "st_ba": ba})
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in (ta, va, tb, vb)]
+    return _kernel(*cols)
+
+
 def jw_sim(a, b):
     """Column expression: batched Jaro-Winkler similarity of two string cols."""
     return jaro_winkler_pairs(F.col(a) if isinstance(a, str) else a,

@@ -271,6 +271,78 @@ def tfidf_cosine_pairs(
     )
 
 
+def soft_tfidf_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    theta: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SoftTFIDF comparator for candidate pairs — the full Cohen,
+    Ravikumar & Fienberg 2003 hybrid (their best-performing name
+    matcher): TF-IDF cosine where tokens need not match exactly. Each
+    token pairs with its best Jaro-Winkler match on the other side, and
+    matches above ``theta`` contribute ``v(a) * v(b*) * jw``; corpus
+    weighting kills boilerplate (like :func:`tfidf_cosine_pairs`) while
+    the JW inner metric tolerates token-level typos (like Monge-Elkan).
+
+    Input ``pairs`` needs (id_A, id_B); output adds ``st_ab``, ``st_ba``
+    and the symmetric ``soft_tfidf`` = greatest of the two. Identical
+    docs score 1.0; a pair where either side is tokenless scores 0.0.
+
+    Scale shape: the weight/norm tables are the same persisted
+    :func:`tfidf_weights` artifacts as the cosine path; per-doc vectors
+    assemble with one groupBy (token-ASC sort fixes the argmax tiebreak);
+    pairs hydrate via two equality joins; the Arrow kernel flattens each
+    batch's token cross-products into ONE Jaro-Winkler call. Nothing
+    enumerates non-candidate pairs.
+    """
+    from record_linkage_spark.functions.similarity import soft_tfidf_udf
+
+    w = tfidf_weights(docs, id_col=id_col, text_col=text_col)
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("_n")
+    )
+    vecs = (
+        w.join(nrm, "doc_id")
+        .select("doc_id", "token", (F.col("w") / F.col("_n")).alias("v"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("token", "v"))).alias("_tv"))
+        .select(
+            "doc_id",
+            F.transform("_tv", lambda s: s["token"]).alias("_toks"),
+            F.transform("_tv", lambda s: s["v"]).alias("_vs"),
+        )
+    )
+    out = (
+        pairs.join(
+            vecs.select(
+                F.col("doc_id").alias("id_A"),
+                F.col("_toks").alias("_ta"),
+                F.col("_vs").alias("_va"),
+            ),
+            "id_A",
+            "left",
+        )
+        .join(
+            vecs.select(
+                F.col("doc_id").alias("id_B"),
+                F.col("_toks").alias("_tb"),
+                F.col("_vs").alias("_vb"),
+            ),
+            "id_B",
+            "left",
+        )
+        .withColumn("_st", soft_tfidf_udf("_ta", "_va", "_tb", "_vb", theta=theta))
+    )
+    return out.select(
+        *pairs.columns,
+        F.col("_st.st_ab").alias("st_ab"),
+        F.col("_st.st_ba").alias("st_ba"),
+        F.greatest("_st.st_ab", "_st.st_ba").alias("soft_tfidf"),
+    )
+
+
 def top_idf_tokens(
     docs: DataFrame,
     k: int = 8,
