@@ -249,6 +249,28 @@ def main() -> None:
         lambda: set_similarity_pairs(docs_tbl, threshold=0.95).count()
     )
 
+    # span-granular duplicate removal (Lee et al.): postings -> survivor
+    # window -> cover test -> full text rewrite of the doc corpus
+    from record_linkage_spark.operators.dedup import remove_duplicate_spans
+
+    _, queries["span_dedup_rewrite"] = _timed_best2(
+        lambda: remove_duplicate_spans(docs_tbl, window=8)
+        .agg(F.sum("n_kept_tokens")).collect()
+    )
+
+    # SemDeDup over the embeddings table: k-means cells + within-cell
+    # cosine + CC + keep-the-outlier (cell count scales with corpus)
+    from record_linkage_spark.operators.similarity_search import (
+        semantic_deduplicate,
+    )
+
+    emb_tbl = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _, queries["semantic_dedup"] = _timed_best2(
+        lambda: semantic_deduplicate(
+            emb_tbl, cosine_threshold=0.7, n_clusters=16
+        ).filter(~F.col("keep")).count()
+    )
+
     pairs_per_sec = n_big / score_sec if score_sec > 0 else 0.0
     total = sum(queries.values())
     print(

@@ -783,10 +783,16 @@ def remove_duplicate_spans(
     from record_linkage_spark.operators.text_analysis import _tokens
 
     hash_fn = F.md5 if portable else F.xxhash64
+    # Materialize the normalized token array as a real column ONCE: a
+    # `_tokens(...)` expression referenced inside a higher-order-function
+    # lambda is re-evaluated (regex chain and all) per array ELEMENT —
+    # measured 18s vs 0.5s for the sf0.1 span explode.
     base = _ensure_parallelism(docs).select(
-        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_text"),
+        _tokens(F.col(text_col)).alias("_t"),
     )
-    toks = _tokens(F.col("_text"))
+    toks = F.col("_t")
     n = F.size(toks) - (window - 1)
     # (pos:1-based span start, h:span hash) per doc
     span_structs = F.transform(
@@ -820,19 +826,60 @@ def remove_duplicate_spans(
     out = base.join(per_doc, "_id", "left").withColumn(
         "_drops", F.coalesce("_drops", F.array().cast("array<int>"))
     )
-    toks2 = _tokens(F.col("_text"))
-    # token at 0-based index j is covered by a removed span starting at
-    # 1-based pos iff pos-1 <= j <= pos+window-2
-    kept = F.filter(
-        F.transform(toks2, lambda x, j: F.struct(x.alias("t"), j.alias("j"))),
-        lambda s: ~F.exists(
-            F.col("_drops"),
-            lambda p: (p - 1 <= s["j"]) & (s["j"] <= p + F.lit(window) - 2),
+    toks2 = F.col("_t")
+    # A removed span at 1-based pos covers tokens [pos, pos+window-1].
+    # A naive per-token `exists` over the drop list is O(tokens x drops)
+    # per doc — quadratic for fully-duplicated docs (measured 48.7s for
+    # the sf0.1 corpus). Instead: single-pass merge of the SORTED drops
+    # into disjoint covered intervals, then rebuild the text from the
+    # gap SLICES between them — O(tokens + drops), pure Catalyst.
+    last = lambda acc: F.element_at(acc, -1)  # noqa: E731
+    merged = F.aggregate(
+        F.col("_drops"),
+        F.array().cast("array<struct<s:int,e:int>>"),
+        lambda acc, p: F.when(
+            (F.size(acc) > 0) & (p <= last(acc)["e"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        last(acc)["s"].alias("s"),
+                        F.greatest(
+                            last(acc)["e"], p + F.lit(window) - 1
+                        ).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        p.alias("s"), (p + F.lit(window) - 1).alias("e")
+                    )
+                ),
+            )
         ),
+    )
+    out = out.withColumn("_iv", merged)
+    # kept positions = [1, s1-1] ∪ [e1+1, s2-1] ∪ ... ∪ [eK+1, n]
+    starts = F.concat(
+        F.array(F.lit(1)), F.transform(F.col("_iv"), lambda m: m["e"] + 1)
+    )
+    ends = F.concat(
+        F.transform(F.col("_iv"), lambda m: m["s"] - 1),
+        F.array(F.size(toks2).cast("int")),
+    )
+    kept = F.flatten(
+        F.zip_with(
+            starts,
+            ends,
+            lambda s, e: F.slice(toks2, s, F.greatest(e - s + 1, F.lit(0))),
+        )
     )
     return out.select(
         F.col("_id").alias(id_col),
-        F.concat_ws(" ", F.transform(kept, lambda s: s["t"])).alias("text_dedup"),
+        F.concat_ws(" ", kept).alias("text_dedup"),
         F.size(toks2).cast("int").alias("n_tokens"),
         F.size(kept).cast("int").alias("n_kept_tokens"),
         F.size("_drops").cast("int").alias("n_removed_spans"),
@@ -886,7 +933,11 @@ def span_overlap_pairs(
     """
     from record_linkage_spark.operators.text_analysis import _tokens
 
-    toks = _tokens(F.col(text_col))
+    # Tokens must be a materialized column before the higher-order
+    # transform: an inline `_tokens(...)` expression inside the lambda is
+    # re-evaluated (regex chain and all) once per span POSITION — ~40x
+    # the work for average docs (see remove_duplicate_spans).
+    toks = F.col("_t")
     hash_fn = F.md5 if portable else F.xxhash64
     n = F.size(toks) - (window - 1)
     win_hashes = F.transform(
@@ -895,9 +946,13 @@ def span_overlap_pairs(
     )
     spans = (
         _ensure_parallelism(docs)
-        .filter(F.size(toks) >= window)
         .select(
             F.col(id_col).alias("_id"),
+            _tokens(F.col(text_col)).alias("_t"),
+        )
+        .filter(F.size(toks) >= window)
+        .select(
+            "_id",
             F.explode(F.array_distinct(win_hashes)).alias("_h"),
         )
     )

@@ -117,21 +117,29 @@ def doc_fingerprint(text_col, window: int = 8, portable: bool = False) -> Column
     used by the ``fp_winnow`` oracle-checked contract query. Both variants
     share the tokenizer, window walk, and min-selection logic."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = _tokens(c)
-    n = F.greatest(F.size(toks) - (window - 1), F.lit(1))
     if portable:
         hash_fn = lambda s: F.md5(s)  # noqa: E731
         null_t = "string"
     else:
         hash_fn = lambda s: F.xxhash64(s)  # noqa: E731
         null_t = "long"
-    win_hashes = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: hash_fn(F.concat_ws(" ", F.slice(toks, i, window))),
-    )
-    return F.when(F.size(toks) == 0, F.lit(None).cast(null_t)).otherwise(
-        F.array_min(win_hashes)
-    )
+
+    # Let-bind the token array via a single-element transform: an inline
+    # `_tokens(...)` subtree referenced inside the window lambda would be
+    # re-evaluated (regex chain and all) once per span POSITION — ~40x
+    # the work on average docs (measured 13x wall on the span operators).
+    # A lambda VARIABLE is a bound slot, so references are free.
+    def _body(tk):
+        n = F.greatest(F.size(tk) - (window - 1), F.lit(1))
+        win_hashes = F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: hash_fn(F.concat_ws(" ", F.slice(tk, i, window))),
+        )
+        return F.when(F.size(tk) == 0, F.lit(None).cast(null_t)).otherwise(
+            F.array_min(win_hashes)
+        )
+
+    return F.element_at(F.transform(F.array(_tokens(c)), _body), 1)
 
 
 def length_quantiles(
