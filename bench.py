@@ -271,6 +271,22 @@ def main() -> None:
         ).filter(~F.col("keep")).count()
     )
 
+    # SoftTFIDF hybrid comparator over hash-bucketed doc pairs (~11k):
+    # corpus tf-idf weights + per-pair best-JW token alignment in one
+    # flattened Arrow kernel call per batch
+    from record_linkage_spark.operators.text_analysis import soft_tfidf_pairs
+
+    db = F.pmod(F.xxhash64(F.lit(3), F.col("doc_id")), F.lit(1000))
+    da = docs_tbl.select(F.col("doc_id").alias("id_A"), db.alias("b"))
+    dbb = docs_tbl.select(F.col("doc_id").alias("id_B"), db.alias("b"))
+    doc_pairs = (
+        da.join(dbb, "b").filter(F.col("id_A") < F.col("id_B")).select("id_A", "id_B")
+    )
+    _, queries["soft_tfidf_pairs"] = _timed_best2(
+        lambda: soft_tfidf_pairs(doc_pairs, docs_tbl)
+        .agg(F.sum("soft_tfidf")).collect()
+    )
+
     pairs_per_sec = n_big / score_sec if score_sec > 0 else 0.0
     total = sum(queries.values())
     print(
