@@ -1501,6 +1501,53 @@ def q_semantic_dedup(spark, sf):
     )
 
 
+def q_rl_swoosh(spark, sf):
+    """R-Swoosh merge-based ER (Benjelloun et al. VLDBJ 2009) over
+    id-derived feature sets with planted evidence-combination chains:
+    match = shared email OR (shared name AND shared phone); the modular
+    construction makes merged records match third records neither
+    constituent matched, so the fixpoint needs >1 round. Iterative —
+    rows-only; semantics pinned by test_swoosh.py against a sequential
+    R-Swoosh reference."""
+    from record_linkage_spark.operators.swoosh import swoosh_resolve
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 120)
+    i = F.col("doc_id").cast("long")
+    k, role = (i / 3).cast("long").cast("string"), i % 3
+    empty = F.array().cast("array<string>")
+    # doc_id < 90: triples (a: name+email, b: email+phone, c: name+phone)
+    # — c matches only merge(a, b), forcing a second round; 90..119 are
+    # singletons with unique values
+    recs = d.select(
+        i.alias("record_id"),
+        F.when(i >= 90, F.array(F.concat(F.lit("nm"), i.cast("string"))))
+        .when(role != 1, F.array(F.concat(F.lit("nm"), k)))
+        .otherwise(empty)
+        .alias("name"),
+        F.when(i >= 90, F.array(F.concat(F.lit("em"), i.cast("string"))))
+        .when(role != 2, F.array(F.concat(F.lit("em"), k)))
+        .otherwise(empty)
+        .alias("email"),
+        F.when(i >= 90, F.array(F.concat(F.lit("ph"), i.cast("string"))))
+        .when(role != 0, F.array(F.concat(F.lit("ph"), k)))
+        .otherwise(empty)
+        .alias("phone"),
+    )
+    out = swoosh_resolve(
+        recs,
+        ["name", "email", "phone"],
+        clauses=[["email"], ["name", "phone"]],
+    )
+    return out.select(
+        "entity_id",
+        F.size("members").alias("n_members"),
+        "n_rounds",
+        F.size("name").alias("n_names"),
+        F.size("email").alias("n_emails"),
+        F.size("phone").alias("n_phones"),
+    )
+
+
 def q_token_budget(spark, sf):
     """Per-language token-budget prefix sample (training-mix in tokens,
     not rows): two-stage hash pre-filter + exact cumulative window, both
@@ -2572,6 +2619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_tfidf": q_soft_tfidf,
         # ---- rows-only (hash-kernel / pipeline / streaming ops — no
         # portable SQL twin; each pinned by pytest) ----
+        "rl_swoosh": q_rl_swoosh,
         "rl_profiles": q_rl_profiles,
         "rl_ground_truth": q_rl_ground_truth,
         "rl_sorted_neighborhood": q_rl_sorted_neighborhood,
