@@ -1501,6 +1501,43 @@ def q_semantic_dedup(spark, sf):
     )
 
 
+def q_psnm_curve(spark, sf):
+    """Progressive (pay-as-you-go) ER schedule + cost/recall curve
+    (Whang et al. ICDE'13 / Papenbrock et al. TKDE'15): PSNM tiers over
+    documents ∪ full planted copies (same text -> same sort key, copy id
+    'eNNNN' sorts right after its source 'dNNNN'), truth = (source,
+    copy). The DuckDB twin replays the total order, the tier emission
+    and the cumulative curve with window functions."""
+    from record_linkage_spark.operators.progressive import (
+        progressive_recall_curve,
+        progressive_sn_schedule,
+    )
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    key = F.lower(F.substring("text", 1, 12))
+    orig = d.select(
+        F.format_string("d%04d", F.col("doc_id")).alias("conv_id"),
+        key.alias("token_prefix"),
+    )
+    copies = d.filter(F.col("doc_id") < 40).select(
+        F.format_string("e%04d", F.col("doc_id")).alias("conv_id"),
+        key.alias("token_prefix"),
+    )
+    truth = d.filter((F.col("doc_id") < 40) & key.isNotNull() & (key != "")).select(
+        F.format_string("d%04d", F.col("doc_id")).alias("id_A"),
+        F.format_string("e%04d", F.col("doc_id")).alias("id_B"),
+    )
+    sched = progressive_sn_schedule(
+        orig.unionByName(copies), "token_prefix", max_distance=4
+    )
+    return progressive_recall_curve(sched, truth).select(
+        "priority",
+        "n_pairs_cum",
+        "n_matches_cum",
+        F.round("recall", 6).alias("recall"),
+    )
+
+
 def q_rl_swoosh(spark, sf):
     """R-Swoosh merge-based ER (Benjelloun et al. VLDBJ 2009) over
     id-derived feature sets with planted evidence-combination chains:
@@ -2617,6 +2654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "semantic_dedup": q_semantic_dedup,
         "soft_tfidf": q_soft_tfidf,
+        "psnm_curve": q_psnm_curve,
         # ---- rows-only (hash-kernel / pipeline / streaming ops — no
         # portable SQL twin; each pinned by pytest) ----
         "rl_swoosh": q_rl_swoosh,
@@ -4143,6 +4181,36 @@ def oracle_sql() -> dict[str, str]:
             "FROM pairs p "
             "LEFT JOIN ab ON ab.id_A = p.id_A AND ab.id_B = p.id_B "
             "LEFT JOIN ba ON ba.id_A = p.id_A AND ba.id_B = p.id_B"
+        ),
+        # progressive SN schedule + cumulative cost/recall curve: total
+        # order, tier emission and window cumsum replayed end to end
+        "psnm_curve": (
+            "WITH src AS (SELECT doc_id, lower(substr(text, 1, 12)) AS k "
+            "FROM documents WHERE text IS NOT NULL), "
+            "base AS ("
+            "SELECT printf('d%04d', doc_id) AS rid, k FROM src "
+            "WHERE k IS NOT NULL AND k != '' "
+            "UNION ALL SELECT printf('e%04d', doc_id), k FROM src "
+            "WHERE doc_id < 40 AND k IS NOT NULL AND k != ''), "
+            "ranked AS (SELECT rid, "
+            "row_number() OVER (ORDER BY k, rid) - 1 AS r FROM base), "
+            "pairs AS (SELECT a.rid AS id_A, b.rid AS id_B, "
+            "CAST(b.r - a.r AS INTEGER) AS priority "
+            "FROM ranked a JOIN ranked b ON b.r > a.r AND b.r - a.r <= 4), "
+            "truth AS (SELECT printf('d%04d', doc_id) AS ta, "
+            "printf('e%04d', doc_id) AS tb FROM src "
+            "WHERE doc_id < 40 AND k IS NOT NULL AND k != ''), "
+            "per AS (SELECT priority, count(*) AS n, "
+            "sum(CASE WHEN t.ta IS NOT NULL THEN 1 ELSE 0 END) AS mm "
+            "FROM pairs p LEFT JOIN truth t "
+            "ON p.id_A = t.ta AND p.id_B = t.tb GROUP BY priority), "
+            "tot AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM truth) "
+            "SELECT priority, "
+            "CAST(sum(n) OVER wcum AS BIGINT) AS n_pairs_cum, "
+            "CAST(sum(mm) OVER wcum AS BIGINT) AS n_matches_cum, "
+            "round(sum(mm) OVER wcum / (SELECT nt FROM tot), 6) AS recall "
+            "FROM per WINDOW wcum AS (ORDER BY priority "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         ),
         # SemDeDup at n_clusters=1: centroid == global per-dim mean;
         # groups = recursive min-label closure of cosine>=0.99 pairs;
