@@ -1538,6 +1538,43 @@ def q_psnm_curve(spark, sf):
     )
 
 
+def q_pprl_dice(spark, sf):
+    """Privacy-preserving linkage end to end (Schnell et al. 2009 CLK +
+    Durham Bloom-LSH blocking): field-tagged padded 2-grams -> k=4 md5
+    positions mod 512 -> banded pattern blocking -> Dice over set-bit
+    arrays, on documents-derived field triples ∪ shifted near-copies.
+    The DuckDB twin replays every stage byte-for-byte (portable md5
+    positions; band pattern = comma-joined sorted positions)."""
+    from record_linkage_spark.operators.pprl import (
+        clk_candidate_pairs,
+        clk_encode,
+        dice_pairs,
+    )
+
+    d = _t(spark, sf, "documents").filter(
+        F.col("text").isNotNull() & (F.col("doc_id") < 80)
+    )
+
+    def fields(shift):
+        return [
+            F.lower(F.substring("text", 1 + shift, 6)).alias("f1"),
+            F.lower(F.substring("text", 8, 6)).alias("f2"),
+            F.lower(F.substring("text", 15, 5)).alias("f3"),
+        ]
+
+    base = d.select(F.col("doc_id").cast("long").alias("record_id"), *fields(0))
+    dup = d.select(
+        (F.col("doc_id") + F.lit(5_000_000)).alias("record_id"), *fields(1)
+    )
+    enc = clk_encode(
+        base.unionByName(dup), ["f1", "f2", "f3"], m=512, k=4, portable=True
+    )
+    cands = clk_candidate_pairs(enc, n_bands=8, m=512)
+    return dice_pairs(cands, enc).select(
+        "id_A", "id_B", F.round("dice", 6).alias("dice")
+    )
+
+
 def q_rl_swoosh(spark, sf):
     """R-Swoosh merge-based ER (Benjelloun et al. VLDBJ 2009) over
     id-derived feature sets with planted evidence-combination chains:
@@ -2655,6 +2692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "soft_tfidf": q_soft_tfidf,
         "psnm_curve": q_psnm_curve,
+        "pprl_dice": q_pprl_dice,
         # ---- rows-only (hash-kernel / pipeline / streaming ops — no
         # portable SQL twin; each pinned by pytest) ----
         "rl_swoosh": q_rl_swoosh,
@@ -4211,6 +4249,49 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(mm) OVER wcum / (SELECT nt FROM tot), 6) AS recall "
             "FROM per WINDOW wcum AS (ORDER BY priority "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ),
+        # PPRL: CLK encode (field-tagged padded 2-grams, 4 md5 positions
+        # mod 512) -> banded pattern blocking -> Dice, replayed stage by
+        # stage; chr(1) mirrors the \x01 tag/seed separator
+        "pprl_dice": (
+            "WITH d AS (SELECT doc_id, text FROM documents "
+            "WHERE text IS NOT NULL AND doc_id < 80), "
+            "recs AS ("
+            "SELECT doc_id AS rid, lower(substr(text, 1, 6)) AS f1, "
+            "lower(substr(text, 8, 6)) AS f2, "
+            "lower(substr(text, 15, 5)) AS f3 FROM d "
+            "UNION ALL SELECT doc_id + 5000000, "
+            "lower(substr(text, 2, 6)), lower(substr(text, 8, 6)), "
+            "lower(substr(text, 15, 5)) FROM d), "
+            "fields AS ("
+            "SELECT rid, 'f1' AS fn, nullif(trim(f1), '') AS fv FROM recs "
+            "UNION ALL SELECT rid, 'f2', nullif(trim(f2), '') FROM recs "
+            "UNION ALL SELECT rid, 'f3', nullif(trim(f3), '') FROM recs), "
+            "grams AS (SELECT rid, fn || chr(1) || g AS tg FROM ("
+            "SELECT rid, fn, unnest(list_distinct("
+            "[substr(p, i, 2) for i in range(1, len(p))])) AS g "
+            "FROM (SELECT rid, fn, '_' || fv || '_' AS p FROM fields "
+            "WHERE fv IS NOT NULL))), "
+            "pos AS (SELECT DISTINCT rid, CAST("
+            "('0x' || substr(md5(CAST(i AS VARCHAR) || chr(1) || tg), 1, 15))"
+            "::BIGINT % 512 AS INTEGER) AS p "
+            "FROM grams, unnest([1, 2, 3, 4]) AS t(i)), "
+            "enc AS (SELECT rid, count(*) AS n FROM pos GROUP BY rid), "
+            "bands AS (SELECT rid, p // 64 AS b, "
+            "array_to_string(list_sort(list(p)), ',') AS pattern "
+            "FROM pos GROUP BY rid, p // 64), "
+            "cands AS (SELECT DISTINCT a.rid AS id_A, b.rid AS id_B "
+            "FROM bands a JOIN bands b "
+            "ON a.b = b.b AND a.pattern = b.pattern AND a.rid < b.rid), "
+            "inter AS (SELECT c.id_A, c.id_B, count(*) AS i "
+            "FROM cands c JOIN pos pa ON pa.rid = c.id_A "
+            "JOIN pos pb ON pb.rid = c.id_B AND pb.p = pa.p "
+            "GROUP BY c.id_A, c.id_B) "
+            "SELECT c.id_A, c.id_B, "
+            "round(2.0 * coalesce(i.i, 0) / (ea.n + eb.n), 6) AS dice "
+            "FROM cands c JOIN enc ea ON ea.rid = c.id_A "
+            "JOIN enc eb ON eb.rid = c.id_B "
+            "LEFT JOIN inter i ON i.id_A = c.id_A AND i.id_B = c.id_B"
         ),
         # SemDeDup at n_clusters=1: centroid == global per-dim mean;
         # groups = recursive min-label closure of cosine>=0.99 pairs;
