@@ -32,8 +32,6 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_HEX15 = 1152921504606846976.0  # 16^15, for md5-prefix -> [0,1) if needed
-
 
 def _norm(c: Column) -> Column:
     return F.lower(F.trim(F.coalesce(c, F.lit(""))))
