@@ -1538,6 +1538,44 @@ def q_psnm_curve(spark, sf):
     )
 
 
+def q_rl_group_linkage(spark, sf):
+    """Group linkage (On et al. ICDE 2007): 1:1-matched group similarity
+    over documents partitioned into 24 hash groups, with deterministic
+    pseudo-scores on hash-bucketed cross-group record pairs. Iterative
+    1:1 rounds — rows-only; semantics pinned by test_group_linkage.py
+    truth tables."""
+    from record_linkage_spark.operators.matching import group_linkage
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 120)
+    i = F.col("doc_id").cast("long")
+    groups = d.select(
+        i.alias("record_id"),
+        F.concat(F.lit("g"), (i % 24).cast("string")).alias("group_id"),
+    )
+    b = F.pmod(F.xxhash64(F.lit(5), i), F.lit(12))
+    pa = d.select(i.alias("id_A"), b.alias("_b"))
+    pb = d.select(i.alias("id_B"), b.alias("_b"))
+    pairs = (
+        pa.join(pb, "_b")
+        .filter(F.col("id_A") < F.col("id_B"))
+        .select(
+            "id_A",
+            "id_B",
+            (
+                F.pmod(F.xxhash64("id_A", "id_B"), F.lit(1000)) / 1000.0
+            ).alias("score"),
+        )
+    )
+    out = group_linkage(pairs, groups, min_score=0.3)
+    return out.select(
+        "group_A",
+        "group_B",
+        "n_matched",
+        F.round("match_weight", 6).alias("match_weight"),
+        F.round("sim", 6).alias("sim"),
+    )
+
+
 def q_pprl_dice(spark, sf):
     """Privacy-preserving linkage end to end (Schnell et al. 2009 CLK +
     Durham Bloom-LSH blocking): field-tagged padded 2-grams -> k=4 md5
@@ -2696,6 +2734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- rows-only (hash-kernel / pipeline / streaming ops — no
         # portable SQL twin; each pinned by pytest) ----
         "rl_swoosh": q_rl_swoosh,
+        "rl_group_linkage": q_rl_group_linkage,
         "rl_profiles": q_rl_profiles,
         "rl_ground_truth": q_rl_ground_truth,
         "rl_sorted_neighborhood": q_rl_sorted_neighborhood,
