@@ -1576,6 +1576,44 @@ def q_rl_group_linkage(spark, sf):
     )
 
 
+def q_rl_truth_discovery(spark, sf):
+    """Truth discovery (ACCU vote iteration) over documents-derived
+    claims: sources G/H are right on 60 calibration facts, B1/B2 wrong;
+    on 20 target facts H is silent and B1/B2 COPY the same wrong value —
+    majority vote loses 2-1, the learned-accuracy vote recovers the
+    truth. Iterative fixpoint — rows-only; semantics pinned by
+    test_truth_discovery.py."""
+    from record_linkage_spark.operators.truth_discovery import truth_discovery
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 80)
+    i = F.col("doc_id").cast("long")
+    cal = d.filter(i < 60)
+    tgt = d.filter(i >= 60)
+    tv = F.concat(F.lit("true"), i.cast("string"))
+    claims = None
+    parts = [
+        cal.select(i.alias("entity_id"), F.lit("G").alias("source_id"), tv.alias("value")),
+        cal.select(i.alias("entity_id"), F.lit("H").alias("source_id"), tv.alias("value")),
+        cal.select(i.alias("entity_id"), F.lit("B1").alias("source_id"),
+                   F.concat(F.lit("wb1_"), i.cast("string")).alias("value")),
+        cal.select(i.alias("entity_id"), F.lit("B2").alias("source_id"),
+                   F.concat(F.lit("wb2_"), i.cast("string")).alias("value")),
+        tgt.select(i.alias("entity_id"), F.lit("G").alias("source_id"), tv.alias("value")),
+        tgt.select(i.alias("entity_id"), F.lit("B1").alias("source_id"),
+                   F.concat(F.lit("copy"), i.cast("string")).alias("value")),
+        tgt.select(i.alias("entity_id"), F.lit("B2").alias("source_id"),
+                   F.concat(F.lit("copy"), i.cast("string")).alias("value")),
+    ]
+    for p in parts:
+        claims = p if claims is None else claims.unionByName(p)
+    truths, _srcs = truth_discovery(
+        claims.withColumn("attr", F.lit("city")), iterations=4
+    )
+    return truths.select(
+        "entity_id", "attr", "value", F.round("score", 6).alias("score"), "n_sources"
+    )
+
+
 def q_pprl_dice(spark, sf):
     """Privacy-preserving linkage end to end (Schnell et al. 2009 CLK +
     Durham Bloom-LSH blocking): field-tagged padded 2-grams -> k=4 md5
@@ -2735,6 +2773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # portable SQL twin; each pinned by pytest) ----
         "rl_swoosh": q_rl_swoosh,
         "rl_group_linkage": q_rl_group_linkage,
+        "rl_truth_discovery": q_rl_truth_discovery,
         "rl_profiles": q_rl_profiles,
         "rl_ground_truth": q_rl_ground_truth,
         "rl_sorted_neighborhood": q_rl_sorted_neighborhood,
