@@ -292,3 +292,75 @@ def test_average_precision_window_runs_over_distinct_scores(spark):
     below_window = plan[plan.index("Window"):]
     assert "HashAggregate" in below_window
     assert "partial_sum" in below_window
+
+
+def test_soft_tfidf_plan_shape(spark):
+    """SoftTFIDF: candidate hydration is equality joins (no cartesian);
+    the only Python is the Arrow-batched kernel; weight aggregation is
+    map-side partial."""
+    from record_linkage_spark.operators.text_analysis import soft_tfidf_pairs
+
+    docs = _doc_df(spark)
+    pairs = docs.select(
+        F.col("doc_id").alias("id_A"), (F.col("doc_id") + 1).alias("id_B")
+    )
+    plan = _plan(soft_tfidf_pairs(pairs, docs))
+    assert "CartesianProduct" not in plan
+    # (one BroadcastNestedLoopJoin IS expected: tfidf_weights broadcasts
+    # the single-row corpus count — a free 1-row NLJ, not a cross product)
+    assert "ArrowEvalPython" in plan       # the batched kernel
+    assert "BatchEvalPython" not in plan   # never row-at-a-time Python
+    assert "partial_sum" in plan           # tf-idf weight/norm aggs
+
+
+def test_span_removal_plan_is_pure_catalyst(spark):
+    """remove_duplicate_spans: postings-only shuffles, interval-merge
+    cover test — zero Python of any kind, no cartesian."""
+    from record_linkage_spark.operators.dedup import remove_duplicate_spans
+
+    plan = _plan(remove_duplicate_spans(_doc_df(spark), window=8))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan  # neither Arrow nor row Python
+    assert "partial_count" in plan   # span counts combine map-side
+
+
+def test_pprl_blocking_is_equality_join(spark):
+    """CLK banded blocking: candidates come from an equality join on
+    (band, pattern) — no cross product anywhere in encode/block/score."""
+    from record_linkage_spark.operators.pprl import (
+        clk_candidate_pairs,
+        clk_encode,
+        dice_pairs,
+    )
+
+    recs = _doc_df(spark).select(
+        F.col("doc_id").alias("record_id"),
+        F.substring("text", 1, 8).alias("f1"),
+        F.substring("text", 9, 8).alias("f2"),
+    )
+    enc = clk_encode(recs, ["f1", "f2"], m=128, k=2)
+    plan = _plan(dice_pairs(clk_candidate_pairs(enc, n_bands=4, m=128), enc))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan  # pure Catalyst throughout
+
+
+def test_semantic_dedup_pairs_join_on_cell(spark):
+    """SemDeDup candidate pairs: within-cell equality self-join; the only
+    nested-loop is the broadcast of the tiny centroid table (documented
+    k x dim state). No CartesianProduct, no Python."""
+    from record_linkage_spark.operators.similarity_search import (
+        semantic_duplicate_pairs,
+    )
+
+    vecs = _doc_df(spark).select(
+        F.col("doc_id").alias("vec_id"),
+        F.array(
+            *[(F.col("doc_id") % (i + 3)).cast("double") for i in range(8)]
+        ).alias("embedding"),
+    )
+    plan = _plan(
+        semantic_duplicate_pairs(vecs, cosine_threshold=0.9, n_clusters=2, iterations=1)
+    )
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
