@@ -1576,6 +1576,28 @@ def q_rl_group_linkage(spark, sf):
     )
 
 
+def q_lm_entropy(spark, sf):
+    """CCNet-style bigram-LM cross-entropy over documents ∪ planted
+    token-REVERSED copies (same vocabulary, destroyed word order — a
+    bigram LM must score them strictly worse). Self-trained LM; the
+    DuckDB twin replays tokenize -> BOS pad -> bigram counts ->
+    add-alpha smoothing -> per-doc -avg log2 p end to end."""
+    from record_linkage_spark.operators.lm_quality import lm_cross_entropy
+    from record_linkage_spark.operators.text_analysis import _tokens
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    shuffled = d.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + F.lit(7_000_000)).alias("doc_id"),
+        F.concat_ws(" ", F.reverse(_tokens(F.col("text")))).alias("text"),
+    )
+    docs = d.select("doc_id", "text").unionByName(shuffled)
+    return lm_cross_entropy(docs).select(
+        "doc_id",
+        "n_bigrams",
+        F.round("cross_entropy", 6).alias("cross_entropy"),
+    )
+
+
 def q_rl_truth_discovery(spark, sf):
     """Truth discovery (ACCU vote iteration) over documents-derived
     claims: sources G/H are right on 60 calibration facts, B1/B2 wrong;
@@ -2769,6 +2791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_tfidf": q_soft_tfidf,
         "psnm_curve": q_psnm_curve,
         "pprl_dice": q_pprl_dice,
+        "lm_entropy": q_lm_entropy,
         # ---- rows-only (hash-kernel / pipeline / streaming ops — no
         # portable SQL twin; each pinned by pytest) ----
         "rl_swoosh": q_rl_swoosh,
@@ -4370,6 +4393,35 @@ def oracle_sql() -> dict[str, str]:
             "FROM cands c JOIN enc ea ON ea.rid = c.id_A "
             "JOIN enc eb ON eb.rid = c.id_B "
             "LEFT JOIN inter i ON i.id_A = c.id_A AND i.id_B = c.id_B"
+        ),
+        # bigram-LM cross-entropy: tokenize -> BOS pad -> bigram/left-
+        # context counts -> add-0.1 smoothing over V+1 -> -avg log2 p
+        "lm_entropy": (
+            "WITH all_docs AS ("
+            "SELECT doc_id, text FROM documents WHERE text IS NOT NULL "
+            "UNION ALL SELECT doc_id + 7000000 AS doc_id, "
+            "array_to_string(list_reverse(CASE WHEN " + ta_norm.format(c="text")
+            + " = '' THEN [] ELSE string_split(" + ta_norm.format(c="text")
+            + ", ' ') END), ' ') AS text "
+            "FROM documents WHERE text IS NOT NULL AND doc_id < 40), "
+            "nrm AS (SELECT doc_id, " + ta_norm.format(c="text") + " AS s "
+            "FROM all_docs), "
+            "tok AS (SELECT doc_id, CASE WHEN s = '' THEN [] "
+            "ELSE string_split(s, ' ') END AS t FROM nrm), "
+            "pad AS (SELECT doc_id, list_concat([chr(2)], t) AS t "
+            "FROM tok WHERE len(t) >= 1), "
+            "bg AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, "
+            "unnest(t[2:len(t)]) AS w2 FROM pad), "
+            "c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2), "
+            "c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1), "
+            "vv AS (SELECT CAST(count(DISTINCT w2) + 1 AS DOUBLE) AS v "
+            "FROM bg), "
+            "sc AS (SELECT doc_id, "
+            "(c2.c2 + 0.1) / (c1.c1 + 0.1 * (SELECT v FROM vv)) AS p "
+            "FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+            "round(-avg(log2(p)), 6) AS cross_entropy "
+            "FROM sc GROUP BY doc_id"
         ),
         # SemDeDup at n_clusters=1: centroid == global per-dim mean;
         # groups = recursive min-label closure of cosine>=0.99 pairs;
