@@ -1598,6 +1598,30 @@ def q_lm_entropy(spark, sf):
     )
 
 
+def q_dsir_select(spark, sf):
+    """DSIR importance resampling (Xie et al. NeurIPS 2023): target =
+    every 5th document (a 'domain' slice); hashed unigram+bigram
+    distributions for target and pool, per-doc log importance ratio,
+    hash-seeded Gumbel-top-50. The DuckDB twin replays features, both
+    smoothed distributions, the weights, the Gumbel keys and the
+    bounded top-k."""
+    from record_linkage_spark.operators.dsir import dsir_resample
+
+    d = (
+        _t(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    tgt = d.filter(F.col("doc_id") % 5 == 0)
+    out = dsir_resample(d, tgt, k=50, buckets=256, portable=True)
+    return out.select(
+        "doc_id",
+        "n_feats",
+        F.round("log_w", 6).alias("log_w"),
+        F.round("gumbel_key", 6).alias("gumbel_key"),
+    )
+
+
 def q_rl_truth_discovery(spark, sf):
     """Truth discovery (ACCU vote iteration) over documents-derived
     claims: sources G/H are right on 60 calibration facts, B1/B2 wrong;
@@ -2792,6 +2816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psnm_curve": q_psnm_curve,
         "pprl_dice": q_pprl_dice,
         "lm_entropy": q_lm_entropy,
+        "dsir_select": q_dsir_select,
         # ---- rows-only (hash-kernel / pipeline / streaming ops — no
         # portable SQL twin; each pinned by pytest) ----
         "rl_swoosh": q_rl_swoosh,
@@ -4422,6 +4447,46 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
             "round(-avg(log2(p)), 6) AS cross_entropy "
             "FROM sc GROUP BY doc_id"
+        ),
+        # DSIR: hashed-ngram features -> smoothed target/pool
+        # distributions -> log importance ratio -> hash-seeded Gumbel
+        # keys -> bounded top-k; 1152921504606846976 = 16^15 = 2^60
+        "dsir_select": (
+            "WITH raw AS (SELECT doc_id, text FROM documents "
+            "WHERE text IS NOT NULL), "
+            "tok AS (SELECT doc_id, CASE WHEN s = '' THEN [] "
+            "ELSE string_split(s, ' ') END AS t FROM ("
+            "SELECT doc_id, " + ta_norm.format(c="text") + " AS s FROM raw)), "
+            "feats AS ("
+            "SELECT doc_id, unnest(t) AS g FROM tok "
+            "UNION ALL SELECT doc_id, w1 || ' ' || w2 AS g FROM ("
+            "SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, "
+            "unnest(t[2:len(t)]) AS w2 FROM tok WHERE len(t) >= 2)), "
+            "cf AS (SELECT doc_id, "
+            "('0x' || substr(md5(g), 1, 15))::BIGINT % 256 AS bucket, "
+            "count(*) AS c FROM feats GROUP BY doc_id, "
+            "('0x' || substr(md5(g), 1, 15))::BIGINT % 256), "
+            "nr AS (SELECT bucket, sum(c) AS n FROM cf GROUP BY bucket), "
+            "nt AS (SELECT bucket, sum(c) AS n FROM cf "
+            "WHERE doc_id % 5 = 0 GROUP BY bucket), "
+            "totr AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM cf), "
+            "tott AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM cf "
+            "WHERE doc_id % 5 = 0), "
+            "ratio AS (SELECT b.range AS bucket, "
+            "ln((coalesce(nt.n, 0) + 0.5) / ((SELECT tot FROM tott) + 0.5 * 256)) "
+            "- ln((coalesce(nr.n, 0) + 0.5) / ((SELECT tot FROM totr) + 0.5 * 256)) "
+            "AS lrat FROM range(0, 256) b "
+            "LEFT JOIN nr ON nr.bucket = b.range "
+            "LEFT JOIN nt ON nt.bucket = b.range), "
+            "w AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats, "
+            "sum(c * lrat) AS log_w FROM cf JOIN ratio USING (bucket) "
+            "GROUP BY doc_id), "
+            "keyed AS (SELECT doc_id, n_feats, log_w, log_w - ln(-ln("
+            "((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT "
+            "+ 0.5) / 1152921504606846976.0))) AS gk FROM w) "
+            "SELECT doc_id, n_feats, round(log_w, 6) AS log_w, "
+            "round(gk, 6) AS gumbel_key FROM keyed "
+            "ORDER BY gk DESC, doc_id LIMIT 50"
         ),
         # SemDeDup at n_clusters=1: centroid == global per-dim mean;
         # groups = recursive min-label closure of cosine>=0.99 pairs;
