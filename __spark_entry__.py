@@ -1622,6 +1622,51 @@ def q_dsir_select(spark, sf):
     )
 
 
+def q_temporal_joins(spark, sf):
+    """AS-OF + interval RANGE join composite over the events table:
+    every click gains (a) the latest preceding view per user — the
+    union-sort single-shuffle as-of, replayed by DuckDB's NATIVE
+    ``ASOF LEFT JOIN`` — and (b) the error windows (12h) containing it,
+    via the interval-bucketing equality join replayed as a plain
+    BETWEEN theta join."""
+    from record_linkage_spark.operators.temporal_join import (
+        asof_join,
+        range_join,
+    )
+
+    ev = _t(spark, sf, "events").filter(F.col("user_id") < 30)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("view_id"),
+        F.col("value").alias("view_value"),
+    )
+    a = asof_join(clicks, views, on=["user_id"]).select(
+        F.lit("asof").alias("kind"),
+        F.col("event_id").alias("id1"),
+        F.col("r_view_id").alias("id2"),
+        F.round("r_view_value", 6).alias("v"),
+    )
+    errs = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("err_id"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 12 HOURS")).alias("end"),
+    )
+    rj = range_join(
+        clicks, errs, on=["user_id"], ts_col="ts", bucket_seconds=43200.0
+    ).select(
+        F.lit("range").alias("kind"),
+        F.col("event_id").alias("id1"),
+        F.col("err_id").alias("id2"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    return a.unionByName(rj)
+
+
 def q_rl_truth_discovery(spark, sf):
     """Truth discovery (ACCU vote iteration) over documents-derived
     claims: sources G/H are right on 60 calibration facts, B1/B2 wrong;
@@ -2817,6 +2862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pprl_dice": q_pprl_dice,
         "lm_entropy": q_lm_entropy,
         "dsir_select": q_dsir_select,
+        "temporal_joins": q_temporal_joins,
         # ---- rows-only (hash-kernel / pipeline / streaming ops — no
         # portable SQL twin; each pinned by pytest) ----
         "rl_swoosh": q_rl_swoosh,
@@ -4487,6 +4533,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_feats, round(log_w, 6) AS log_w, "
             "round(gk, 6) AS gumbel_key FROM keyed "
             "ORDER BY gk DESC, doc_id LIMIT 50"
+        ),
+        # as-of via DuckDB's native ASOF LEFT JOIN; range via a plain
+        # BETWEEN theta join (the engine's bucketed join must equal it)
+        "temporal_joins": (
+            "WITH ev AS (SELECT * FROM events WHERE user_id < 30), "
+            "c AS (SELECT event_id, ts, user_id FROM ev "
+            "WHERE event_type = 'click'), "
+            "v AS (SELECT user_id, ts, event_id AS view_id, "
+            "value AS view_value FROM ev WHERE event_type = 'view'), "
+            "a AS (SELECT 'asof' AS kind, c.event_id AS id1, "
+            "v.view_id AS id2, round(v.view_value, 6) AS v "
+            "FROM c ASOF LEFT JOIN v "
+            "ON c.user_id = v.user_id AND c.ts >= v.ts), "
+            "e AS (SELECT user_id, event_id AS err_id, ts AS s, "
+            "ts + INTERVAL 12 HOUR AS en FROM ev "
+            "WHERE event_type = 'error'), "
+            "r AS (SELECT 'range' AS kind, c.event_id AS id1, "
+            "e.err_id AS id2, CAST(NULL AS DOUBLE) AS v "
+            "FROM c JOIN e ON c.user_id = e.user_id "
+            "AND c.ts >= e.s AND c.ts <= e.en) "
+            "SELECT * FROM a UNION ALL SELECT * FROM r"
         ),
         # SemDeDup at n_clusters=1: centroid == global per-dim mean;
         # groups = recursive min-label closure of cosine>=0.99 pairs;

@@ -36,6 +36,7 @@ def test_window_is_wall_to_wall_oracle_backed():
         "semantic_dedup",
         "soft_tfidf",
         "span_dedup",
+        "temporal_joins",
     ], "unexpected oracle-backed entry past the driver's 50-entry cutoff"
 
 
