@@ -1040,6 +1040,21 @@ def q_rl_star_clusters(spark, sf):
     return star_clustering(edges)
 
 
+def q_rl_hac_clusters(spark, sf):
+    """Average-linkage hierarchical clustering (Dedupe ``partition``
+    semantics) over the flagship fixed-weight scored pairs: components
+    from the audited CC loop, then per-component UPGMA cut at
+    1 − threshold inside one applyInPandas group. Iterative/numpy — no
+    SQL twin; pinned against a from-scratch naive UPGMA, hand truth
+    tables and partitioning invariance in ``tests/test_hierarchical.py``."""
+    from record_linkage_spark.operators.clustering import hierarchical_clusters
+
+    scored = q_scored_pairs_portable(spark, sf).filter(F.col("pred") == 1)
+    return hierarchical_clusters(
+        scored, threshold=0.5, src_col="id_A", dst_col="id_B"
+    )
+
+
 def q_rl_canopies(spark, sf):
     """Canopy blocking membership over cheap JW scores on near-id doc
     pairs (tight 0.9 / loose 0.6) — overlapping blocks from a cheap
@@ -2880,6 +2895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rl_greedy_clusters": q_rl_greedy_clusters,
         "rl_corr_clusters": q_rl_corr_clusters,
         "rl_star_clusters": q_rl_star_clusters,
+        "rl_hac_clusters": q_rl_hac_clusters,
         "rl_canopies": q_rl_canopies,
         "rl_minhash": q_rl_minhash,
         "rl_simhash": q_rl_simhash,

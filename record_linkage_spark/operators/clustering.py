@@ -451,6 +451,146 @@ def star_clustering(
     return _dominant_rounds(er, max_iterations, "star_clustering")
 
 
+def _avg_linkage_labels(members, dist, cut):
+    """Sequential UPGMA (average-linkage) agglomeration over a dense
+    distance matrix, cut at cophenetic distance ``cut`` — the in-memory
+    kernel :func:`hierarchical_clusters` runs per connected component.
+
+    ``members`` is SORTED; cluster ``i`` always occupies the slot of its
+    smallest member index, so numpy's row-major argmin realizes the
+    canonical "(smallest label_i, smallest label_j)" tie-break and the
+    result is independent of input row order. Lance-Williams update for
+    the average method: d(i∪j, k) = (n_i·d(i,k) + n_j·d(j,k))/(n_i+n_j),
+    which keeps d(A, B) == mean over all cross-pairs of the ORIGINAL
+    matrix (asserted against a from-scratch recompute in tests).
+
+    Returns a list mapping member index -> entity label (the smallest
+    member id of its final sub-cluster).
+    """
+    import numpy as np
+
+    n = len(members)
+    d = dist.astype("float64").copy()
+    np.fill_diagonal(d, np.inf)
+    sizes = np.ones(n)
+    active = np.ones(n, dtype=bool)
+    # union-find-ish: slot i's current member set, tracked as labels
+    owner = list(range(n))  # member index -> active slot
+    for _ in range(n - 1):
+        idx = np.flatnonzero(active)
+        if len(idx) < 2:
+            break
+        sub = d[np.ix_(idx, idx)]
+        k = int(np.argmin(sub))
+        i_, j_ = divmod(k, len(idx))
+        if i_ > j_:  # keep the smaller slot as survivor
+            i_, j_ = j_, i_
+        best = sub[i_, j_]
+        if not (best <= cut):
+            break
+        i, j = int(idx[i_]), int(idx[j_])
+        ni, nj = sizes[i], sizes[j]
+        merged = (ni * d[i, :] + nj * d[j, :]) / (ni + nj)
+        d[i, :] = merged
+        d[:, i] = merged
+        d[i, i] = np.inf
+        sizes[i] = ni + nj
+        active[j] = False
+        for m in range(n):
+            if owner[m] == j:
+                owner[m] = i
+    return [members[owner[m]] for m in range(n)]
+
+
+def hierarchical_clusters(
+    scored_pairs: DataFrame,
+    threshold: float,
+    src_col: str = "conv_id_a",
+    dst_col: str = "conv_id_b",
+    score_col: str = "score",
+    max_component: int = 1000,
+) -> DataFrame:
+    """Score-aware agglomerative clustering of scored pairs — the Dedupe
+    library's ``partition`` semantics (connected components over scored
+    pairs, then hierarchical clustering per component cut at distance
+    1 − threshold), re-expressed for Spark.
+
+    Connected components treats every above-threshold edge as gospel:
+    a chain a−b (0.95), b−c (0.95), c−d (0.55-but-kept) fuses a..d. HAC
+    with AVERAGE linkage instead merges groups only while their *mean*
+    pairwise distance stays within the cut, so weakly-bridged groups
+    split — the score-aware middle ground between CC (uses no scores)
+    and :func:`correlation_clustering` (uses no scores either, only
+    edge presence).
+
+    Distributed shape: components come from the audited large-star/
+    small-star loop (:func:`connected_components`); each component's
+    pairs then cluster independently inside one ``applyInPandas`` group
+    — blocking bounds component sizes, so the grouped pass is skew-safe,
+    and the numpy kernel is O(m²) memory / O(m³) flops only within a
+    component. Components larger than ``max_component`` fall back to the
+    transitive (CC) answer — one entity, min-id label — instead of
+    attempting a dense matrix; at 100 TB such a component signals a
+    blocking bug, not a clustering problem (same crossover documented at
+    :func:`incremental_components`).
+
+    Pairs the component's edge list never scored get distance 1.0 (never
+    directly mergeable; reachable only through average linkage), matching
+    dedupe's condensed-matrix default. Duplicate/reversed pairs collapse
+    to their max score. Returns (conv_id, entity_id) for every node that
+    appears in a pair; entity_id = smallest member id of the sub-cluster
+    (FIXTURES.md §5 discipline, stable across partitioning — asserted).
+
+    Reference anchor: dedupe's cluster step (vendor
+    ``dedupe/clustering.py:cluster``, centroid linkage + fcluster cut);
+    average linkage chosen for its exact Lance-Williams recursion —
+    centroid linkage inverts (non-monotone dendrograms) and its cut is
+    ill-defined, which dedupe itself papers over.
+    """
+    import pandas as pd  # noqa: F401 — applyInPandas workers
+
+    cut = 1.0 - float(threshold)
+    pairs = (
+        scored_pairs.select(
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.least(F.col(src_col), F.col(dst_col)).alias("v"),
+            F.col(score_col).cast("double").alias("score"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.max("score").alias("score"))
+    )
+    comp = connected_components(pairs, src_col="u", dst_col="v").select(
+        F.col("conv_id").alias("u"), F.col("entity_id").alias("_comp")
+    )
+    withc = pairs.join(comp, "u")
+
+    def cluster(pdf):
+        import numpy as np
+        import pandas as pd
+
+        members = sorted(set(pdf["u"]) | set(pdf["v"]))
+        n = len(members)
+        if n > max_component:
+            ent = members[0]
+            return pd.DataFrame({"conv_id": members, "entity_id": [ent] * n})
+        pos = {m: i for i, m in enumerate(members)}
+        dist = np.ones((n, n), dtype="float64")
+        np.fill_diagonal(dist, 0.0)
+        for u, v, s in zip(pdf["u"], pdf["v"], pdf["score"]):
+            d = min(max(1.0 - float(s), 0.0), 1.0)
+            i, j = pos[u], pos[v]
+            d = min(d, dist[i, j])  # max score == min distance
+            dist[i, j] = dist[j, i] = d
+        labels = _avg_linkage_labels(members, dist, cut)
+        return pd.DataFrame({"conv_id": members, "entity_id": labels})
+
+    id_type = dict(withc.dtypes)["u"]
+    return withc.groupBy("_comp").applyInPandas(
+        cluster, schema=f"conv_id {id_type}, entity_id {id_type}"
+    )
+
+
 def assign_entities(
     all_ids: DataFrame, match_edges: DataFrame, id_col: str = "conv_id"
 ) -> DataFrame:
