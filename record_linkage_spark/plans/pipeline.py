@@ -74,8 +74,10 @@ class LinkagePipeline:
         one_to_one: bool = False,
         clusterer: str = "cc",
     ):
-        if clusterer not in ("cc", "pivot", "star"):
-            raise KeyError(f"unknown clusterer {clusterer!r} (cc|pivot|star)")
+        if clusterer not in ("cc", "pivot", "star", "hac"):
+            raise KeyError(
+                f"unknown clusterer {clusterer!r} (cc|pivot|star|hac)"
+            )
         self.spark = spark
         self.wh = Warehouse(root=warehouse, spark=spark)
         self.n_entities = n_entities
@@ -210,6 +212,33 @@ class LinkagePipeline:
             resume=resume,
         )
         def _clusters() -> DataFrame:
+            if self.clusterer == "hac":
+                # score-aware: average-linkage agglomeration per CC
+                # component, cut at the tuned threshold — weakly-bridged
+                # groups split where transitive closure fuses them
+                from record_linkage_spark.operators.clustering import (
+                    hierarchical_clusters,
+                )
+
+                matches = scored.filter(F.col("pred") == 1).select(
+                    "id_A", "id_B", "score"
+                )
+                if self.one_to_one:
+                    from record_linkage_spark.operators.matching import (
+                        one_to_one_matching,
+                    )
+
+                    matches = one_to_one_matching(matches)
+                tau = self.model.threshold if self.model is not None else 0.5
+                hc = hierarchical_clusters(
+                    matches, threshold=tau, src_col="id_A", dst_col="id_B"
+                )
+                return (
+                    profiles.select("conv_id")
+                    .distinct()
+                    .join(hc, "conv_id", "left")
+                    .withColumn("entity_id", F.coalesce("entity_id", "conv_id"))
+                )
             if self.clusterer in ("pivot", "star"):
                 # noise-robust alternatives: both bound clusters to
                 # radius 1 around a center, so a false match edge can't
@@ -422,9 +451,11 @@ def main() -> None:
     ap.add_argument(
         "--clusterer",
         default="cc",
-        choices=["cc", "pivot", "star"],
-        help="transitive closure (cc, default) or pivot correlation "
-        "clustering (noise-robust, radius-1 clusters)",
+        choices=["cc", "pivot", "star", "hac"],
+        help="transitive closure (cc, default), pivot correlation "
+        "clustering (noise-robust, radius-1 clusters), star (evidence-"
+        "anchored), or hac (score-aware average-linkage agglomeration "
+        "cut at the tuned threshold)",
     )
     ap.add_argument(
         "--compare",
