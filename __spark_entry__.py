@@ -2113,13 +2113,15 @@ def q_ssjoin_prefix(spark, sf):
 
 
 def q_cluster_quality(spark, sf):
-    """Cluster-quality + cluster-repair composite — four oracle checks in
+    """Cluster-quality + cluster-repair composite — five oracle checks in
     one window slot, all over the deterministic doc clustering
     (entity = doc_id div 7) against the lang column as truth:
 
       chk='bcubed'   B-cubed P/R/F1 + n (``bcubed_metrics``)
       chk='pc'       pair-counting metrics: pairwise P/R/F1, Rand,
                      Adjusted Rand, tp/fp/fn/tn (``pair_counting_metrics``)
+      chk='vm'       entropy family: homogeneity/completeness/V-measure,
+                     MI, NMI + the four entropies (``v_measure_metrics``)
       chk='cohesion' per-entity split evidence (``cluster_cohesion``)
                      over JW-scored near-id pairs at threshold 0.8
       chk='merge'    cross-entity merge candidates (``merge_candidates``)
@@ -2138,6 +2140,7 @@ def q_cluster_quality(spark, sf):
         cluster_cohesion,
         merge_candidates,
         pair_counting_metrics,
+        v_measure_metrics,
     )
 
     d = _t(spark, sf, "documents").filter(F.col("lang").isNotNull())
@@ -2208,7 +2211,18 @@ def q_cluster_quality(spark, sf):
         ["n_edges", "max_score", "avg_score"],
         key_expr=F.concat_ws("-", F.col("entity_lo"), F.col("entity_hi")),
     )
-    return bc.unionByName(pc).unionByName(coh).unionByName(mrg)
+    vm = unpivot(
+        v_measure_metrics(a, t, id_col="doc_id"),
+        "vm",
+        [
+            "n_records", "h_class", "h_cluster", "h_class_given_cluster",
+            "h_cluster_given_class", "mutual_info", "homogeneity",
+            "completeness", "v_measure", "nmi",
+        ],
+    )
+    return (
+        bc.unionByName(pc).unionByName(coh).unionByName(mrg).unionByName(vm)
+    )
 
 
 def _doc_profiles(spark, sf):
@@ -3660,7 +3674,26 @@ def oracle_sql() -> dict[str, str]:
         "WHERE ea.e <> eb.e AND sc >= 0.8), "
         "mrg AS (SELECT least(e1, e2) AS lo, greatest(e1, e2) AS hi, "
         "count(*) AS ne, round(max(sc), 6) AS mx, round(avg(sc), 6) AS av "
-        "FROM crossx GROUP BY 1, 2) "
+        "FROM crossx GROUP BY 1, 2), "
+        # entropy family (V-measure/NMI) from the same contingency table
+        "vmc AS (SELECT c, CAST(sum(n) AS DOUBLE) AS nc FROM cont GROUP BY 1), "
+        "vmk AS (SELECT k, CAST(sum(n) AS DOUBLE) AS nk FROM cont GROUP BY 1), "
+        "vmj AS (SELECT CAST(sum(n) AS DOUBLE) AS nn, "
+        "sum(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE) / nc)) AS sck, "
+        "sum(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE) / nk)) AS skc "
+        "FROM cont JOIN vmc USING (c) JOIN vmk USING (k)), "
+        "vme AS (SELECT nn, "
+        "ln(nn) - (SELECT sum(nk * ln(nk)) FROM vmk) / nn AS hcv, "
+        "ln(nn) - (SELECT sum(nc * ln(nc)) FROM vmc) / nn AS hkv, "
+        "-sck / nn AS hck, -skc / nn AS hkc FROM vmj), "
+        "vmr AS (SELECT nn, hcv, hkv, hck, hkc, "
+        "CASE WHEN hcv <= 0 THEN 1.0 ELSE 1 - hck / hcv END AS hom, "
+        "CASE WHEN hkv <= 0 THEN 1.0 ELSE 1 - hkc / hkv END AS com FROM vme), "
+        "vmx AS (SELECT nn, hcv, hkv, hck, hkc, hom, com, "
+        "CASE WHEN hom + com > 0 THEN 2 * hom * com / (hom + com) "
+        "ELSE 0.0 END AS vm, "
+        "CASE WHEN hcv > 0 AND hkv > 0 THEN (hcv - hck) / sqrt(hcv * hkv) "
+        "ELSE 0.0 END AS nmi FROM vmr) "
         "SELECT 'bcubed' AS chk, unnest(['bcubed_precision', 'bcubed_recall', "
         "'bcubed_f1', 'n_records']) AS k, unnest([bcubed_precision, "
         "bcubed_recall, bcubed_f1, CAST(n_records AS DOUBLE)]) AS v "
@@ -3678,7 +3711,14 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL SELECT 'merge' AS chk, CAST(lo AS VARCHAR) || '-' || "
         "CAST(hi AS VARCHAR) || ':' || "
         "unnest(['n_edges', 'max_score', 'avg_score']) AS k, "
-        "unnest([CAST(ne AS DOUBLE), mx, av]) AS v FROM mrg"
+        "unnest([CAST(ne AS DOUBLE), mx, av]) AS v FROM mrg "
+        "UNION ALL SELECT 'vm' AS chk, unnest(['n_records', 'h_class', "
+        "'h_cluster', 'h_class_given_cluster', 'h_cluster_given_class', "
+        "'mutual_info', 'homogeneity', 'completeness', 'v_measure', "
+        "'nmi']) AS k, "
+        "unnest([nn, round(hcv, 6), round(hkv, 6), round(hck, 6), "
+        "round(hkc, 6), round(hcv - hck, 6), round(hom, 6), round(com, 6), "
+        "round(vm, 6), round(nmi, 6)]) AS v FROM vmx"
     )
     out = {
         "curation_funnel": curation_funnel_sql,

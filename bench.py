@@ -211,6 +211,19 @@ def main() -> None:
     _, queries["rl_corr_clustering"] = _timed_best2(
         lambda: correlation_clustering(edges).count()
     )
+    # score-aware agglomerative alternative over the same scored pairs
+    from record_linkage_spark.operators.clustering import hierarchical_clusters
+
+    _, queries["rl_hac_clustering"] = _timed_best2(
+        lambda: hierarchical_clusters(
+            scored_cands.filter(F.col("pred") == 1).select(
+                "id_A", "id_B", "score"
+            ),
+            threshold=0.5,
+            src_col="id_A",
+            dst_col="id_B",
+        ).count()
+    )
 
     # round-3 operators over the same corpus: survivorship fusion of the
     # resolved entities, 1:1-constrained matching, meta-blocking pruning

@@ -217,6 +217,96 @@ def pair_counting_metrics(
     )
 
 
+def v_measure_metrics(
+    assignments: DataFrame,
+    truth: DataFrame,
+    id_col: str = "conv_id",
+    cluster_col: str = "entity_id",
+    truth_col: str = "entity_key",
+    beta: float = 1.0,
+) -> DataFrame:
+    """Entropy-based cluster quality (Rosenberg & Hirschberg EMNLP 2007):
+    homogeneity (each cluster holds one class), completeness (each class
+    lands in one cluster), their harmonic mean V-measure, plus mutual
+    information and sqrt-normalized NMI — the third standard extrinsic
+    family next to B-cubed (:func:`bcubed_metrics`) and pair counting
+    (:func:`pair_counting_metrics`). Unlike pairwise F1, entropies don't
+    quadratically over-weight big clusters, and unlike B-cubed the score
+    is symmetric-decomposable into the two failure directions.
+
+    Everything derives from the same (cluster, class, count) contingency
+    frame as pair counting: ONE shuffle builds it; cluster/class sizes
+    are its re-aggregated marginals; three single-row aggregates combine
+    by cross join. Cost is O(records) + O(distinct cells) — no pair
+    enumeration, scale-indifferent.
+
+    Conventions match scikit-learn: H(C)=0 → homogeneity 1.0, H(K)=0 →
+    completeness 1.0, h+c=0 → v 0.0, H(C)·H(K)=0 → nmi 0.0. Entropies in
+    nats, outputs rounded to 6 (computed from unrounded intermediates).
+
+    Returns one row: n_records, h_class, h_cluster,
+    h_class_given_cluster, h_cluster_given_class, mutual_info,
+    homogeneity, completeness, v_measure, nmi.
+    """
+    a = assignments.select(F.col(id_col).alias("_id"), F.col(cluster_col).alias("_c"))
+    t = truth.select(F.col(id_col).alias("_id"), F.col(truth_col).alias("_k"))
+    cont = a.join(t, "_id").groupBy("_c", "_k").agg(F.count("*").alias("_n"))
+    cont = cont.localCheckpoint()  # reused by both marginals + the joint agg
+
+    csz = cont.groupBy("_c").agg(F.sum("_n").cast("double").alias("_nc"))
+    ksz = cont.groupBy("_k").agg(F.sum("_n").cast("double").alias("_nk"))
+    nd = F.col("_n").cast("double")
+    joint = (
+        cont.join(csz, "_c")
+        .join(ksz, "_k")
+        .agg(
+            F.sum("_n").cast("double").alias("N"),
+            F.sum(nd * F.log(nd / F.col("_nc"))).alias("sck"),
+            F.sum(nd * F.log(nd / F.col("_nk"))).alias("skc"),
+        )
+    )
+    hk = csz.agg(F.sum(F.col("_nc") * F.log("_nc")).alias("snc"))
+    hc = ksz.agg(F.sum(F.col("_nk") * F.log("_nk")).alias("snk"))
+
+    s = joint.crossJoin(hk).crossJoin(hc).select(
+        "N",
+        (F.log("N") - F.col("snk") / F.col("N")).alias("h_c"),
+        (F.log("N") - F.col("snc") / F.col("N")).alias("h_k"),
+        (-F.col("sck") / F.col("N")).alias("h_ck"),
+        (-F.col("skc") / F.col("N")).alias("h_kc"),
+    )
+    hom = F.when(F.col("h_c") <= 0, F.lit(1.0)).otherwise(
+        1.0 - F.col("h_ck") / F.col("h_c")
+    )
+    com = F.when(F.col("h_k") <= 0, F.lit(1.0)).otherwise(
+        1.0 - F.col("h_kc") / F.col("h_k")
+    )
+    s = s.select("*", hom.alias("hom"), com.alias("com"))
+    b = float(beta)
+    v = F.when(
+        b * F.col("hom") + F.col("com") > 0,
+        (1.0 + b) * F.col("hom") * F.col("com")
+        / (b * F.col("hom") + F.col("com")),
+    ).otherwise(F.lit(0.0))
+    mi = F.col("h_c") - F.col("h_ck")
+    nmi = F.when(
+        (F.col("h_c") > 0) & (F.col("h_k") > 0),
+        mi / F.sqrt(F.col("h_c") * F.col("h_k")),
+    ).otherwise(F.lit(0.0))
+    return s.select(
+        F.col("N").cast("long").alias("n_records"),
+        F.round("h_c", 6).alias("h_class"),
+        F.round("h_k", 6).alias("h_cluster"),
+        F.round("h_ck", 6).alias("h_class_given_cluster"),
+        F.round("h_kc", 6).alias("h_cluster_given_class"),
+        F.round(mi, 6).alias("mutual_info"),
+        F.round("hom", 6).alias("homogeneity"),
+        F.round("com", 6).alias("completeness"),
+        F.round(v, 6).alias("v_measure"),
+        F.round(nmi, 6).alias("nmi"),
+    )
+
+
 def cluster_cohesion(
     assignments: DataFrame,
     scored_pairs: DataFrame,

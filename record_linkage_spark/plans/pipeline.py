@@ -322,6 +322,7 @@ class LinkagePipeline:
             average_precision,
             pair_counting_metrics,
             roc_auc,
+            v_measure_metrics,
         )
         from record_linkage_spark.operators.ground_truth import validate_keys
 
@@ -334,6 +335,9 @@ class LinkagePipeline:
             k: float(v) if hasattr(v, "as_tuple") else v
             for k, v in pair_counting_metrics(clusters, vkeys).first().asDict().items()
         }
+        # entropy family (homogeneity/completeness/V-measure/NMI): the
+        # size-insensitive third view next to B-cubed and pair counting
+        vm = v_measure_metrics(clusters, vkeys).first().asDict()
         # cluster-repair summary: split evidence (within-cluster pairs the
         # scorer rated below threshold / pairs blocking never compared)
         # and merge evidence (cross-cluster pairs above threshold)
@@ -392,6 +396,7 @@ class LinkagePipeline:
             "ap_labeled_pairs": ap_val,
             "bcubed": bc,
             "pair_counting": pc,
+            "v_measure": vm,
             "repair": repair,
             "threshold": self.model.threshold if self.model else None,
             "n_candidates": cands.count(),

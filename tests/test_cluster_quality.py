@@ -106,6 +106,87 @@ def test_ari_extremes(spark):
     assert abs(row.adjusted_rand) < 0.2  # near-chance
 
 
+def _brute_v_measure(pred: dict, truth: dict):
+    """Reference implementation: entropies from explicit distributions."""
+    from collections import Counter
+    from math import log, sqrt
+
+    n = len(pred)
+    cont = Counter((pred[i], truth[i]) for i in pred)
+    csz = Counter(pred.values())
+    ksz = Counter(truth.values())
+    h_c = -sum(v / n * log(v / n) for v in ksz.values())
+    h_k = -sum(v / n * log(v / n) for v in csz.values())
+    h_ck = -sum(v / n * log(v / csz[c]) for (c, k), v in cont.items())
+    h_kc = -sum(v / n * log(v / ksz[k]) for (c, k), v in cont.items())
+    hom = 1.0 if h_c <= 0 else 1 - h_ck / h_c
+    com = 1.0 if h_k <= 0 else 1 - h_kc / h_k
+    v = 2 * hom * com / (hom + com) if hom + com > 0 else 0.0
+    mi = h_c - h_ck
+    nmi = mi / sqrt(h_c * h_k) if h_c > 0 and h_k > 0 else 0.0
+    return dict(h_c=h_c, h_k=h_k, hom=hom, com=com, v=v, mi=mi, nmi=nmi)
+
+
+def _vm_df(spark, pred: dict, truth: dict):
+    from record_linkage_spark.operators.evaluate import v_measure_metrics
+
+    a = spark.createDataFrame(
+        [(k, v) for k, v in pred.items()], "conv_id string, entity_id string"
+    )
+    t = spark.createDataFrame(
+        [(k, v) for k, v in truth.items()], "conv_id string, entity_key string"
+    )
+    return v_measure_metrics(a, t).first()
+
+
+def test_v_measure_hand_computed(spark):
+    # Rosenberg-Hirschberg symmetric worked example: clusters {123}{456},
+    # classes {124}{356} — contingency [[2,1],[1,2]], so hom == com == v.
+    pred = {"x1": "c1", "x2": "c1", "x3": "c1", "x4": "c2", "x5": "c2", "x6": "c2"}
+    truth = {"x1": "k1", "x2": "k1", "x3": "k2", "x4": "k1", "x5": "k2", "x6": "k2"}
+    r = _vm_df(spark, pred, truth)
+    assert r.n_records == 6
+    assert r.h_class == r.h_cluster == round(0.6931471805599453, 6)
+    assert r.homogeneity == r.completeness == r.v_measure == 0.081704
+    assert r.nmi == 0.081704
+    assert r.mutual_info == 0.056633
+
+
+def test_v_measure_extremes(spark):
+    # perfect clustering: everything 1.0
+    pred = {"a": "1", "b": "1", "c": "2", "d": "2"}
+    truth = {"a": "x", "b": "x", "c": "y", "d": "y"}
+    r = _vm_df(spark, pred, truth)
+    assert (r.homogeneity, r.completeness, r.v_measure, r.nmi) == (1.0,) * 4
+    # one giant cluster vs distinct classes: complete but not homogeneous
+    pred = {"a": "1", "b": "1", "c": "1", "d": "1"}
+    r = _vm_df(spark, pred, truth)
+    assert r.homogeneity == 0.0 and r.completeness == 1.0
+    assert r.v_measure == 0.0 and r.nmi == 0.0
+    # singleton clusters vs one class: homogeneous but incomplete
+    pred = {"a": "1", "b": "2", "c": "3", "d": "4"}
+    truth = {"a": "x", "b": "x", "c": "x", "d": "x"}
+    r = _vm_df(spark, pred, truth)
+    assert r.homogeneity == 1.0 and r.completeness == 0.0
+
+
+def test_v_measure_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(5)
+    pred = {f"r{i:02d}": f"c{rng.randrange(4)}" for i in range(40)}
+    truth = {f"r{i:02d}": f"k{rng.randrange(3)}" for i in range(40)}
+    r = _vm_df(spark, pred, truth)
+    want = _brute_v_measure(pred, truth)
+    assert r.homogeneity == round(want["hom"], 6)
+    assert r.completeness == round(want["com"], 6)
+    assert r.v_measure == round(want["v"], 6)
+    assert r.nmi == round(want["nmi"], 6)
+    assert r.mutual_info == round(want["mi"], 6)
+    assert r.h_class == round(want["h_c"], 6)
+    assert r.h_cluster == round(want["h_k"], 6)
+
+
 def test_cohesion_report(spark):
     a = spark.createDataFrame(
         [("a", "E1"), ("b", "E1"), ("c", "E1"), ("d", "E2"), ("e", "E2")],
