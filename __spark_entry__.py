@@ -1055,6 +1055,54 @@ def q_rl_hac_clusters(spark, sf):
     )
 
 
+def q_c4_filters(spark, sf):
+    """C4 rule cascade (Raffel et al. 2020 §2.2: line filter + doc
+    rules) over a deterministic multi-line corpus derived from
+    documents: line 1 is a 40-char slice with a terminal period, line 2
+    an unpunctuated slice (line-filtered away), then doc_id%6 more good
+    lines, plus planted blocklist / code-brace / lorem lines on doc_id
+    multiples of 17/23/29. DuckDB replays the corpus construction AND
+    every rule (list_filter lambda, regex word count, sentence-mark
+    proxy) from scratch; kept_text compares as md5."""
+    from record_linkage_spark.operators.web_filters import c4_filters
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    d2 = d.withColumn(
+        "_g", F.concat(F.substring("text", 1, 40), F.lit("."))
+    ).withColumn("_k", (F.col("doc_id") % 6).cast("int"))
+    text2 = F.when(
+        F.col("text").isNotNull(),
+        F.concat(
+            F.col("_g"),
+            F.lit("\n"),
+            F.substring("text", 45, 10),
+            F.expr("repeat(concat('\\n', _g), _k)"),
+            F.when(
+                F.col("doc_id") % 17 == 0,
+                F.lit("\nClick here to subscribe today."),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 23 == 0, F.lit("\nvar x = {1};")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 29 == 0, F.lit("\nLorem Ipsum dolor sit.")
+            ).otherwise(F.lit("")),
+        ),
+    )
+    ann = c4_filters(d2.select("doc_id", text2.alias("text")))
+    return ann.select(
+        "doc_id",
+        F.md5(F.coalesce("kept_text", F.lit(""))).alias("kept_md5"),
+        "n_lines",
+        "n_kept_lines",
+        "n_sentences",
+        F.col("has_blocked").cast("int").alias("blocked"),
+        F.col("has_lorem").cast("int").alias("lorem"),
+        F.col("has_brace").cast("int").alias("brace"),
+        F.col("keep").cast("int").alias("keep"),
+    )
+
+
 def q_rl_canopies(spark, sf):
     """Canopy blocking membership over cheap JW scores on near-id doc
     pairs (tight 0.9 / loose 0.6) — overlapping blocks from a cheap
@@ -2892,6 +2940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_entropy": q_lm_entropy,
         "dsir_select": q_dsir_select,
         "temporal_joins": q_temporal_joins,
+        "c4_filters": q_c4_filters,
         # ---- rows-only (hash-kernel / pipeline / streaming ops — no
         # portable SQL twin; each pinned by pytest) ----
         "rl_swoosh": q_rl_swoosh,
@@ -4589,6 +4638,51 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_feats, round(log_w, 6) AS log_w, "
             "round(gk, 6) AS gumbel_key FROM keyed "
             "ORDER BY gk DESC, doc_id LIMIT 50"
+        ),
+        # C4 cascade: DuckDB rebuilds the same synthetic multi-line corpus
+        # and replays the line filter (lambda), doc rules and sentence
+        # proxy from scratch; kept_text compares as md5
+        "c4_filters": (
+            "WITH d AS (SELECT doc_id, text FROM documents), "
+            "b AS (SELECT doc_id, text, substr(text, 1, 40) || '.' AS g, "
+            "substr(text, 45, 10) AS bad, CAST(doc_id % 6 AS INT) AS k "
+            "FROM d), "
+            "t2 AS (SELECT doc_id, CASE WHEN text IS NOT NULL THEN "
+            "g || chr(10) || bad || repeat(chr(10) || g, k) "
+            "|| CASE WHEN doc_id % 17 = 0 THEN chr(10) || "
+            "'Click here to subscribe today.' ELSE '' END "
+            "|| CASE WHEN doc_id % 23 = 0 THEN chr(10) || 'var x = {1};' "
+            "ELSE '' END "
+            "|| CASE WHEN doc_id % 29 = 0 THEN chr(10) || "
+            "'Lorem Ipsum dolor sit.' ELSE '' END "
+            "END AS text FROM b), "
+            "ann AS (SELECT doc_id, text, CASE WHEN text IS NOT NULL THEN "
+            "list_filter(string_split(text, chr(10)), ln -> "
+            "regexp_matches(rtrim(ln), '[.!?\"”]$') AND "
+            "len(string_split_regex(trim(ln), '\\s+')) >= 3) END AS ka, "
+            "lower(coalesce(text, '')) AS lowered FROM t2), "
+            "fin AS (SELECT doc_id, "
+            "CASE WHEN text IS NOT NULL THEN array_to_string(ka, chr(10)) "
+            "END AS kept_text, "
+            "CASE WHEN text IS NOT NULL THEN len(string_split(text, chr(10))) "
+            "ELSE 0 END AS n_lines, "
+            "CASE WHEN text IS NOT NULL THEN len(ka) ELSE 0 END "
+            "AS n_kept_lines, "
+            "(contains(lowered, 'click here to subscribe') OR "
+            "contains(lowered, 'all rights reserved')) AS blocked, "
+            "contains(lowered, 'lorem ipsum') AS lorem, "
+            "contains(lowered, '{') AS brace, "
+            "text IS NOT NULL AS nn FROM ann), "
+            "sen AS (SELECT *, length(regexp_replace(coalesce(kept_text, ''), "
+            "'[^.!?]', '', 'g')) AS ns FROM fin) "
+            "SELECT doc_id, md5(coalesce(kept_text, '')) AS kept_md5, "
+            "CAST(n_lines AS INT) AS n_lines, "
+            "CAST(n_kept_lines AS INT) AS n_kept_lines, "
+            "CAST(ns AS INT) AS n_sentences, "
+            "CAST(blocked AS INT) AS blocked, CAST(lorem AS INT) AS lorem, "
+            "CAST(brace AS INT) AS brace, "
+            "CAST((nn AND ns >= 5 AND NOT blocked AND NOT lorem AND "
+            "NOT brace) AS INT) AS keep FROM sen"
         ),
         # as-of via DuckDB's native ASOF LEFT JOIN; range via a plain
         # BETWEEN theta join (the engine's bucketed join must equal it)

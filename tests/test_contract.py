@@ -29,6 +29,7 @@ def test_window_is_wall_to_wall_oracle_backed():
     # so an entry that COULD displace a weaker window slot still has to
     # be added here deliberately.
     assert sorted(k for k in q[50:] if k in o) == [
+        "c4_filters",
         "dsir_select",
         "lm_entropy",
         "pprl_dice",

@@ -1,0 +1,75 @@
+"""C4-style heuristic web filters — hand truth tables for every rule."""
+
+from record_linkage_spark.operators.web_filters import c4_filters
+
+
+def _run(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r.doc_id: r.asDict() for r in c4_filters(df, **kw).collect()}
+
+
+def test_line_filter_terminal_punct_and_min_words(spark):
+    text = (
+        "A good long sentence here.\n"      # kept
+        "too short.\n"                       # 2 words -> dropped
+        "no terminal punctuation at all\n"   # dropped
+        'He said "stop".\n'                  # kept (ends with .)
+        "Is this kept?\n"                    # kept (?)
+        "Definitely kept now!"               # kept (!)
+    )
+    out = _run(spark, [(1, text)], min_sentences=1)[1]
+    assert out["n_lines"] == 6
+    assert out["n_kept_lines"] == 4
+    assert out["kept_text"].splitlines() == [
+        "A good long sentence here.",
+        'He said "stop".',
+        "Is this kept?",
+        "Definitely kept now!",
+    ]
+    assert out["keep"] is True
+
+
+def test_doc_level_rules(spark):
+    good = "\n".join(["This is a fine sentence number %d." % i for i in range(6)])
+    rows = [
+        (1, good),                                   # keeps
+        (2, good + "\nAll Rights Reserved."),        # blocklist
+        (3, good + "\nLorem ipsum dolor sit amet."), # lorem
+        (4, good + "\nvar x = {1};"),                # brace
+        (5, "Only two sentences here. And the second one."),  # too few
+        (6, None),                                   # null text
+    ]
+    out = _run(spark, rows)
+    assert [out[i]["keep"] for i in range(1, 7)] == [
+        True, False, False, False, False, False,
+    ]
+    assert out[2]["has_blocked"] and not out[2]["has_lorem"]
+    assert out[3]["has_lorem"] and out[4]["has_brace"]
+    assert out[5]["n_sentences"] == 2
+    assert out[6]["n_lines"] == 0 and out[6]["kept_text"] is None
+
+
+def test_sentence_proxy_counts_terminal_marks_in_kept_text(spark):
+    # two marks inside one kept line both count (the paper's proxy);
+    # marks on dropped lines do not
+    text = "Dr. Smith arrived today.\nbad line!!! no really bad"
+    out = _run(spark, [(1, text)], min_sentences=1)[1]
+    assert out["n_kept_lines"] == 1
+    assert out["n_sentences"] == 2
+
+
+def test_thresholds_are_parameters(spark):
+    text = "One two.\nAlpha beta gamma delta."
+    strict = _run(spark, [(1, text)], min_words=3, min_sentences=2)[1]
+    loose = _run(spark, [(1, text)], min_words=2, min_sentences=2)[1]
+    assert strict["n_kept_lines"] == 1 and strict["keep"] is False
+    assert loose["n_kept_lines"] == 2 and loose["keep"] is True
+
+
+def test_custom_blocklist(spark):
+    text = "\n".join(["Sentence number %d is fine." % i for i in range(6)])
+    out = _run(
+        spark, [(1, text + "\nVisit example dot com now.")],
+        blocklist=("example dot com",),
+    )[1]
+    assert out["has_blocked"] and out["keep"] is False
