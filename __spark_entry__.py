@@ -1103,6 +1103,50 @@ def q_c4_filters(spark, sf):
     )
 
 
+def q_gopher_filters(spark, sf):
+    """Gopher quality rules (Rae et al. 2021 A1.1) over documents with
+    planted rule violations: '#' runs on doc_id%13, bullet lines on %19,
+    ellipsis line endings on %11, and stop-phrase padding on evens so the
+    stop-word rule splits the corpus. DuckDB replays every metric (word/
+    line list lambdas, length-difference symbol counts, stop-word hits)
+    and the final verdict from scratch."""
+    from record_linkage_spark.operators.web_filters import gopher_filters
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    text2 = F.when(
+        F.col("text").isNotNull(),
+        F.concat(
+            F.when(
+                F.col("doc_id") % 19 == 0,
+                F.lit("• alpha beta gamma\n- delta epsilon zeta\n"),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit(" and that have with")
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" #####")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.lit("\nto be continued...\nand more soon..."),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    ann = gopher_filters(d.select("doc_id", text2.alias("text")), min_words=20)
+    return ann.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_word_ratio",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        "alpha_word_frac",
+        "n_stop_hits",
+        F.col("keep").cast("int").alias("keep"),
+    )
+
+
 def q_rl_canopies(spark, sf):
     """Canopy blocking membership over cheap JW scores on near-id doc
     pairs (tight 0.9 / loose 0.6) — overlapping blocks from a cheap
@@ -2941,6 +2985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "temporal_joins": q_temporal_joins,
         "c4_filters": q_c4_filters,
+        "gopher_filters": q_gopher_filters,
         # ---- rows-only (hash-kernel / pipeline / streaming ops — no
         # portable SQL twin; each pinned by pytest) ----
         "rl_swoosh": q_rl_swoosh,
@@ -4683,6 +4728,58 @@ def oracle_sql() -> dict[str, str]:
             "CAST(brace AS INT) AS brace, "
             "CAST((nn AND ns >= 5 AND NOT blocked AND NOT lorem AND "
             "NOT brace) AS INT) AS keep FROM sen"
+        ),
+        # Gopher rules: DuckDB rebuilds the decorated corpus and replays
+        # every metric (list lambdas, length-diff symbol counts) + verdict
+        "gopher_filters": (
+            "WITH d AS (SELECT doc_id, text FROM documents), "
+            "t2 AS (SELECT doc_id, CASE WHEN text IS NOT NULL THEN "
+            "CASE WHEN doc_id % 19 = 0 THEN '• alpha beta gamma' || chr(10) "
+            "|| '- delta epsilon zeta' || chr(10) ELSE '' END "
+            "|| text "
+            "|| CASE WHEN doc_id % 2 = 0 THEN ' and that have with' "
+            "ELSE '' END "
+            "|| CASE WHEN doc_id % 13 = 0 THEN ' #####' ELSE '' END "
+            "|| CASE WHEN doc_id % 11 = 0 THEN chr(10) || "
+            "'to be continued...' || chr(10) || 'and more soon...' "
+            "ELSE '' END END AS text FROM d), "
+            "w AS (SELECT doc_id, text, "
+            "list_filter(string_split_regex(trim(coalesce(text, '')), "
+            "'\\s+'), x -> x <> '') AS words, "
+            "string_split(coalesce(text, ''), chr(10)) AS lines FROM t2), "
+            "m AS (SELECT doc_id, text, words, lines, "
+            "len(words) AS nw, len(lines) AS nl, "
+            "CASE WHEN len(words) > 0 THEN "
+            "CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) "
+            "/ len(words) ELSE 0.0 END AS mwl, "
+            "length(coalesce(text, '')) - "
+            "length(replace(coalesce(text, ''), '#', '')) AS nhash, "
+            "(length(coalesce(text, '')) - "
+            "length(replace(coalesce(text, ''), '...', ''))) / 3 AS nell "
+            "FROM w), "
+            "r AS (SELECT doc_id, text, nw, round(mwl, 6) AS mwl, "
+            "round(CASE WHEN nw > 0 THEN (CAST(nhash AS DOUBLE) + nell) / nw "
+            "ELSE 0.0 END, 6) AS sym, "
+            "round(CASE WHEN nl > 0 THEN CAST(len(list_filter(lines, "
+            "ln -> regexp_matches(ltrim(ln), '^[•\\-\\*]'))) AS DOUBLE) / nl "
+            "ELSE 0.0 END, 6) AS bul, "
+            "round(CASE WHEN nl > 0 THEN CAST(len(list_filter(lines, "
+            "ln2 -> rtrim(ln2) LIKE '%...')) AS DOUBLE) / nl "
+            "ELSE 0.0 END, 6) AS ell, "
+            "round(CASE WHEN nw > 0 THEN CAST(len(list_filter(words, "
+            "x2 -> regexp_matches(x2, '[a-zA-Z]'))) AS DOUBLE) / nw "
+            "ELSE 0.0 END, 6) AS alpha, "
+            "len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', "
+            "'have', 'with'], s -> list_contains(list_transform(words, "
+            "x3 -> lower(x3)), s))) AS nstop FROM m) "
+            "SELECT doc_id, CAST(nw AS INT) AS n_words, "
+            "mwl AS mean_word_len, sym AS symbol_word_ratio, "
+            "bul AS bullet_line_frac, ell AS ellipsis_line_frac, "
+            "alpha AS alpha_word_frac, CAST(nstop AS INT) AS n_stop_hits, "
+            "CAST((text IS NOT NULL AND nw BETWEEN 20 AND 100000 "
+            "AND mwl BETWEEN 3.0 AND 10.0 AND sym <= 0.1 AND bul <= 0.9 "
+            "AND ell <= 0.3 AND alpha >= 0.8 AND nstop >= 2) AS INT) AS keep "
+            "FROM r"
         ),
         # as-of via DuckDB's native ASOF LEFT JOIN; range via a plain
         # BETWEEN theta join (the engine's bucketed join must equal it)

@@ -119,3 +119,121 @@ def c4_filters(
         & ~F.col("has_brace")
     )
     return out.withColumn("keep", keep)
+
+
+# Gopher's "contains at least min_stop_words of these" rule list
+# (Rae et al. 2021, A1.1)
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_filters(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_words: int = 2,
+) -> DataFrame:
+    """Gopher quality rules (Rae et al., "Scaling Language Models: ...
+    Gopher", 2021, Appendix A1.1) — the second classic web-scale rule
+    set next to :func:`c4_filters` (and the statistical complement to
+    the CCNet perplexity filter in ``operators/lm_quality.py``):
+
+      - word count within [min_words, max_words]
+      - mean word length within [min, max]
+      - symbol-to-word ratio ('#' chars + '...' occurrences) <= max
+      - at most max_bullet_line_frac of lines start with a bullet
+      - at most max_ellipsis_line_frac of lines end with '...'
+      - at least min_alpha_word_frac of words contain a letter
+      - at least min_stop_words distinct stop words present
+
+    Pure Catalyst: the word/line arrays are BOUND as projected columns
+    before any HOF touches them (HOF lambdas re-evaluate referenced
+    expression subtrees per element — binding keeps this O(text), not
+    O(text·words)); symbol counts are length-difference arithmetic, no
+    regex backtracking. Zero shuffle — runs at scan speed at 100 TB.
+
+    Adds per-rule metrics (n_words, mean_word_len, symbol_word_ratio,
+    bullet_line_frac, ellipsis_line_frac, alpha_word_frac, n_stop_hits)
+    and ``keep``; NULL text yields zeroed metrics and keep=false.
+    """
+    text = F.col(text_col)
+    out = docs.withColumn(
+        "_words",
+        F.filter(
+            F.split(F.trim(F.coalesce(text, F.lit(""))), r"\s+"),
+            lambda w: w != F.lit(""),
+        ),
+    ).withColumn("_lines", F.split(F.coalesce(text, F.lit("")), r"\n"))
+    nw = F.size("_words").cast("int")
+    nl = F.size("_lines")
+    d = lambda c: c.cast("double")  # noqa: E731
+    mean_wl = F.when(
+        nw > 0,
+        d(F.aggregate("_words", F.lit(0), lambda acc, w: acc + F.length(w)))
+        / d(nw),
+    ).otherwise(F.lit(0.0))
+    raw = F.coalesce(text, F.lit(""))
+    n_hash = F.length(raw) - F.length(F.replace(raw, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(raw) - F.length(F.replace(raw, F.lit("..."), F.lit("")))
+    ) / 3
+    sym_ratio = F.when(
+        nw > 0, (d(n_hash) + d(n_ellipsis)) / d(nw)
+    ).otherwise(F.lit(0.0))
+    bullet_frac = F.when(
+        nl > 0,
+        d(
+            F.size(
+                F.filter(
+                    "_lines", lambda ln: F.ltrim(ln).rlike(r"^[•\-\*]")
+                )
+            )
+        )
+        / d(nl),
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        nl > 0,
+        d(F.size(F.filter("_lines", lambda ln: F.rtrim(ln).endswith("..."))))
+        / d(nl),
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        nw > 0,
+        d(F.size(F.filter("_words", lambda w: w.rlike("[a-zA-Z]")))) / d(nw),
+    ).otherwise(F.lit(0.0))
+    out = out.withColumn(
+        "_words_lc", F.transform("_words", F.lower)
+    ).withColumn(
+        "n_stop_hits",
+        F.size(
+            F.filter(
+                F.array(*[F.lit(s) for s in GOPHER_STOP_WORDS]),
+                lambda s: F.array_contains(F.col("_words_lc"), s),
+            )
+        ).cast("int"),
+    )
+    out = (
+        out.withColumn("n_words", nw)
+        .withColumn("mean_word_len", F.round(mean_wl, 6))
+        .withColumn("symbol_word_ratio", F.round(sym_ratio, 6))
+        .withColumn("bullet_line_frac", F.round(bullet_frac, 6))
+        .withColumn("ellipsis_line_frac", F.round(ellipsis_frac, 6))
+        .withColumn("alpha_word_frac", F.round(alpha_frac, 6))
+        .drop("_words", "_lines", "_words_lc")
+    )
+    keep = (
+        text.isNotNull()
+        & F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("n_stop_hits") >= min_stop_words)
+    )
+    return out.withColumn("keep", keep)

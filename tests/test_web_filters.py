@@ -66,6 +66,65 @@ def test_thresholds_are_parameters(spark):
     assert loose["n_kept_lines"] == 2 and loose["keep"] is True
 
 
+def _grun(spark, rows, **kw):
+    from record_linkage_spark.operators.web_filters import gopher_filters
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r.doc_id: r.asDict() for r in gopher_filters(df, **kw).collect()}
+
+
+GOOD = (
+    "the quick brown fox jumps over and that lazy dog with glee of be to have"
+)  # 16 words, every stop-word rule satisfied
+
+
+def test_gopher_word_count_and_mean_length(spark):
+    out = _grun(
+        spark,
+        [(1, GOOD), (2, "tiny doc."), (3, None)],
+        min_words=10,
+    )
+    assert out[1]["n_words"] == 16 and out[1]["keep"] is True
+    assert out[2]["n_words"] == 2 and out[2]["keep"] is False
+    assert out[3]["n_words"] == 0 and out[3]["keep"] is False
+    total = sum(len(w) for w in GOOD.split())
+    assert out[1]["mean_word_len"] == round(total / 16, 6)
+
+
+def test_gopher_symbol_ratio_and_alpha_words(spark):
+    hashy = GOOD + " " + "#" * 5
+    out = _grun(spark, [(1, hashy)], min_words=10)[1]
+    # 5 '#' chars over 17 words > 0.1 -> dropped; the '#####' word has no
+    # letter so alpha fraction dips below 1
+    assert out["symbol_word_ratio"] == round(5 / 17, 6)
+    assert out["alpha_word_frac"] == round(16 / 17, 6)
+    assert out["keep"] is False
+    dots = GOOD + " so..." + " then..."
+    out = _grun(spark, [(1, dots)], min_words=10)[1]
+    assert out["symbol_word_ratio"] == round(2 / 18, 6)
+
+
+def test_gopher_line_rules(spark):
+    bullets = "\n".join(["• item one here", "- item two here", GOOD])
+    out = _grun(spark, [(1, bullets)], min_words=10,
+                max_bullet_line_frac=0.5)[1]
+    assert out["bullet_line_frac"] == round(2 / 3, 6)
+    assert out["keep"] is False
+    trailing = "\n".join([GOOD, "to be continued...", "more soon..."])
+    out = _grun(spark, [(1, trailing)], min_words=10)[1]
+    assert out["ellipsis_line_frac"] == round(2 / 3, 6)
+    assert out["keep"] is False
+
+
+def test_gopher_stop_words(spark):
+    no_stops = " ".join(["word%d" % i for i in range(20)])
+    out = _grun(spark, [(1, no_stops)], min_words=10)[1]
+    assert out["n_stop_hits"] == 0 and out["keep"] is False
+    one_stop = no_stops + " the"
+    out = _grun(spark, [(1, one_stop)], min_words=10, min_stop_words=1)[1]
+    assert out["n_stop_hits"] == 1 and out["keep"] is True
+
+
 def test_custom_blocklist(spark):
     text = "\n".join(["Sentence number %d is fine." % i for i in range(6)])
     out = _run(
