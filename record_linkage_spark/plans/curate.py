@@ -226,6 +226,9 @@ class CurationPipeline:
         strata_cols: tuple[str, ...] = ("lang",),
         quota: int = 1_000,
         pack_budget: int = 2_048,
+        rule_filters: tuple[str, ...] = (),
+        c4_kwargs: dict | None = None,
+        gopher_kwargs: dict | None = None,
     ):
         self.spark = spark
         self.wh = Warehouse(root=warehouse, spark=spark)
@@ -249,6 +252,12 @@ class CurationPipeline:
         self.strata_cols = list(strata_cols)
         self.quota = quota
         self.pack_budget = pack_budget
+        bad = set(rule_filters) - {"c4", "gopher"}
+        if bad:
+            raise ValueError(f"unknown rule_filters: {sorted(bad)}")
+        self.rule_filters = tuple(rule_filters)
+        self.c4_kwargs = dict(c4_kwargs or {})
+        self.gopher_kwargs = dict(gopher_kwargs or {})
         self.report: dict = {}
 
     def _cfg(self, **kw) -> dict:
@@ -292,11 +301,54 @@ class CurationPipeline:
             resume=resume,
         )
 
+        # optional classic rule cascade between scrub and the statistical
+        # signals: C4 (line filter rewrites the text, then doc rules) and
+        # Gopher (doc rules only) in that order. Off by default — the
+        # stage graph and every downstream config hash are byte-identical
+        # to the pre-flag pipeline when rule_filters is empty.
+        signals_src, signals_input = scrubbed, "scrubbed"
+        if self.rule_filters:
+            from record_linkage_spark.operators.web_filters import (
+                c4_filters,
+                gopher_filters,
+            )
+
+            def _rules() -> DataFrame:
+                out = scrubbed
+                if "c4" in self.rule_filters:
+                    out = (
+                        c4_filters(out, **self.c4_kwargs)
+                        .filter("keep")
+                        .select("doc_id", F.col("kept_text").alias("text"))
+                    )
+                if "gopher" in self.rule_filters:
+                    out = (
+                        gopher_filters(out, **self.gopher_kwargs)
+                        .filter("keep")
+                        .select("doc_id", "text")
+                    )
+                return out
+
+            signals_src = wh.run_stage(
+                "rule_filtered",
+                _rules,
+                self._cfg(
+                    rules=list(self.rule_filters),
+                    c4=sorted(self.c4_kwargs.items()),
+                    gopher=sorted(self.gopher_kwargs.items()),
+                ),
+                inputs=["scrubbed"],
+                resume=resume,
+            )
+            signals_input = "rule_filtered"
+
         signals = wh.run_stage(
             "signals",
-            lambda: signals_table(scrubbed),
-            self._cfg(),
-            inputs=["scrubbed"],
+            lambda: signals_table(signals_src),
+            # src in the config hash: resume keys on cfg alone, so the
+            # stage must re-run when the rule-filter flag flips its input
+            self._cfg(src=signals_input),
+            inputs=[signals_input],
             resume=resume,
         )
 
@@ -389,8 +441,11 @@ class CurationPipeline:
         }
 
         # funnel report from lineage row counts — zero extra Spark jobs
+        stages = list(STAGES)
+        if self.rule_filters:
+            stages.insert(stages.index("signals"), "rule_filtered")
         counts = {
-            s: (wh.lineage(s) or {}).get("row_count") for s in STAGES
+            s: (wh.lineage(s) or {}).get("row_count") for s in stages
         }
         n0 = counts.get("docs") or 0
         self.report = {
@@ -399,10 +454,15 @@ class CurationPipeline:
             # per-stage write times from lineage (resumed stages carry the
             # ORIGINAL run's time, so a resume run reports honest costs)
             "stage_seconds": {
-                s: (wh.lineage(s) or {}).get("write_seconds") for s in STAGES
+                s: (wh.lineage(s) or {}).get("write_seconds") for s in stages
             },
             "removed": {
                 "scrub_null": _delta(counts, "docs", "scrubbed"),
+                **(
+                    {"rule_filters": _delta(counts, "scrubbed", "rule_filtered")}
+                    if self.rule_filters
+                    else {}
+                ),
                 "quality_filter": _delta(counts, "signals", "filtered"),
                 "dedup": _delta(counts, "filtered", "deduped"),
                 "decontamination": _delta(counts, "deduped", "decontaminated"),
@@ -420,6 +480,7 @@ class CurationPipeline:
             ),
             "pack_budget": self.pack_budget,
             "config": {
+                "rule_filters": list(self.rule_filters),
                 "min_quality": self.min_quality,
                 "minhash_threshold": self.minhash_threshold,
                 "dedup_policy": self.dedup_policy,
@@ -466,6 +527,20 @@ def main() -> None:
         default=None,
         help="parquet of (doc_id, text) benchmark docs to decontaminate against",
     )
+    ap.add_argument(
+        "--rule-filters",
+        default="",
+        help="comma list of classic rule cascades to run between scrub and "
+        "signals: c4 (line filter + doc rules, rewrites text) and/or "
+        "gopher (statistical doc rules)",
+    )
+    ap.add_argument(
+        "--rule-kwargs",
+        default="{}",
+        help='JSON overriding rule thresholds, e.g. \'{"gopher": '
+        '{"min_words": 20, "min_stop_words": 1}, "c4": '
+        '{"min_sentences": 3}}\'',
+    )
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
@@ -481,6 +556,11 @@ def main() -> None:
         minhash_threshold=args.minhash_threshold,
         dedup_policy=args.dedup_policy,
         pair_strategy=args.pair_strategy,
+        rule_filters=tuple(
+            s for s in args.rule_filters.split(",") if s
+        ),
+        c4_kwargs=json.loads(args.rule_kwargs).get("c4"),
+        gopher_kwargs=json.loads(args.rule_kwargs).get("gopher"),
     )
     pipe.benchmark_path = args.benchmark_parquet
     report = pipe.run(resume=not args.no_resume)

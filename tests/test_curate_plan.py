@@ -168,6 +168,49 @@ def test_keep_best_policy_one_rep_per_dup_group(spark, corpus, bench_docs, tmp_p
     assert report["config"]["dedup_policy"] == "keep_best"
 
 
+def test_rule_filter_stage_catches_rule_plants(
+    spark, bench_docs, tmp_path_factory
+):
+    """--rule-filters c4,gopher inserts a stage between scrub and signals:
+    the C4 line filter rewrites text (unpunctuated lines drop), C4 doc
+    rules and Gopher stats drop whole docs, everything else flows on; the
+    report attributes the removals and the default graph is untouched."""
+    sentence = "the quick brown fox jumps over the lazy dog with glee."
+    good = "\n".join([sentence] * 6)
+    rows = [
+        (1, good),
+        # line-filtered, doc survives: one unpunctuated junk line
+        (2, good + "\nno punctuation junk line here"),
+        # C4 doc rule: lorem ipsum
+        (3, good + "\nLorem ipsum dolor sit amet."),
+        # Gopher: symbol ratio — the hash line survives the C4 line
+        # filter (3 words, terminal '.') so Gopher is what drops the doc
+        (4, good + "\n######### and done."),
+        # Gopher: no stop words at all
+        (5, "\n".join(["alpha beta gamma delta epsilon zeta eta."] * 6)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    wh = str(tmp_path_factory.mktemp("rulewh"))
+    pipe = CurationPipeline(
+        spark, wh, docs_df=docs, benchmark_df=bench_docs,
+        rule_filters=("c4", "gopher"),
+        gopher_kwargs={"min_words": 20},
+        quota=10,
+    )
+    r = pipe.run(resume=True)
+    kept = {
+        row.doc_id: row.text
+        for row in spark.read.parquet(os.path.join(wh, "rule_filtered")).collect()
+    }
+    assert set(kept) == {1, 2}
+    assert "junk line" not in kept[2]  # C4 line filter rewrote the text
+    assert r["removed"]["rule_filters"] == 3
+    assert r["stages"]["rule_filtered"] == 2
+    assert r["config"]["rule_filters"] == ["c4", "gopher"]
+    with pytest.raises(ValueError):
+        CurationPipeline(spark, wh, docs_df=docs, rule_filters=("nope",))
+
+
 def test_unknown_dedup_policy_rejected(spark):
     from record_linkage_spark.plans.curate import CurationPipeline
 
