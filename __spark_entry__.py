@@ -1103,6 +1103,31 @@ def q_c4_filters(spark, sf):
     )
 
 
+def q_explain_pairs(spark, sf):
+    """Per-pair score attribution for the flagship fixed-weight scorer
+    (the Splink-waterfall analogue): top-5 features by |w·x| per blocked
+    B1 pair, ties broken on feature name. DuckDB replays the blocking,
+    all 16 feature values, every contribution and the ranking window
+    from scratch — the 'WHY did these two match' artifact under the same
+    hard signal as the score itself."""
+    from record_linkage_spark.operators.blocking import candidate_pairs
+    from record_linkage_spark.operators.classifier import (
+        LinearModel,
+        explain_pairs,
+    )
+    from record_linkage_spark.operators.features import add_features
+    from record_linkage_spark.operators.ground_truth import hydrate_pairs
+
+    prof = _doc_profiles_full(spark, sf).localCheckpoint()
+    pairs = candidate_pairs(prof, "B1", salt_target=3).select("id_A", "id_B")
+    hyd = hydrate_pairs(pairs, prof, _portable_feature_cols())
+    feats = add_features(hyd, token_set_cols=("tok_set_A", "tok_set_B"))
+    model = LinearModel(weights=_FLAGSHIP_WEIGHTS, intercept=-6.0, threshold=0.5)
+    return explain_pairs(feats, model, top_k=5).withColumn(
+        "score", F.round("score", 6)
+    )
+
+
 def q_gopher_filters(spark, sf):
     """Gopher quality rules (Rae et al. 2021 A1.1) over documents with
     planted rule violations: '#' runs on doc_id%13, bullet lines on %19,
@@ -2986,6 +3011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_joins": q_temporal_joins,
         "c4_filters": q_c4_filters,
         "gopher_filters": q_gopher_filters,
+        "explain_pairs": q_explain_pairs,
         # ---- rows-only (hash-kernel / pipeline / streaming ops — no
         # portable SQL twin; each pinned by pytest) ----
         "rl_swoosh": q_rl_swoosh,
@@ -3399,6 +3425,45 @@ def _portable_flagship_oracles() -> dict[str, str]:
         "CAST(1.0 / (1.0 + exp(-z)) >= 0.5 AS INTEGER) AS pred FROM sc"
     )
 
+    explain_sql = (
+        f"WITH docs2 AS ({docs2(False)}), "
+        f"prof AS ({prof}), "
+        "recs AS (SELECT *, substr(ftn, 1, 3) AS f3 FROM prof "
+        "WHERE bkt IS NOT NULL AND substr(ftn, 1, 3) IS NOT NULL "
+        "AND bkt || substr(ftn, 1, 3) != ''), "
+        f"pairs AS (SELECT a.conv_id AS id_A, b.conv_id AS id_B, {feat_cols} "
+        "FROM recs a JOIN recs b ON a.bkt = b.bkt AND a.f3 = b.f3 "
+        "AND a.conv_id < b.conv_id "
+        "WHERE jaro_winkler_similarity(a.ftn, b.ftn) >= 0.95), "
+        f"sc AS (SELECT *, {z_expr} AS z FROM pairs), "
+        "expl AS (SELECT id_A, id_B, z, "
+        "unnest(['jw_first_high', 'jw_first_low', 'jw_last_high', "
+        "'jw_last_low', 'x_n_turns', 'x_first_role', 'x_primary_tool', "
+        "'x_token_prefix', 'x_n_user_turns', 'x_has_tool', 'g_n_turns', "
+        "'g_duration', 'g_tokens', 'g_tool_turns', 'lev_prefix', "
+        "'jac_tokens']) AS feature, "
+        "unnest([CAST(jwf >= 0.85 AS DOUBLE), CAST(jwf >= 0.70 AS DOUBLE), "
+        "CAST(jwl >= 0.85 AS DOUBLE), CAST(jwl >= 0.70 AS DOUBLE), "
+        "x_n_turns, x_first_role, x_primary_tool, x_token_prefix, "
+        "x_n_user_turns, x_has_tool, g_n_turns, g_duration, g_tokens, "
+        "g_tool_turns, lev_prefix, jac_tokens]) AS value, "
+        "unnest([2.0 * CAST(jwf >= 0.85 AS DOUBLE), "
+        "1.0 * CAST(jwf >= 0.70 AS DOUBLE), "
+        "1.5 * CAST(jwl >= 0.85 AS DOUBLE), "
+        "0.8 * CAST(jwl >= 0.70 AS DOUBLE), "
+        "0.6 * x_n_turns, 0.3 * x_first_role, 0.5 * x_primary_tool, "
+        "1.2 * x_token_prefix, 0.4 * x_n_user_turns, 0.3 * x_has_tool, "
+        "0.8 * g_n_turns, 0.8 * g_duration, 0.8 * g_tokens, "
+        "0.4 * g_tool_turns, 1.0 * lev_prefix, 2.0 * jac_tokens]) "
+        "AS contribution FROM sc), "
+        "ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY id_A, "
+        "id_B ORDER BY abs(contribution) DESC, feature) AS INT) AS rank "
+        "FROM expl) "
+        "SELECT id_A, id_B, round(1.0 / (1.0 + exp(-z)), 6) AS score, "
+        "rank, feature, round(value, 6) AS value, "
+        "round(contribution, 6) AS contribution FROM ranked WHERE rank <= 5"
+    )
+
     gt_sql = (
         "SELECT CAST(i AS VARCHAR) AS id_A, CAST(i + 7000000 AS VARCHAR) AS id_B, "
         "1 AS label FROM ids WHERE i < 40 AND (i + 7000000) IN (SELECT i FROM ids) "
@@ -3484,6 +3549,7 @@ def _portable_flagship_oracles() -> dict[str, str]:
 
     return {
         "scored_pairs_portable": scored_sql,
+        "explain_pairs": explain_sql,
         "compare_report_portable": report_sql,
     }
 

@@ -134,6 +134,75 @@ def score_expr(model: LinearModel) -> F.Column:
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 
+def explain_pairs(
+    featurized: DataFrame,
+    model: LinearModel,
+    top_k: int = 5,
+    id_cols: tuple[str, str] = ("id_A", "id_B"),
+) -> DataFrame:
+    """Per-pair score attribution — the Splink-waterfall analogue for
+    the linear scorer: every feature's additive contribution w_i·x_i to
+    the log-odds, ranked by |contribution| (ties → feature name asc),
+    top_k per pair. The answer to "WHY did these two records match?",
+    which a reviewer needs before accepting a merge.
+
+    Pure Catalyst: the contribution structs build in one projected
+    array, `array_sort` with a comparator gives the canonical order,
+    `slice` bounds the explode to top_k — no window, no shuffle beyond
+    whatever produced ``featurized``. Missing features explain as 0
+    contribution (the default-0 scoring convention of
+    :func:`score_pairs`).
+
+    Returns one row per (pair, rank): id cols, score, rank (1-based),
+    feature, value, contribution (value/contribution rounded to 6).
+    The intercept is a per-model constant (``model.intercept``), not a
+    row."""
+    contribs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("feature"),
+                F.coalesce(F.col(name).cast("double"), F.lit(0.0)).alias(
+                    "value"
+                ),
+                (
+                    F.lit(float(w))
+                    * F.coalesce(F.col(name).cast("double"), F.lit(0.0))
+                ).alias("contribution"),
+            )
+            for name, w in zip(model.feature_names, model.weights)
+        ]
+    )
+
+    def cmp(left, right):
+        la, ra = F.abs(left["contribution"]), F.abs(right["contribution"])
+        return (
+            F.when(la > ra, F.lit(-1))
+            .when(la < ra, F.lit(1))
+            .when(left["feature"] < right["feature"], F.lit(-1))
+            .when(left["feature"] > right["feature"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    top = F.slice(F.array_sort(contribs, cmp), 1, top_k)
+    base = (
+        score_pairs(featurized, model)
+        .withColumn("_top", top)
+        .select(
+            *id_cols,
+            "score",
+            F.posexplode("_top").alias("_r0", "_c"),
+        )
+    )
+    return base.select(
+        *id_cols,
+        "score",
+        (F.col("_r0") + 1).cast("int").alias("rank"),
+        F.col("_c.feature").alias("feature"),
+        F.round("_c.value", 6).alias("value"),
+        F.round("_c.contribution", 6).alias("contribution"),
+    )
+
+
 def score_pairs(featurized: DataFrame, model: LinearModel) -> DataFrame:
     """Add ``score`` and ``pred`` columns; missing-feature pairs score 0
     (reference default-0 convention, ``logistic_regression.py:188-198``)."""

@@ -52,3 +52,50 @@ def test_model_roundtrip():
     m = LinearModel(weights=[1.0, 2.0], intercept=-0.5, threshold=0.6)
     m2 = LinearModel.from_dict(m.to_dict())
     assert m2 == m
+
+
+def test_explain_pairs_hand_computed(spark):
+    from record_linkage_spark.operators.classifier import explain_pairs
+
+    model = LinearModel(
+        weights=[2.0, -1.0, 0.5], intercept=0.0, threshold=0.5,
+        feature_names=("f1", "f2", "f3"),
+    )
+    df = spark.createDataFrame(
+        [("a", "b", 1.0, 1.0, None), ("a", "c", 0.0, 0.5, 1.0)],
+        "id_A string, id_B string, f1 double, f2 double, f3 double",
+    )
+    out = explain_pairs(df, model, top_k=3)
+    ab = [
+        (r.rank, r.feature, r.value, r.contribution)
+        for r in out.filter("id_B = 'b'").orderBy("rank").collect()
+    ]
+    # missing f3 explains as 0; |2.0| > |-1.0| > 0
+    assert ab == [(1, "f1", 1.0, 2.0), (2, "f2", 1.0, -1.0), (3, "f3", 0.0, 0.0)]
+    # the missing-feature pair scores 0 (score_pairs default-0 convention)
+    assert out.filter("id_B = 'b'").first().score == 0.0
+    ac = [
+        (r.rank, r.feature, r.contribution)
+        for r in out.filter("id_B = 'c'").orderBy("rank").collect()
+    ]
+    # contributions 0.0, -0.5, 0.5: |−0.5| == |0.5| ties break on name
+    assert ac == [(1, "f2", -0.5), (2, "f3", 0.5), (3, "f1", 0.0)]
+
+
+def test_explain_pairs_top_k_and_score_consistency(spark):
+    from record_linkage_spark.operators.classifier import (
+        explain_pairs,
+        score_pairs,
+    )
+
+    model = LinearModel(
+        weights=[1.5, 0.5], intercept=-1.0, threshold=0.5,
+        feature_names=("f1", "f2"),
+    )
+    df = spark.createDataFrame(
+        [("a", "b", 1.0, 1.0)], "id_A string, id_B string, f1 double, f2 double"
+    )
+    out = explain_pairs(df, model, top_k=1).collect()
+    assert len(out) == 1 and out[0].feature == "f1"
+    want = score_pairs(df, model).first().score
+    assert out[0].score == want

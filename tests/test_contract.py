@@ -31,6 +31,7 @@ def test_window_is_wall_to_wall_oracle_backed():
     assert sorted(k for k in q[50:] if k in o) == [
         "c4_filters",
         "dsir_select",
+        "explain_pairs",
         "gopher_filters",
         "lm_entropy",
         "pprl_dice",
