@@ -364,3 +364,58 @@ def test_semantic_dedup_pairs_join_on_cell(spark):
     )
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_web_filters_run_at_scan_speed(spark):
+    """C4 and Gopher rule cascades: pure Catalyst column work — zero
+    Exchange (no shuffle of any kind), zero Python. They must fuse into
+    whatever scan feeds them at 100 TB."""
+    from record_linkage_spark.operators.web_filters import (
+        c4_filters,
+        gopher_filters,
+    )
+
+    docs = _doc_df(spark)
+    for df in (c4_filters(docs), gopher_filters(docs)):
+        plan = _plan(df)
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
+
+
+def test_explain_pairs_adds_no_shuffle_or_window(spark):
+    """Match explanations: contribution array + array_sort comparator +
+    bounded explode — ranking must NOT introduce a Window or an Exchange
+    beyond what produced the features (here: none)."""
+    from record_linkage_spark.operators.classifier import (
+        LinearModel,
+        explain_pairs,
+    )
+
+    feats = spark.createDataFrame(
+        [("a", "b", 1.0, 0.5)], "id_A string, id_B string, f1 double, f2 double"
+    )
+    model = LinearModel(
+        weights=[1.0, 2.0], intercept=0.0, threshold=0.5,
+        feature_names=("f1", "f2"),
+    )
+    plan = _plan(explain_pairs(feats, model, top_k=2))
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_v_measure_single_contingency_shuffle(spark):
+    """Entropy metrics: ONE shuffle builds the contingency frame; the
+    marginals re-aggregate from the checkpointed frame and the three
+    single-row aggregates combine by broadcast cross join — no sort, no
+    window, no Python."""
+    from record_linkage_spark.operators.evaluate import v_measure_metrics
+
+    docs = _doc_df(spark)
+    a = docs.select("doc_id", (F.col("doc_id") % 5).alias("entity_id"))
+    t = docs.select("doc_id", (F.col("doc_id") % 3).alias("entity_key"))
+    plan = _plan(v_measure_metrics(a, t, id_col="doc_id"))
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan  # marginal sums combine map-side
