@@ -1103,6 +1103,30 @@ def q_c4_filters(spark, sf):
     )
 
 
+def q_pq_adc(spark, sf):
+    """Product-quantization ADC top-10 in the fully replayable
+    configuration (portable md5 init order, iterations=0 so the codebook
+    IS the init sub-vectors): DuckDB rebuilds the codebooks, re-encodes
+    the whole corpus (per-subspace argmin with the (dist, code)
+    tie-break), builds every query's lookup table and replays the ADC
+    sums and ranking from scratch — the compressed-domain search path
+    value-checked end to end. Lloyd refinement itself is pinned by
+    ``tests/test_pq.py`` (numpy parity + reconstruction-improves)."""
+    from record_linkage_spark.operators.similarity_search import pq_topk
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return pq_topk(
+        emb, queries, k=10, m_subspaces=4, k_codes=8, iterations=0,
+        portable=True,
+    )
+
+
 def q_explain_pairs(spark, sf):
     """Per-pair score attribution for the flagship fixed-weight scorer
     (the Splink-waterfall analogue): top-5 features by |w·x| per blocked
@@ -3012,6 +3036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filters": q_c4_filters,
         "gopher_filters": q_gopher_filters,
         "explain_pairs": q_explain_pairs,
+        "pq_adc": q_pq_adc,
         # ---- rows-only (hash-kernel / pipeline / streaming ops — no
         # portable SQL twin; each pinned by pytest) ----
         "rl_swoosh": q_rl_swoosh,
@@ -3550,6 +3575,44 @@ def _portable_flagship_oracles() -> dict[str, str]:
     return {
         "scored_pairs_portable": scored_sql,
         "explain_pairs": explain_sql,
+        # PQ ADC: codebooks = md5-ordered init sub-vectors (iterations=0),
+        # encode = per-subspace argmin, score = summed LUT lookups
+        "pq_adc": (
+            "WITH base AS (SELECT vec_id, "
+            "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+            "FROM embeddings), "
+            "ini AS (SELECT * FROM (SELECT vec_id, v, "
+            "row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), "
+            "CAST(vec_id AS VARCHAR)) - 1 AS code FROM base) "
+            "WHERE code < 8), "
+            "subsid AS (SELECT unnest([0, 1, 2, 3]) AS sub), "
+            "cb AS (SELECT sub, code, v[sub*16+1 : sub*16+16] AS centroid "
+            "FROM ini CROSS JOIN subsid), "
+            "sv AS (SELECT vec_id, sub, v[sub*16+1 : sub*16+16] AS subv "
+            "FROM base CROSS JOIN subsid), "
+            "dst AS (SELECT vec_id, sv.sub, code, "
+            "CAST(list_sum(list_transform(list_zip(subv, centroid), "
+            "p -> (p[1]-p[2])*(p[1]-p[2]))) AS DOUBLE) AS d "
+            "FROM sv JOIN cb ON sv.sub = cb.sub), "
+            "enc AS (SELECT vec_id, sub, code FROM (SELECT *, "
+            "row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) "
+            "AS rn FROM dst) WHERE rn = 1), "
+            "lutq AS (SELECT b.vec_id AS query_id, s.sub, "
+            "v[s.sub*16+1 : s.sub*16+16] AS qsub "
+            "FROM base b CROSS JOIN subsid s WHERE b.vec_id < 5), "
+            "lut AS (SELECT query_id, cb.sub, cb.code, "
+            "CAST(list_sum(list_transform(list_zip(qsub, centroid), "
+            "p -> p[1]*p[2])) AS DOUBLE) AS dot "
+            "FROM lutq JOIN cb ON lutq.sub = cb.sub), "
+            "sc AS (SELECT query_id, e.vec_id AS neighbor_id, "
+            "round(sum(dot), 6) AS adc FROM enc e "
+            "JOIN lut ON e.sub = lut.sub AND e.code = lut.code "
+            "WHERE e.vec_id <> query_id GROUP BY 1, 2) "
+            "SELECT query_id, neighbor_id, adc, CAST(rnk AS INT) AS rank "
+            "FROM (SELECT *, row_number() OVER (PARTITION BY query_id "
+            "ORDER BY adc DESC, neighbor_id) AS rnk FROM sc) "
+            "WHERE rnk <= 10"
+        ),
         "compare_report_portable": report_sql,
     }
 

@@ -368,3 +368,200 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def _l2sq(a, b) -> Column:
+    """Squared L2 distance of two array columns (JVM built-ins)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sub_explode(df: DataFrame, vec_col: str, m: int, sub_len: int, out: str) -> DataFrame:
+    """(.., sub, <out>) — each vector split into m contiguous sub-vectors.
+    The slice runs inside a transform over a BOUND column, so the vector
+    is materialized once per row, not once per subspace."""
+    slices = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda i: F.slice(F.col(vec_col), i * sub_len + 1, sub_len),
+    )
+    return df.select("*", F.posexplode(slices).alias("sub", out)).drop(vec_col)
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m_subspaces: int = 4,
+    k_codes: int = 16,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    portable: bool = False,
+) -> DataFrame:
+    """Product-quantization codebooks (Jegou/Douze/Schmid TPAMI 2011):
+    split every vector into ``m_subspaces`` contiguous sub-vectors and
+    k-means each subspace independently — a vector then compresses to m
+    small codes (m bytes at k<=256) instead of dim floats. At 100 TB of
+    embeddings this is the difference between storing/scanning 256-byte
+    codes and 3 KB floats; ADC search (:func:`pq_topk`) scores against
+    the codes without ever decompressing.
+
+    Deterministic like :func:`train_ivf_centroids`: initial codebook =
+    sub-vectors of the first ``k_codes`` vectors in hash order
+    (``portable=True`` orders by md5 of the id string so an external
+    engine can replay the init; default xxhash64), then Lloyd iterations
+    as DataFrame ops (broadcast codebooks -> per-(vid,sub) argmin with
+    (dist, code) tie-break -> per-(sub,code,dim) mean).
+    ``iterations=0`` returns the init codebook unchanged — the fully
+    SQL-replayable configuration the oracle entry uses.
+
+    Returns (sub:int, code:int, centroid:array<double>). Codebook state
+    is m x k x (dim/m) — driver/broadcast-sized by construction; the one
+    driver scalar read is the vector dimension."""
+    dim = corpus.select(F.size(F.col(vec_col)).alias("d")).first().d
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m={m_subspaces}")
+    sub_len = dim // m_subspaces
+    base = corpus.select(
+        F.col(id_col).cast("string").alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    ord_col = (
+        F.md5(F.col("vid")) if portable else F.xxhash64(F.col("vid"))
+    )
+    init = base.orderBy(ord_col, "vid").limit(k_codes).withColumn(
+        "code",
+        F.row_number().over(Window.orderBy(ord_col, F.col("vid"))) - 1,
+    )
+    codebooks = _sub_explode(init, "_v", m_subspaces, sub_len, "centroid").select(
+        "sub", "code", "centroid"
+    )
+    if not iterations:
+        return codebooks
+    subs = _sub_explode(base, "_v", m_subspaces, sub_len, "subv").select(
+        "vid", "sub", "subv"
+    ).localCheckpoint()
+    for _ in range(iterations):
+        d = subs.join(F.broadcast(codebooks), "sub").withColumn(
+            "_d", _l2sq("subv", "centroid")
+        )
+        w = Window.partitionBy("vid", "sub").orderBy(F.asc("_d"), F.asc("code"))
+        best = d.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") == 1
+        )
+        codebooks = (
+            best.select("sub", "code", F.posexplode("subv").alias("pos", "val"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("sub", "code")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+            .localCheckpoint()
+        )
+    return codebooks
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Compress vectors to PQ codes: per subspace, the nearest codebook
+    centroid's code ((dist, code) tie-break). One broadcast join + one
+    argmin window + one re-assembly groupBy — the corpus shuffles only
+    on its own id to collect the m codes per vector.
+
+    Returns (<id_col>, codes:array<int>) with codes[i] = subspace i's
+    code."""
+    first = codebooks.select(F.size("centroid").alias("l"), "sub").first()
+    sub_len = first.l
+    m = codebooks.agg(F.max("sub")).first()[0] + 1
+    base = vectors.select(
+        F.col(id_col).alias("_vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    subs = _sub_explode(base, "_v", m, sub_len, "subv")
+    d = subs.join(F.broadcast(codebooks), "sub").withColumn(
+        "_d", _l2sq("subv", "centroid")
+    )
+    w = Window.partitionBy("_vid", "sub").orderBy(F.asc("_d"), F.asc("code"))
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .groupBy("_vid")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("sub", "code"))),
+                lambda s: s["code"],
+            ).alias("codes")
+        )
+        .select(F.col("_vid").alias(id_col), "codes")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m_subspaces: int = 4,
+    k_codes: int = 16,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    portable: bool = False,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query builds a
+    tiny (m x k) lookup table of sub-vector dot products against the
+    codebooks; a corpus vector's approximate inner product is then just
+    the sum of m table lookups — the corpus is scanned as CODES, never as
+    floats. Queries x LUT stay broadcast-sized; the only corpus shuffle
+    is the (query, neighbor) partial-sum aggregation, which combines
+    map-side. For cosine semantics, normalize both sides upstream.
+
+    Returns (query_id, neighbor_id, adc:double rounded 6, rank)."""
+    codebooks = train_pq_codebooks(
+        corpus, m_subspaces, k_codes, iterations, id_col, vec_col, portable
+    ).localCheckpoint()
+    codes = pq_encode(corpus, codebooks, id_col, vec_col)
+    sub_len = codebooks.select(F.size("centroid").alias("l")).first().l
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    lut = (
+        _sub_explode(q, "_v", m_subspaces, sub_len, "qsub")
+        .join(F.broadcast(codebooks), "sub")
+        .select("query_id", "sub", "code", _dot("qsub", "centroid").alias("dot"))
+    )
+    scored = (
+        codes.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.posexplode("codes").alias("sub", "code"),
+        )
+        .join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("dot"), 6).alias("adc"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc", "rank")
+    )

@@ -35,6 +35,7 @@ def test_window_is_wall_to_wall_oracle_backed():
         "gopher_filters",
         "lm_entropy",
         "pprl_dice",
+        "pq_adc",
         "psnm_curve",
         "semantic_dedup",
         "soft_tfidf",
