@@ -1269,6 +1269,20 @@ def q_rl_ivf_topk(spark, sf):
     )
 
 
+def q_rl_ivfpq_topk(spark, sf):
+    """IVF-PQ: coarse cells restrict the scan, ADC over PQ codes scores
+    within the probed lists — the billion-scale ANN layout. Double
+    iterative k-means (no SQL twin; the ADC arithmetic is oracle-checked
+    by ``pq_adc``, the composition by ``tests/test_pq.py``)."""
+    from record_linkage_spark.operators.similarity_search import ivfpq_topk
+
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 10)
+    return ivfpq_topk(
+        e, q, k=5, n_centroids=8, n_probe=3, m_subspaces=4, k_codes=8
+    )
+
+
 def q_rl_embedding_neardup(spark, sf):
     """Embedding-cosine near-dup via RHP-LSH bucket self-join. The provided
     embeddings are mutually distant (max pairwise cosine ~0.51), so plant
@@ -3060,6 +3074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rl_simhash": q_rl_simhash,
         "rl_lsh_topk": q_rl_lsh_topk,
         "rl_ivf_topk": q_rl_ivf_topk,
+        "rl_ivfpq_topk": q_rl_ivfpq_topk,
         "rl_fingerprint": q_rl_fingerprint,
         "rl_augment": q_rl_augment,
         "rl_incremental_link": q_rl_incremental_link,

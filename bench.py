@@ -284,6 +284,21 @@ def main() -> None:
         ).filter(~F.col("keep")).count()
     )
 
+    # PQ ADC search: codebook train + corpus encode + 32-query LUT scan
+    # over compressed codes (the 100 TB embedding-storage path)
+    from record_linkage_spark.operators.similarity_search import pq_topk
+
+    _, queries["pq_adc_topk"] = _timed_best2(
+        lambda: pq_topk(
+            emb_tbl,
+            emb_tbl.filter(F.col("vec_id") < 32),
+            k=10,
+            m_subspaces=4,
+            k_codes=16,
+            iterations=2,
+        ).count()
+    )
+
     # SoftTFIDF hybrid comparator over hash-bucketed doc pairs (~11k):
     # corpus tf-idf weights + per-pair best-JW token alignment in one
     # flattened Arrow kernel call per batch

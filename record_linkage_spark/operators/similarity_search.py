@@ -565,3 +565,82 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc", "rank")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m_subspaces: int = 4,
+    k_codes: int = 16,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ (the standard billion-scale ANN layout): the coarse
+    quantizer restricts each query's scan to ``n_probe`` of
+    ``n_centroids`` inverted lists, and within those lists vectors score
+    by ADC over their PQ codes — so the hot loop touches neither the full
+    corpus nor any float vector. Corpus-side state per vector is (cell,
+    m codes); both quantizers are the deterministic trainers above.
+
+    Scan cost per query ~ (n_probe / n_centroids) x |corpus| x m table
+    lookups; the only corpus-wide shuffles are the two encode argmins.
+    Returns (query_id, neighbor_id, adc, rank)."""
+    centroids = train_ivf_centroids(
+        corpus, n_centroids, iterations, id_col, vec_col
+    )
+    cells = _assign_cells(corpus, centroids, id_col, vec_col).select(
+        F.col("_vid").alias("neighbor_id"), "cell"
+    )
+    codebooks = train_pq_codebooks(
+        corpus, m_subspaces, k_codes, iterations, id_col, vec_col
+    ).localCheckpoint()
+    codes = pq_encode(corpus, codebooks, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    sub_len = codebooks.select(F.size("centroid").alias("l")).first().l
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    q_cells = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "_sim", cosine_sim("qv", "centroid")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("cell"))
+    probes = (
+        q_cells.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "cell")
+    )
+    lut = (
+        _sub_explode(q.withColumnRenamed("qv", "_v"), "_v", m_subspaces, sub_len, "qsub")
+        .join(F.broadcast(codebooks), "sub")
+        .select("query_id", "sub", "code", _dot("qsub", "centroid").alias("dot"))
+    )
+    cands = (
+        codes.join(cells, "neighbor_id")
+        .join(F.broadcast(probes), "cell")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.posexplode("codes").alias("sub", "code"),
+        )
+    )
+    scored = (
+        cands.join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("dot"), 6).alias("adc"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc", "rank")
+    )

@@ -141,3 +141,60 @@ def test_pq_partitioning_invariance(spark):
 def test_dim_must_divide(spark):
     with pytest.raises(ValueError):
         train_pq_codebooks(_vec_df(spark, _rng_vecs(8, 9, 1)), m_subspaces=2)
+
+
+def test_ivfpq_planted_copy_and_probe_containment(spark):
+    from record_linkage_spark.operators.similarity_search import (
+        _assign_cells,
+        cosine_sim,
+        ivfpq_topk,
+        train_ivf_centroids,
+    )
+
+    base = _rng_vecs(60, 16, seed=17)
+    base = base / np.linalg.norm(base, axis=1, keepdims=True)
+    corpus = list(base) + [base[i] for i in range(5)]  # ids 60..64 = copies
+    df = _vec_df(spark, corpus)
+    queries = _vec_df(spark, corpus[:5])
+    out = ivfpq_topk(
+        df, queries, k=3, n_centroids=8, n_probe=3,
+        m_subspaces=4, k_codes=8, iterations=2,
+    ).collect()
+    top = {r.query_id: r.neighbor_id for r in out if r.rank == 1}
+    # the exact copy shares the query's cell AND codes -> it wins ADC
+    assert sum(1 for qi in range(5) if top[qi] == qi + 60) >= 4
+
+    # every candidate actually lives in one of its query's probed cells
+    cents = train_ivf_centroids(df, 8, 2)
+    cells = {
+        r._vid: r.cell for r in _assign_cells(df, cents, "vec_id", "embedding").collect()
+    }
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = q.crossJoin(F.broadcast(cents)).withColumn(
+        "s", cosine_sim("qv", "centroid")
+    ).collect()
+    by_q: dict = {}
+    for r in scored:
+        by_q.setdefault(r.query_id, []).append((-r.s, r.cell))
+    probed = {
+        qid: {c for _, c in sorted(v)[:3]} for qid, v in by_q.items()
+    }
+    for r in out:
+        assert cells[r.neighbor_id] in probed[r.query_id]
+
+
+def test_ivfpq_partitioning_invariance(spark):
+    vecs = _rng_vecs(40, 8, seed=19, clusters=4)
+    from record_linkage_spark.operators.similarity_search import ivfpq_topk
+
+    a = ivfpq_topk(
+        _vec_df(spark, vecs, parts=1), _vec_df(spark, vecs[:2]),
+        k=5, n_centroids=4, n_probe=2, m_subspaces=2, k_codes=4,
+    ).collect()
+    b = ivfpq_topk(
+        _vec_df(spark, vecs, parts=16), _vec_df(spark, vecs[:2]),
+        k=5, n_centroids=4, n_probe=2, m_subspaces=2, k_codes=4,
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
