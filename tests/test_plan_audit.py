@@ -419,3 +419,34 @@ def test_v_measure_single_contingency_shuffle(spark):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_sum" in plan  # marginal sums combine map-side
+
+
+def test_pq_paths_are_broadcast_equality_joins(spark):
+    """PQ encode and ADC search: codebooks/LUT/probes ride broadcast
+    equality joins — no CartesianProduct anywhere (the only allowed
+    nested-loop is a broadcast of driver-sized quantizer state), no
+    Python, and the ADC aggregation combines map-side."""
+    from record_linkage_spark.operators.similarity_search import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    vecs = _doc_df(spark).select(
+        F.col("doc_id").alias("vec_id"),
+        F.array(
+            *[((F.col("doc_id") + i) % 7).cast("double") for i in range(8)]
+        ).alias("embedding"),
+    )
+    books = train_pq_codebooks(vecs, m_subspaces=2, k_codes=4, iterations=1)
+    p1 = _plan(pq_encode(vecs, books))
+    assert "CartesianProduct" not in p1
+    assert "EvalPython" not in p1
+    assert "BroadcastExchange" in p1  # codebooks broadcast to the argmin
+    p2 = _plan(
+        pq_topk(vecs, vecs.limit(2), k=3, m_subspaces=2, k_codes=4,
+                iterations=1)
+    )
+    assert "CartesianProduct" not in p2
+    assert "EvalPython" not in p2
+    assert "partial_sum" in p2  # ADC sums combine map-side
