@@ -2968,6 +2968,82 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def q_transcript_integrity(spark, sf):
+    """Per-conversation structural QA over a transcript table with
+    PLANTED violations (``operators/transcript_checks.py`` — the
+    validation pass that has to run before the north-star rollup can
+    trust ``turn_idx`` as the stable turn order): duplicate indexes
+    (+1 bump when ``event_id % 13 = 0``), the gaps those bumps open,
+    empty texts (``% 17``), natural role repeats and timestamp
+    regressions (turn order here is event_id order, so ts moves both
+    ways). DuckDB replays the identical lag-window + grouped-count
+    query; every violation count is value-checked per conversation."""
+    from record_linkage_spark.operators.transcript_checks import (
+        transcript_integrity,
+    )
+
+    e = _t(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & (F.col("user_id") < 500)
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    roles = F.array(F.lit("user"), F.lit("assistant"), F.lit("tool"))
+    t = e.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (
+            (F.row_number().over(w) - 1)
+            + F.when(F.col("event_id") % 13 == 0, 1).otherwise(0)
+        ).cast("int").alias("turn_idx"),
+        F.element_at(roles, (F.col("event_id") % 3 + 1).cast("int")).alias("role"),
+        F.when(F.col("event_id") % 17 == 0, F.lit("")).otherwise(
+            F.concat_ws(" ", "event_type", F.col("event_id").cast("string"))
+        ).alias("text"),
+        "ts",
+    )
+    return transcript_integrity(t)
+
+
+def q_prefix_dups(spark, sf):
+    """Prefix-duplicate conversation detection
+    (``operators/transcript_checks.py::prefix_duplicate_pairs``): convs
+    whose chained-md5 turn-hash equals a longer conv's k-th prefix hash
+    — the agent-retry duplication mode document near-dup misses. Planted
+    prefixes: every conversation with ``user_id % 7 = 0`` and >= 4 turns
+    gets a 3-turn head copy (``<conv_id>_p``). DuckDB rebuilds the SAME
+    hash chain with a recursive CTE and must find exactly the same
+    (prefix, super) pairs."""
+    from record_linkage_spark.operators.transcript_checks import (
+        prefix_duplicate_pairs,
+    )
+
+    e = _t(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & (F.col("user_id") < 500)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.concat_ws(" ", "event_type", F.col("event_id").cast("string")).alias(
+            "text"
+        ),
+    )
+    eligible = (
+        t.groupBy("conv_id")
+        .agg(F.count("*").alias("_n"))
+        .filter((F.col("_n") >= 4) & (F.col("conv_id").cast("bigint") % 7 == 0))
+        .select("conv_id")
+    )
+    planted = (
+        t.join(F.broadcast(eligible), "conv_id")
+        .filter(F.col("turn_idx") < 3)
+        .select(
+            F.concat(F.col("conv_id"), F.lit("_p")).alias("conv_id"),
+            "turn_idx",
+            "text",
+        )
+    )
+    return prefix_duplicate_pairs(t.unionByName(planted))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract queries. ORDER MATTERS: the driver records a correctness
     verdict for the first 50 entries, so the first 50 are all
@@ -3051,6 +3127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filters": q_gopher_filters,
         "explain_pairs": q_explain_pairs,
         "pq_adc": q_pq_adc,
+        "transcript_integrity": q_transcript_integrity,
+        "prefix_dups": q_prefix_dups,
         # ---- rows-only (hash-kernel / pipeline / streaming ops — no
         # portable SQL twin; each pinned by pytest) ----
         "rl_swoosh": q_rl_swoosh,
@@ -4945,6 +5023,76 @@ def oracle_sql() -> dict[str, str]:
             "FROM c JOIN e ON c.user_id = e.user_id "
             "AND c.ts >= e.s AND c.ts <= e.en) "
             "SELECT * FROM a UNION ALL SELECT * FROM r"
+        ),
+        # identical lag-window adjacency checks + grouped violation
+        # counts over the planted-violation transcript derivation
+        "transcript_integrity": (
+            "WITH e AS (SELECT * FROM events "
+            "WHERE ts IS NOT NULL AND user_id < 500), "
+            "t AS (SELECT CAST(user_id AS VARCHAR) AS conv_id, "
+            "CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) "
+            "- 1 + CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END AS BIGINT) "
+            "AS turn_idx, "
+            "['user','assistant','tool'][CAST(event_id % 3 + 1 AS INT)] AS role, "
+            "CASE WHEN event_id % 17 = 0 THEN '' "
+            "ELSE event_type || ' ' || CAST(event_id AS VARCHAR) END AS text, "
+            "ts FROM e), "
+            "s AS (SELECT conv_id, turn_idx, "
+            "(lag(role) OVER w = role) AS role_rep, "
+            "(ts < lag(ts) OVER w) AS ts_back, "
+            "(text IS NULL OR trim(text) = '') AS emp "
+            "FROM t WINDOW w AS "
+            "(PARTITION BY conv_id ORDER BY turn_idx, ts, text)), "
+            "g AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns, "
+            "CAST(count(*) - count(DISTINCT turn_idx) AS BIGINT) AS n_dup_idx, "
+            "CAST(max(turn_idx) - min(turn_idx) + 1 "
+            "- count(DISTINCT turn_idx) AS BIGINT) AS n_gaps, "
+            "(min(turn_idx) = 0) AS starts_at_zero, "
+            "CAST(coalesce(sum(CASE WHEN emp THEN 1 ELSE 0 END), 0) "
+            "AS BIGINT) AS n_empty, "
+            "CAST(coalesce(sum(CASE WHEN role_rep THEN 1 ELSE 0 END), 0) "
+            "AS BIGINT) AS n_role_repeats, "
+            "CAST(coalesce(sum(CASE WHEN ts_back THEN 1 ELSE 0 END), 0) "
+            "AS BIGINT) AS n_ts_regress "
+            "FROM s GROUP BY conv_id) "
+            "SELECT *, (n_dup_idx = 0 AND n_gaps = 0 AND starts_at_zero "
+            "AND n_empty = 0 AND n_ts_regress = 0) AS is_clean FROM g"
+        ),
+        # the chained-md5 prefix-hash equality rebuilt with a recursive
+        # CTE: h_k = md5(h_{k-1} || chr(1) || text_k), h_0 = md5('')
+        "prefix_dups": (
+            "WITH RECURSIVE e AS (SELECT * FROM events "
+            "WHERE ts IS NOT NULL AND user_id < 500), "
+            "t0 AS (SELECT CAST(user_id AS VARCHAR) AS conv_id, "
+            "CAST(row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) - 1 AS INT) AS turn_idx, "
+            "event_type || ' ' || CAST(event_id AS VARCHAR) AS text FROM e), "
+            "elig AS (SELECT conv_id FROM t0 GROUP BY conv_id "
+            "HAVING count(*) >= 4 AND CAST(conv_id AS BIGINT) % 7 = 0), "
+            "t AS (SELECT * FROM t0 UNION ALL "
+            "SELECT conv_id || '_p', turn_idx, text FROM t0 "
+            "WHERE conv_id IN (SELECT conv_id FROM elig) AND turn_idx < 3), "
+            "n AS (SELECT conv_id, CAST(count(*) AS INT) AS n_turns "
+            "FROM t GROUP BY conv_id), "
+            "ch(conv_id, turn_idx, h) AS ("
+            "SELECT conv_id, turn_idx, "
+            "md5(md5('') || chr(1) || coalesce(text, '')) "
+            "FROM t WHERE turn_idx = 0 "
+            "UNION ALL "
+            "SELECT t2.conv_id, t2.turn_idx, "
+            "md5(ch.h || chr(1) || coalesce(t2.text, '')) "
+            "FROM ch JOIN t t2 ON t2.conv_id = ch.conv_id "
+            "AND t2.turn_idx = ch.turn_idx + 1), "
+            "heads AS (SELECT ch.conv_id, n.n_turns, ch.h "
+            "FROM ch JOIN n USING (conv_id) "
+            "WHERE ch.turn_idx = n.n_turns - 1), "
+            "pref AS (SELECT ch.conv_id, "
+            "CAST(ch.turn_idx + 1 AS INT) AS plen, ch.h, n.n_turns "
+            "FROM ch JOIN n USING (conv_id)) "
+            "SELECT h.conv_id AS prefix_conv_id, h.n_turns AS prefix_len, "
+            "p.conv_id AS super_conv_id, p.n_turns AS super_len "
+            "FROM pref p JOIN heads h ON p.h = h.h AND p.plen = h.n_turns "
+            "WHERE p.n_turns > h.n_turns AND p.conv_id <> h.conv_id"
         ),
         # SemDeDup at n_clusters=1: centroid == global per-dim mean;
         # groups = recursive min-label closure of cosine>=0.99 pairs;

@@ -36,11 +36,13 @@ def test_window_is_wall_to_wall_oracle_backed():
         "lm_entropy",
         "pprl_dice",
         "pq_adc",
+        "prefix_dups",
         "psnm_curve",
         "semantic_dedup",
         "soft_tfidf",
         "span_dedup",
         "temporal_joins",
+        "transcript_integrity",
     ], "unexpected oracle-backed entry past the driver's 50-entry cutoff"
 
 
