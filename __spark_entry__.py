@@ -3044,6 +3044,89 @@ def q_prefix_dups(spark, sf):
     return prefix_duplicate_pairs(t.unionByName(planted))
 
 
+def q_agent_loops(spark, sf):
+    """Per-conversation loop-run statistics
+    (``operators/agent_analytics.py::loop_runs``) — the stuck-agent
+    detector: consecutive identical (role, text) turns become runs,
+    reported as n_loop_turns / n_loop_runs / max_run_len / loop_frac.
+    Turn text here is the bare event_type (5 values), so adjacent
+    repeats occur naturally; role is constant. DuckDB replays the
+    identical lag → run-id cumsum → per-run sizes → per-conversation
+    rollup."""
+    from record_linkage_spark.operators.agent_analytics import loop_runs
+
+    e = _t(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & (F.col("user_id") < 500)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.lit("agent").alias("role"),
+        F.col("event_type").alias("text"),
+    )
+    return loop_runs(t)
+
+
+def q_tool_transitions(spark, sf):
+    """Corpus-level Markov transition counts between consecutive tool
+    calls (``operators/agent_analytics.py::tool_transitions``). Tool
+    turns are events with ``event_id % 4 != 0`` (the rest are user
+    turns, skipped), tool name = event_type, and ``% 11`` plants null
+    tools on tool turns (also skipped). DuckDB replays the lag window
+    over the filtered call sequence and the grouped (prev, next)
+    counts."""
+    from record_linkage_spark.operators.agent_analytics import tool_transitions
+
+    e = _t(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & (F.col("user_id") < 500)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.when(F.col("event_id") % 4 != 0, F.lit("tool"))
+        .otherwise(F.lit("user"))
+        .alias("role"),
+        F.when(F.col("event_id") % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("event_type"))
+        .alias("tool"),
+    )
+    return tool_transitions(t)
+
+
+def q_turn_boilerplate(spark, sf):
+    """Cross-conversation boilerplate-turn stripping
+    (``operators/agent_analytics.py::strip_boilerplate_turns``) — the
+    turn-granular dedup document-level near-dup cannot see (every
+    conversation stays unique while its system-prompt turn repeats in
+    thousands of others). Planted boilerplate: events with
+    ``event_id % 3 = 0`` use the bare event_type as text (appears in
+    ~every conversation); the rest get a unique suffix. DuckDB replays
+    the >= 20-distinct-conversations catalog and the anti join — text
+    grouping is by md5(text) on the Spark side and by text in SQL,
+    equivalent here because no text is null and md5 is injective on
+    these values."""
+    from record_linkage_spark.operators.agent_analytics import (
+        strip_boilerplate_turns,
+    )
+
+    e = _t(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & (F.col("user_id") < 500)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.when(F.col("event_id") % 3 == 0, F.col("event_type"))
+        .otherwise(
+            F.concat_ws(" ", "event_type", F.col("event_id").cast("string"))
+        )
+        .alias("text"),
+    )
+    return strip_boilerplate_turns(t, min_convs=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract queries. ORDER MATTERS: the driver records a correctness
     verdict for the first 50 entries, so the first 50 are all
@@ -3129,6 +3212,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc": q_pq_adc,
         "transcript_integrity": q_transcript_integrity,
         "prefix_dups": q_prefix_dups,
+        "agent_loops": q_agent_loops,
+        "tool_transitions": q_tool_transitions,
+        "turn_boilerplate": q_turn_boilerplate,
         # ---- rows-only (hash-kernel / pipeline / streaming ops — no
         # portable SQL twin; each pinned by pytest) ----
         "rl_swoosh": q_rl_swoosh,
@@ -5093,6 +5179,69 @@ def oracle_sql() -> dict[str, str]:
             "p.conv_id AS super_conv_id, p.n_turns AS super_len "
             "FROM pref p JOIN heads h ON p.h = h.h AND p.plen = h.n_turns "
             "WHERE p.n_turns > h.n_turns AND p.conv_id <> h.conv_id"
+        ),
+        # identical lag -> run-id cumsum -> per-run sizes -> per-conv
+        # rollup over the constant-role event_type transcript
+        "agent_loops": (
+            "WITH e AS (SELECT * FROM events "
+            "WHERE ts IS NOT NULL AND user_id < 500), "
+            "t AS (SELECT CAST(user_id AS VARCHAR) AS conv_id, "
+            "CAST(row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) - 1 AS INT) AS turn_idx, "
+            "'agent' AS role, event_type AS text FROM e), "
+            "s AS (SELECT conv_id, turn_idx, "
+            "CASE WHEN lag(role) OVER w = role "
+            "AND lag(text) OVER w IS NOT DISTINCT FROM text "
+            "THEN 0 ELSE 1 END AS new_run "
+            "FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)), "
+            "r AS (SELECT conv_id, sum(new_run) OVER "
+            "(PARTITION BY conv_id ORDER BY turn_idx "
+            "ROWS UNBOUNDED PRECEDING) AS run_id FROM s), "
+            "runs AS (SELECT conv_id, run_id, "
+            "CAST(count(*) AS BIGINT) AS run_len "
+            "FROM r GROUP BY conv_id, run_id) "
+            "SELECT conv_id, CAST(sum(run_len) AS BIGINT) AS n_turns, "
+            "CAST(sum(run_len - 1) AS BIGINT) AS n_loop_turns, "
+            "CAST(sum(CASE WHEN run_len >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_loop_runs, "
+            "CAST(max(run_len) AS BIGINT) AS max_run_len, "
+            "CAST(sum(run_len - 1) AS DOUBLE) / sum(run_len) AS loop_frac "
+            "FROM runs GROUP BY conv_id"
+        ),
+        # lag over the filtered tool-call sequence, grouped (prev, next)
+        "tool_transitions": (
+            "WITH e AS (SELECT * FROM events "
+            "WHERE ts IS NOT NULL AND user_id < 500), "
+            "t AS (SELECT CAST(user_id AS VARCHAR) AS conv_id, "
+            "CAST(row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) - 1 AS INT) AS turn_idx, "
+            "CASE WHEN event_id % 4 <> 0 THEN 'tool' ELSE 'user' END AS role, "
+            "CASE WHEN event_id % 11 = 0 THEN NULL "
+            "ELSE event_type END AS tool FROM e), "
+            "calls AS (SELECT conv_id, turn_idx, tool AS next_tool FROM t "
+            "WHERE role = 'tool' AND tool IS NOT NULL), "
+            "seq AS (SELECT conv_id, "
+            "coalesce(lag(next_tool) OVER "
+            "(PARTITION BY conv_id ORDER BY turn_idx), '^start') AS prev_tool, "
+            "next_tool FROM calls) "
+            "SELECT prev_tool, next_tool, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs "
+            "FROM seq GROUP BY prev_tool, next_tool"
+        ),
+        # >= 20-distinct-conv catalog + anti join; grouping by text here
+        # == Spark's md5(text) grouping (no nulls, md5 injective)
+        "turn_boilerplate": (
+            "WITH e AS (SELECT * FROM events "
+            "WHERE ts IS NOT NULL AND user_id < 500), "
+            "t AS (SELECT CAST(user_id AS VARCHAR) AS conv_id, "
+            "CAST(row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) - 1 AS INT) AS turn_idx, "
+            "CASE WHEN event_id % 3 = 0 THEN event_type "
+            "ELSE event_type || ' ' || CAST(event_id AS VARCHAR) END AS text "
+            "FROM e), "
+            "b AS (SELECT text FROM t GROUP BY text "
+            "HAVING count(DISTINCT conv_id) >= 20) "
+            "SELECT * FROM t WHERE text NOT IN (SELECT text FROM b)"
         ),
         # SemDeDup at n_clusters=1: centroid == global per-dim mean;
         # groups = recursive min-label closure of cosine>=0.99 pairs;

@@ -1,0 +1,221 @@
+"""Agent-transcript analytics: cross-conversation boilerplate turns,
+intra-conversation loop runs, and tool-transition mining.
+
+Three transcript-specific passes a 10^12-turn agent-log ingest needs
+beyond document-level curation (``operators/curation.py``) and the
+structural QA in ``operators/transcript_checks.py``:
+
+- **Boilerplate turns**: system prompts and templated tool preambles
+  repeat verbatim across millions of conversations. Document-level
+  dedup never sees them (each *conversation* is unique); left in, they
+  dominate the token distribution exactly like C4's "repeated lines
+  across documents" pathology, but at turn granularity. ``boilerplate_
+  turns`` catalogs texts that appear in >= ``min_convs`` distinct
+  conversations; ``strip_boilerplate_turns`` removes those turns.
+- **Loop runs**: a stuck agent re-emits the same (role, text) turn
+  back-to-back (retry loops, tool-error loops). ``loop_runs`` reports
+  per-conversation run statistics so policy can drop or truncate
+  looping conversations before they poison the training mix.
+- **Tool transitions**: the corpus-level Markov transition counts
+  between consecutive tool calls inside a conversation — the summary an
+  agent-behavior dashboard reads (and a cheap drift detector between
+  corpus snapshots).
+
+Scale shape:
+- ``boilerplate_turns`` shuffles (text_hash) pairs once with map-side
+  combine; the catalog it emits is tiny (texts crossing the
+  ``min_convs`` bar). ``strip_boilerplate_turns`` is a left_anti hash
+  join of the corpus against that catalog on a 32-char key — AQE
+  broadcasts the catalog side in practice, and the corpus payload
+  never reshuffles.
+- ``loop_runs`` partitions every window on ``conv_id``; the run-id
+  cumsum, the per-run sizes and the per-conversation rollup are all
+  keyed by conv_id first, so per-conversation state stays
+  O(turns-in-conv) and no key is hotter than the longest conversation.
+- ``tool_transitions`` is one conv_id window plus a groupBy whose
+  result cardinality is <= |tools|^2 — partial aggregation collapses it
+  map-side.
+
+All expressions are Catalyst built-ins; no Python runs per row
+anywhere. The reference pipeline has no transcript-shaped analogue
+(its inputs are flat product records, ``src/preparation/
+preprocessing.py``); these operators extend the engine along the
+training-data axis the same way ``operators/curation.py`` does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _text_hash(text_col: str):
+    # null and empty hash identically, matching the null==empty turn
+    # semantics of transcript_checks.prefix_hash_chain
+    return F.md5(F.coalesce(F.col(text_col), F.lit("")))
+
+
+def boilerplate_turns(
+    turns: DataFrame,
+    min_convs: int = 10,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Catalog of turn texts appearing in >= ``min_convs`` distinct
+    conversations.
+
+    Returns ``(text_hash, n_convs, n_turns, text)`` — ``text`` is the
+    (unique modulo md5 collision) verbatim text, kept so the catalog is
+    human-auditable. One (text_hash)-keyed aggregation with map-side
+    combine; the output is the small head of the repeat distribution.
+    """
+    return (
+        turns.select(
+            _text_hash(text_col).alias("text_hash"),
+            F.col(conv_col).alias("_conv"),
+            F.coalesce(F.col(text_col), F.lit("")).alias("_text"),
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.countDistinct("_conv").cast("long").alias("n_convs"),
+            F.count("*").cast("long").alias("n_turns"),
+            F.min("_text").alias("text"),
+        )
+        .filter(F.col("n_convs") >= min_convs)
+    )
+
+
+def strip_boilerplate_turns(
+    turns: DataFrame,
+    min_convs: int = 10,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove every turn whose text is boilerplate (appears in >=
+    ``min_convs`` distinct conversations). Schema-preserving.
+
+    left_anti on the 32-char hash against the small catalog side —
+    the corpus never reshuffles, and AQE turns the probe into a
+    broadcast join when the catalog fits.
+    """
+    catalog = boilerplate_turns(
+        turns, min_convs=min_convs, conv_col=conv_col, text_col=text_col
+    ).select("text_hash")
+    return (
+        turns.withColumn("_th", _text_hash(text_col))
+        .join(catalog.withColumnRenamed("text_hash", "_th"), "_th", "left_anti")
+        .drop("_th")
+    )
+
+
+def loop_runs(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-conversation statistics of consecutive identical turns.
+
+    A turn is a *loop turn* when its (role, text) equals the
+    immediately preceding turn's (null-safe on text) in ``turn_idx``
+    order; a *run* is a maximal block of identical consecutive turns.
+    Returns per conversation::
+
+        (conv_id, n_turns, n_loop_turns, n_loop_runs, max_run_len,
+         loop_frac)
+
+    ``n_loop_runs`` counts runs of length >= 2, ``max_run_len`` is the
+    longest run (1 when the conversation never repeats), ``loop_frac``
+    = n_loop_turns / n_turns. Downstream policy thresholds these (e.g.
+    drop conversations with loop_frac > 0.5 or max_run_len > 8) the
+    same way doc-level quality filters threshold repetition signals
+    (``operators/curation.py::repetition_signals``).
+
+    Every aggregation is keyed by conv_id first (window, run sizing,
+    rollup), so state stays O(turns-in-conv).
+    """
+    c, i, r, t = conv_col, idx_col, role_col, text_col
+    w = Window.partitionBy("conv_id").orderBy("_i")
+    stepped = turns.select(
+        F.col(c).alias("conv_id"),
+        F.col(i).alias("_i"),
+        F.col(r).alias("_role"),
+        F.col(t).alias("_text"),
+    ).select(
+        "conv_id",
+        "_i",
+        F.when(
+            (F.lag("_role").over(w) == F.col("_role"))
+            & F.lag("_text").over(w).eqNullSafe(F.col("_text")),
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("_new_run"),
+    )
+    runs = (
+        stepped.withColumn(
+            "_run_id",
+            F.sum("_new_run").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("conv_id", "_run_id")
+        .agg(F.count("*").cast("long").alias("_run_len"))
+    )
+    return (
+        runs.groupBy("conv_id")
+        .agg(
+            F.sum("_run_len").cast("long").alias("n_turns"),
+            F.sum(F.col("_run_len") - 1).cast("long").alias("n_loop_turns"),
+            F.sum(F.when(F.col("_run_len") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_loop_runs"),
+            F.max("_run_len").cast("long").alias("max_run_len"),
+        )
+        .withColumn(
+            "loop_frac",
+            (F.col("n_loop_turns") / F.col("n_turns")).cast("double"),
+        )
+    )
+
+
+def tool_transitions(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    tool_col: str = "tool",
+    start_token: str = "^start",
+) -> DataFrame:
+    """Markov transition counts between consecutive tool calls.
+
+    Considers only tool turns (``role == 'tool'`` with a non-null
+    tool), orders them by ``turn_idx`` within each conversation, and
+    counts ``(prev_tool, next_tool)`` adjacencies; a conversation's
+    first tool call transitions from ``start_token``. Returns
+    ``(prev_tool, next_tool, n, n_convs)`` — ``n_convs`` is how many
+    distinct conversations exhibit the transition.
+
+    One conv_id window shuffle, then a groupBy with <= |tools|^2 +
+    |tools| output rows that partial aggregation collapses map-side.
+    """
+    c, i, r, tl = conv_col, idx_col, role_col, tool_col
+    w = Window.partitionBy("_conv").orderBy("_i")
+    calls = turns.filter(
+        (F.col(r) == "tool") & F.col(tl).isNotNull()
+    ).select(F.col(c).alias("_conv"), F.col(i).alias("_i"), F.col(tl).alias("next_tool"))
+    return (
+        calls.select(
+            "_conv",
+            F.coalesce(F.lag("next_tool").over(w), F.lit(start_token)).alias(
+                "prev_tool"
+            ),
+            "next_tool",
+        )
+        .groupBy("prev_tool", "next_tool")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.countDistinct("_conv").cast("long").alias("n_convs"),
+        )
+    )

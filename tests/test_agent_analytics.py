@@ -1,0 +1,138 @@
+"""Truth-table tests for the agent-transcript analytics operators."""
+
+from pyspark.sql import functions as F
+
+from record_linkage_spark.operators.agent_analytics import (
+    boilerplate_turns,
+    loop_runs,
+    strip_boilerplate_turns,
+    tool_transitions,
+)
+
+
+def _turns(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+
+
+BOILER = "You are a helpful assistant."
+
+
+def test_boilerplate_catalog_and_strip(spark):
+    rows = []
+    # the same system prompt opens conversations c0..c4; each conv also
+    # has one unique turn; conv c0 repeats the boilerplate twice
+    for k in range(5):
+        rows.append((f"c{k}", 0, "system", BOILER, None))
+        rows.append((f"c{k}", 1, "user", f"unique question {k}", None))
+    rows.append(("c0", 2, "system", BOILER, None))
+    # a text repeated twice but inside ONE conversation: not boilerplate
+    rows.append(("c1", 2, "user", "again", None))
+    rows.append(("c1", 3, "user", "again", None))
+    t = _turns(spark, rows)
+
+    cat = boilerplate_turns(t, min_convs=3).collect()
+    assert len(cat) == 1
+    assert cat[0]["text"] == BOILER
+    assert cat[0]["n_convs"] == 5 and cat[0]["n_turns"] == 6
+
+    kept = strip_boilerplate_turns(t, min_convs=3)
+    assert kept.columns == t.columns  # schema-preserving
+    texts = [r["text"] for r in kept.collect()]
+    assert BOILER not in texts
+    assert len(texts) == len(rows) - 6  # exactly the boilerplate went
+    assert texts.count("again") == 2  # within-conv repeats survive
+
+
+def test_boilerplate_null_and_empty_hash_identically(spark):
+    # null and '' are the same boilerplate key (coalesce before md5)
+    rows = [(f"c{k}", 0, "user", None if k % 2 else "", None) for k in range(4)]
+    rows.append(("c9", 0, "user", "real", None))
+    cat = boilerplate_turns(_turns(spark, rows), min_convs=4).collect()
+    assert len(cat) == 1 and cat[0]["n_convs"] == 4
+    assert strip_boilerplate_turns(_turns(spark, rows), min_convs=4).count() == 1
+
+
+def test_loop_runs_truth_table(spark):
+    rows = [
+        # clean conversation: no adjacent repeats
+        ("ok", 0, "user", "a", None),
+        ("ok", 1, "assistant", "b", None),
+        ("ok", 2, "user", "a", None),  # same text later, not adjacent
+        # looping agent: b,b,b run (len 3) then c, then d,d run (len 2);
+        # same text different role at idx 6 is NOT a repeat
+        ("loop", 0, "assistant", "b", None),
+        ("loop", 1, "assistant", "b", None),
+        ("loop", 2, "assistant", "b", None),
+        ("loop", 3, "assistant", "c", None),
+        ("loop", 4, "tool", "d", None),
+        ("loop", 5, "tool", "d", None),
+        ("loop", 6, "user", "d", None),
+        # null texts repeat null-safely
+        ("nul", 0, "tool", None, None),
+        ("nul", 1, "tool", None, None),
+    ]
+    out = {r["conv_id"]: r.asDict() for r in loop_runs(_turns(spark, rows)).collect()}
+    ok = out["ok"]
+    assert ok["n_turns"] == 3 and ok["n_loop_turns"] == 0
+    assert ok["n_loop_runs"] == 0 and ok["max_run_len"] == 1
+    assert ok["loop_frac"] == 0.0
+    lp = out["loop"]
+    assert lp["n_turns"] == 7
+    assert lp["n_loop_turns"] == 3  # 2 from the b-run + 1 from the d-run
+    assert lp["n_loop_runs"] == 2 and lp["max_run_len"] == 3
+    assert abs(lp["loop_frac"] - 3 / 7) < 1e-12
+    nul = out["nul"]
+    assert nul["n_loop_turns"] == 1 and nul["max_run_len"] == 2
+
+
+def test_tool_transitions_truth_table(spark):
+    rows = [
+        # conv A: search -> read -> read ; non-tool turns interleaved
+        ("A", 0, "user", "q", None),
+        ("A", 1, "tool", "t", "search"),
+        ("A", 2, "assistant", "x", None),
+        ("A", 3, "tool", "t", "read"),
+        ("A", 4, "tool", "t", "read"),
+        # conv B: search -> read ; a null tool on a tool turn is skipped
+        ("B", 0, "tool", "t", "search"),
+        ("B", 1, "tool", "t", None),
+        ("B", 2, "tool", "t", "read"),
+        # conv C: a 'tool' VALUE on a non-tool role is ignored
+        ("C", 0, "assistant", "x", "search"),
+    ]
+    got = {
+        (r["prev_tool"], r["next_tool"]): (r["n"], r["n_convs"])
+        for r in tool_transitions(_turns(spark, rows)).collect()
+    }
+    assert got == {
+        ("^start", "search"): (2, 2),
+        ("search", "read"): (2, 2),
+        ("read", "read"): (1, 1),
+    }
+
+
+def test_plan_shapes(spark):
+    rows = [
+        ("A", 0, "tool", "t", "search"),
+        ("A", 1, "tool", "t", "read"),
+        ("B", 0, "user", "t", None),
+    ]
+    t = _turns(spark, rows)
+    # strip: anti join on the hash key, no cross product, no Python
+    plan = strip_boilerplate_turns(t, min_convs=2)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "Python" not in plan
+    # transitions: window + final agg, all codegen, no Python
+    plan2 = tool_transitions(t)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan2
+    # loop_runs: every Exchange key leads with the conversation id —
+    # no global repartition, state stays per-conversation
+    plan3 = loop_runs(t)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan3
+    for line in plan3.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "conv_id" in line.split("hashpartitioning", 1)[1][:60]

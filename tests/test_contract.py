@@ -29,6 +29,7 @@ def test_window_is_wall_to_wall_oracle_backed():
     # so an entry that COULD displace a weaker window slot still has to
     # be added here deliberately.
     assert sorted(k for k in q[50:] if k in o) == [
+        "agent_loops",
         "c4_filters",
         "dsir_select",
         "explain_pairs",
@@ -42,7 +43,9 @@ def test_window_is_wall_to_wall_oracle_backed():
         "soft_tfidf",
         "span_dedup",
         "temporal_joins",
+        "tool_transitions",
         "transcript_integrity",
+        "turn_boilerplate",
     ], "unexpected oracle-backed entry past the driver's 50-entry cutoff"
 
 
