@@ -73,6 +73,7 @@ class LinkagePipeline:
         keys_df: DataFrame | None = None,
         one_to_one: bool = False,
         clusterer: str = "cc",
+        qa_boilerplate_min_convs: int = 25,
     ):
         if clusterer not in ("cc", "pivot", "star", "hac"):
             raise KeyError(
@@ -86,6 +87,7 @@ class LinkagePipeline:
         self.neg_ratio = neg_ratio
         self.one_to_one = one_to_one
         self.clusterer = clusterer
+        self.qa_boilerplate_min_convs = qa_boilerplate_min_convs
         self._transcripts_df = transcripts_df
         self._keys_df = keys_df
         self.model: LinearModel | None = None
@@ -387,6 +389,57 @@ class LinkagePipeline:
                 .first()
             )
             auc_val, ap_val = rank_row.auc, rank_row.ap
+        # transcript QA: the structural checks that justify trusting
+        # turn_idx as the rollup's stable turn order, plus the
+        # agent-log pathologies (stuck loops, cross-conv boilerplate)
+        # — corpus-level counts only, three bounded aggregates
+        from record_linkage_spark.operators.agent_analytics import (
+            boilerplate_turns,
+            loop_runs,
+        )
+        from record_linkage_spark.operators.transcript_checks import (
+            transcript_integrity,
+        )
+
+        ti = transcript_integrity(transcripts).agg(
+            F.count("*").cast("long").alias("n_convs"),
+            F.sum(F.when(F.col("is_clean"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clean"),
+            F.sum("n_dup_idx").cast("long").alias("dup_idx_turns"),
+            F.sum("n_gaps").cast("long").alias("gap_slots"),
+            F.sum("n_empty").cast("long").alias("empty_turns"),
+            F.sum("n_role_repeats").cast("long").alias("role_repeat_turns"),
+            F.sum("n_ts_regress").cast("long").alias("ts_regress_turns"),
+        ).first()
+        lo = loop_runs(transcripts).agg(
+            F.sum(F.when(F.col("n_loop_runs") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("looping_convs"),
+            F.sum("n_loop_turns").cast("long").alias("loop_turns"),
+            F.max("max_run_len").cast("long").alias("max_run_len"),
+        ).first()
+        bp = boilerplate_turns(
+            transcripts, min_convs=self.qa_boilerplate_min_convs
+        ).agg(
+            F.count("*").cast("long").alias("texts"),
+            F.coalesce(F.sum("n_turns"), F.lit(0)).cast("long").alias("turns"),
+        ).first()
+        transcript_qa = {
+            "n_convs": int(ti.n_convs or 0),
+            "n_clean": int(ti.n_clean or 0),
+            "dup_idx_turns": int(ti.dup_idx_turns or 0),
+            "gap_slots": int(ti.gap_slots or 0),
+            "empty_turns": int(ti.empty_turns or 0),
+            "role_repeat_turns": int(ti.role_repeat_turns or 0),
+            "ts_regress_turns": int(ti.ts_regress_turns or 0),
+            "looping_convs": int(lo.looping_convs or 0),
+            "loop_turns": int(lo.loop_turns or 0),
+            "max_run_len": int(lo.max_run_len or 0),
+            "boilerplate_texts": int(bp.texts or 0),
+            "boilerplate_turns": int(bp.turns or 0),
+            "boilerplate_min_convs": self.qa_boilerplate_min_convs,
+        }
         self.report = {
             "strategy": self.strategy,
             "clusterer": self.clusterer,
@@ -398,6 +451,7 @@ class LinkagePipeline:
             "pair_counting": pc,
             "v_measure": vm,
             "repair": repair,
+            "transcript_qa": transcript_qa,
             "threshold": self.model.threshold if self.model else None,
             "n_candidates": cands.count(),
             "n_clusters": clusters.select("entity_id").distinct().count(),

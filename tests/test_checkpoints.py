@@ -76,6 +76,12 @@ def test_pipeline_resume_equivalence(spark, tmp_path):
     with open(os.path.join(wh1, "pipeline_report.json")) as f:
         rep = json.load(f)
     assert rep["global"]["f1"] == r2["global"]["f1"]
+    # transcript QA section: every conversation got a verdict, and the
+    # synth corpus's planted pathologies (null tool-turn texts) show up
+    qa = rep["transcript_qa"]
+    assert qa["n_convs"] > 0 and qa["n_clean"] <= qa["n_convs"]
+    assert qa["empty_turns"] > 0  # synth nulls ~10% of tool-turn texts
+    assert qa == r2["transcript_qa"]
 
 
 def test_format_gate_resolves_parquet_without_jars(spark, tmp_path):
