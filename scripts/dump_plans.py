@@ -81,6 +81,29 @@ COMMENTARY = {
         "partial_count below the Exchange (map-side combine). Never a "
         "cartesian."
     ),
+    "transcript_integrity": (
+        "Transcript structural QA. The lag window, the groupBy and the "
+        "distinct-index rewrite all partition on conv_id, so the operator "
+        "adds ONE Exchange (the lower Exchange here belongs to the "
+        "contract derivation's violation-planting row_number, whose key "
+        "is the pre-cast user_id); every check is a codegen'd built-in — "
+        "no Python node anywhere. On a real transcripts table the whole "
+        "pass is a single shuffle (pinned by "
+        "test_integrity_single_shuffle_plan)."
+    ),
+    "prefix_dups": (
+        "Prefix-duplicate conversations. The chained-md5 prefix hashes "
+        "come from one rollup-shaped aggregation per conversation; "
+        "candidates are an equality hash join on (32-char hash, length) "
+        "with payload stripped to ids+lengths — no cartesian, no verify "
+        "pass needed (hash-chain equality IS turn-for-turn equality)."
+    ),
+    "turn_boilerplate": (
+        "Boilerplate-turn strip. The catalog is a two-phase md5-keyed "
+        "aggregate (partial below the Exchange); the strip is a LEFT ANTI "
+        "hash join probing the corpus against that small catalog — the "
+        "corpus payload itself is never reshuffled."
+    ),
 }
 
 
