@@ -315,6 +315,27 @@ def main() -> None:
         .agg(F.sum("soft_tfidf")).collect()
     )
 
+    # transcript QA sweep: integrity window cascade + loop-run rollup +
+    # boilerplate-turn strip over the full synthetic transcript table —
+    # the pre-rollup validation pass, measured at turn granularity
+    from record_linkage_spark.operators.agent_analytics import (
+        loop_runs,
+        strip_boilerplate_turns,
+    )
+    from record_linkage_spark.operators.transcript_checks import (
+        transcript_integrity,
+    )
+
+    _, queries["transcript_qa"] = _timed_best2(
+        lambda: transcript_integrity(transcripts)
+        .join(loop_runs(transcripts), "conv_id")
+        .agg(F.sum(F.when(F.col("is_clean"), 1).otherwise(0)), F.max("max_run_len"))
+        .collect()
+    )
+    _, queries["boilerplate_strip"] = _timed_best2(
+        lambda: strip_boilerplate_turns(transcripts, min_convs=25).count()
+    )
+
     pairs_per_sec = n_big / score_sec if score_sec > 0 else 0.0
     total = sum(queries.values())
     print(
