@@ -3127,6 +3127,39 @@ def q_turn_boilerplate(spark, sf):
     return strip_boilerplate_turns(t, min_convs=20)
 
 
+def q_ann_blocking(spark, sf):
+    """Hashed-text-vector blocking semantics under the oracle signal
+    (``operators/ann_blocking.py``): signed hashing-trick vectors
+    (md5-portable token hash, bucket/sign from one ``h mod 2*dim``) and
+    the exact cosine >= 0.8 pair set over a 200-doc slice — the
+    brute-force baseline the production RHP-LSH path
+    (``rl_ann_candidates``, rows) is recall-tested against. DuckDB
+    rebuilds identical vectors from the same md5 arithmetic and scores
+    cosine from the sparse counts directly (dot over shared buckets /
+    norms), mathematically the same number."""
+    from record_linkage_spark.operators.ann_blocking import (
+        brute_force_cosine_pairs,
+    )
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return brute_force_cosine_pairs(
+        d, id_col="doc_id", text_col="text", cosine_threshold=0.8
+    )
+
+
+def q_rl_ann_candidates(spark, sf):
+    """Production ANN blocking (``--strategy ANN``): RHP-LSH bucket
+    self-join over hashed profile vectors + exact-cosine verify — the
+    vector-similarity third strategy next to the B1/B2 key cascades.
+    Rows-only (the banded RHP signature is probabilistic); pytest pins
+    candidates == subset of brute force with recall >= 0.8
+    (``tests/test_ann_blocking.py``)."""
+    from record_linkage_spark.operators.ann_blocking import ann_candidate_pairs
+
+    profiles, _ = _synth_profiles_keys(spark)
+    return ann_candidate_pairs(profiles)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Contract queries. ORDER MATTERS: the driver records a correctness
     verdict for the first 50 entries, so the first 50 are all
@@ -3215,6 +3248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agent_loops": q_agent_loops,
         "tool_transitions": q_tool_transitions,
         "turn_boilerplate": q_turn_boilerplate,
+        "ann_blocking": q_ann_blocking,
         # ---- rows-only (hash-kernel / pipeline / streaming ops — no
         # portable SQL twin; each pinned by pytest) ----
         "rl_swoosh": q_rl_swoosh,
@@ -3234,6 +3268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rl_star_clusters": q_rl_star_clusters,
         "rl_hac_clusters": q_rl_hac_clusters,
         "rl_canopies": q_rl_canopies,
+        "rl_ann_candidates": q_rl_ann_candidates,
         "rl_minhash": q_rl_minhash,
         "rl_simhash": q_rl_simhash,
         "rl_lsh_topk": q_rl_lsh_topk,
@@ -5242,6 +5277,31 @@ def oracle_sql() -> dict[str, str]:
             "b AS (SELECT text FROM t GROUP BY text "
             "HAVING count(DISTINCT conv_id) >= 20) "
             "SELECT * FROM t WHERE text NOT IN (SELECT text FROM b)"
+        ),
+        # identical md5 bucket/sign arithmetic; cosine scored from the
+        # sparse (doc, bucket) counts — dot over shared buckets / norms
+        # equals Spark's dense normalized zip_with to ~1e-15
+        "ann_blocking": (
+            "WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200), "
+            "tok AS (SELECT doc_id, unnest(string_split_regex("
+            "coalesce(text, ''), '\\s+')) AS t FROM d), "
+            "x AS (SELECT doc_id, "
+            "('0x' || substr(md5(t), 1, 15))::BIGINT % 128 AS xx "
+            "FROM tok WHERE t <> ''), "
+            "sgn AS (SELECT doc_id, CAST(xx // 2 AS INT) AS bucket, "
+            "CASE WHEN xx % 2 = 0 THEN 1.0 ELSE -1.0 END AS s FROM x), "
+            "counts AS (SELECT doc_id, bucket, sum(s) AS val "
+            "FROM sgn GROUP BY doc_id, bucket), "
+            "n AS (SELECT doc_id, sqrt(sum(val * val)) AS nrm "
+            "FROM counts GROUP BY doc_id), "
+            "dots AS (SELECT a.doc_id AS id_A, b.doc_id AS id_B, "
+            "sum(a.val * b.val) AS dot FROM counts a "
+            "JOIN counts b USING (bucket) WHERE a.doc_id < b.doc_id "
+            "GROUP BY a.doc_id, b.doc_id) "
+            "SELECT id_A, id_B, dot / (na.nrm * nb.nrm) AS cosine "
+            "FROM dots JOIN n na ON na.doc_id = id_A "
+            "JOIN n nb ON nb.doc_id = id_B "
+            "WHERE dot / (na.nrm * nb.nrm) >= 0.8"
         ),
         # SemDeDup at n_clusters=1: centroid == global per-dim mean;
         # groups = recursive min-label closure of cosine>=0.99 pairs;

@@ -64,6 +64,8 @@ STRATEGIES = {
 
 
 def required_profile_columns(strategy: str) -> list[str]:
+    if strategy == "ANN":
+        return ["first_text_norm", "last_text_norm"]
     spec = STRATEGIES[strategy]
     cols = {"text_len_bucket", "first_text_norm"}
     for colname, _ in spec["jw"]:
@@ -90,7 +92,17 @@ def candidate_pairs(
     the size aggregation). Feed a *materialized* table (checkpoint /
     parquet stage, as the pipeline does) so the rollup isn't recomputed
     per branch.
+
+    ``strategy="ANN"`` dispatches to vector-similarity blocking
+    (``ann_blocking.ann_candidate_pairs``) — same output contract, the
+    LSH bucket join standing in for the salted key join.
     """
+    if strategy == "ANN":
+        from record_linkage_spark.operators.ann_blocking import (
+            ann_candidate_pairs,
+        )
+
+        return ann_candidate_pairs(profiles)
     spec = STRATEGIES[strategy]
     key_exprs = [_KEY_EXPRS[name]().alias(name) for name in spec["equality"]]
     key_names = list(spec["equality"])
@@ -168,7 +180,14 @@ def apply_blocking_filter(
 
     keys_only=True stops after the block-KEY equality legs (no JW/exact
     cascade filters) — the \"labeled pairs at the same blocking key\"
-    domain, where hard negatives survive for ranking-quality metrics."""
+    domain, where hard negatives survive for ranking-quality metrics.
+
+    ``strategy="ANN"``: the vector-cosine threshold IS the block
+    membership test, so keys_only and the full cascade coincide."""
+    if strategy == "ANN":
+        from record_linkage_spark.operators.ann_blocking import ann_pair_filter
+
+        return ann_pair_filter(hydrated_pairs)
     spec = STRATEGIES[strategy]
     pairs = hydrated_pairs
     for name in spec["equality"]:

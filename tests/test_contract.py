@@ -30,6 +30,7 @@ def test_window_is_wall_to_wall_oracle_backed():
     # be added here deliberately.
     assert sorted(k for k in q[50:] if k in o) == [
         "agent_loops",
+        "ann_blocking",
         "c4_filters",
         "dsir_select",
         "explain_pairs",
