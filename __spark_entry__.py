@@ -3127,6 +3127,33 @@ def q_turn_boilerplate(spark, sf):
     return strip_boilerplate_turns(t, min_convs=20)
 
 
+def q_conv_reseg(spark, sf):
+    """Conversation re-segmentation
+    (``operators/transcript_checks.py::resegment_conversations``):
+    concatenated agent sessions split at >60-min idle gaps, conv_id
+    suffixed ``#<segment>`` and turn_idx re-zeroed per segment — the
+    ingest step that stops multi-session logs smearing into one rollup
+    profile. DuckDB replays the identical lag-gap -> segment cumsum ->
+    within-segment renumber cascade."""
+    from record_linkage_spark.operators.transcript_checks import (
+        resegment_conversations,
+    )
+
+    e = _t(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & (F.col("user_id") < 500)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.concat_ws(" ", "event_type", F.col("event_id").cast("string")).alias(
+            "text"
+        ),
+        "ts",
+    )
+    return resegment_conversations(t, gap_minutes=60.0)
+
+
 def q_ann_blocking(spark, sf):
     """Hashed-text-vector blocking semantics under the oracle signal
     (``operators/ann_blocking.py``): signed hashing-trick vectors
@@ -3249,6 +3276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_transitions": q_tool_transitions,
         "turn_boilerplate": q_turn_boilerplate,
         "ann_blocking": q_ann_blocking,
+        "conv_reseg": q_conv_reseg,
         # ---- rows-only (hash-kernel / pipeline / streaming ops — no
         # portable SQL twin; each pinned by pytest) ----
         "rl_swoosh": q_rl_swoosh,
@@ -5302,6 +5330,24 @@ def oracle_sql() -> dict[str, str]:
             "FROM dots JOIN n na ON na.doc_id = id_A "
             "JOIN n nb ON nb.doc_id = id_B "
             "WHERE dot / (na.nrm * nb.nrm) >= 0.8"
+        ),
+        # identical lag-gap -> segment cumsum -> within-segment renumber
+        "conv_reseg": (
+            "WITH e AS (SELECT * FROM events "
+            "WHERE ts IS NOT NULL AND user_id < 500), "
+            "t AS (SELECT CAST(user_id AS VARCHAR) AS conv_id, "
+            "CAST(row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) - 1 AS INT) AS turn_idx, "
+            "event_type || ' ' || CAST(event_id AS VARCHAR) AS text, ts "
+            "FROM e), "
+            "s AS (SELECT *, CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w "
+            "> 3600.0 THEN 1 ELSE 0 END AS ns FROM t "
+            "WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)), "
+            "g AS (SELECT *, sum(ns) OVER (PARTITION BY conv_id "
+            "ORDER BY turn_idx ROWS UNBOUNDED PRECEDING) AS seg FROM s) "
+            "SELECT conv_id || '#' || CAST(seg AS VARCHAR) AS conv_id, "
+            "CAST(row_number() OVER (PARTITION BY conv_id, seg "
+            "ORDER BY turn_idx) - 1 AS INT) AS turn_idx, text, ts FROM g"
         ),
         # SemDeDup at n_clusters=1: centroid == global per-dim mean;
         # groups = recursive min-label closure of cosine>=0.99 pairs;

@@ -126,6 +126,12 @@ def main() -> None:
     )
     n_cands = cands.count()
 
+    # vector-similarity blocking: hashed-vector build + RHP-LSH bucket
+    # join + exact-cosine verify over the same profile table
+    _, queries["ann_blocking_join"] = _timed_best2(
+        lambda: candidate_pairs(profiles, "ANN").count()
+    )
+
     model = LinearModel(
         weights=[2.0, 1.0, 1.5, 0.8, 0.6, 0.3, 0.5, 1.2, 0.4, 0.3, 0.8, 0.8, 0.8, 0.4, 1.0, 2.0],
         intercept=-6.0,

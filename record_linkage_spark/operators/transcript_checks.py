@@ -114,6 +114,58 @@ def transcript_integrity(
     )
 
 
+def resegment_conversations(
+    turns: DataFrame,
+    gap_minutes: float = 30.0,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Split conversations at idle gaps into per-session segments.
+
+    Agent logs frequently concatenate several user sessions under one
+    ``conv_id``; rolling those up as one conversation smears unrelated
+    sessions into one profile. A turn starts a new segment when its
+    timestamp is more than ``gap_minutes`` after the previous turn's (in
+    ``turn_idx`` order; a null timestamp on either side never splits —
+    the conservative choice, mirroring ``event_sessions``' gap rule).
+
+    Output is schema-preserving plus renumbering: ``conv_id`` becomes
+    ``<conv_id>#<segment>`` (segment is 0-based) and ``turn_idx`` is
+    re-zeroed within each segment, so the result feeds the rollup and
+    every downstream operator unchanged.
+
+    One conv_id shuffle: the gap lag, the segment cumsum and the
+    within-segment renumbering all partition on ``conv_id`` first
+    (the renumber window key is (conv_id, _seg) — a refinement of the
+    same partitioning, no new Exchange).
+    """
+    c, i, ts = conv_col, idx_col, ts_col
+    others = [x for x in turns.columns if x not in (c, i)]
+    w = Window.partitionBy(c).orderBy(i)
+    gap_sec = float(gap_minutes) * 60.0
+    # TIMESTAMP_NTZ -> epoch needs an explicit timestamp cast under
+    # Spark 4 ANSI (session pinned UTC)
+    ep = F.col(ts).cast("timestamp").cast("double")
+    stepped = turns.withColumn(
+        "_new_seg",
+        F.when(
+            (ep - F.lag(ep).over(w)) > F.lit(gap_sec), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "_seg",
+        F.sum("_new_seg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    wseg = Window.partitionBy(c, "_seg").orderBy(i)
+    return stepped.select(
+        F.concat_ws("#", F.col(c), F.col("_seg").cast("string")).alias(c),
+        (F.row_number().over(wseg) - 1).cast("int").alias(i),
+        *others,
+    )
+
+
 def prefix_hash_chain(texts: Column) -> Column:
     """Chained-md5 prefix hashes for an ordered text array.
 

@@ -32,6 +32,7 @@ def test_window_is_wall_to_wall_oracle_backed():
         "agent_loops",
         "ann_blocking",
         "c4_filters",
+        "conv_reseg",
         "dsir_select",
         "explain_pairs",
         "gopher_filters",

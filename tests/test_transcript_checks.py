@@ -128,6 +128,55 @@ def test_prefix_pairs_plan_is_equality_hash_join(spark):
     assert "Python" not in plan
 
 
+def test_resegment_truth_table(spark):
+    from record_linkage_spark.operators.transcript_checks import (
+        resegment_conversations,
+    )
+
+    rows = [
+        # one conv, 35-min gap between idx 1 and 2 -> two segments,
+        # turn_idx re-zeroed in the second
+        ("A", 0, "u", "a", _ts(0)),
+        ("A", 1, "a", "b", _ts(5)),
+        ("A", 2, "u", "c", _ts(41)),
+        ("A", 3, "a", "d", _ts(42)),
+        # null ts never splits (conservative)
+        ("B", 0, "u", "x", _ts(0)),
+        ("B", 1, "a", "y", None),
+        ("B", 2, "u", "z", _ts(50)),
+    ]
+    out = resegment_conversations(_turns(spark, rows), gap_minutes=30.0)
+    assert set(out.columns) == {"conv_id", "turn_idx", "role", "text", "ts"}
+    got = {
+        (r.conv_id, r.turn_idx, r.text)
+        for r in out.select("conv_id", "turn_idx", "text").collect()
+    }
+    assert got == {
+        ("A#0", 0, "a"),
+        ("A#0", 1, "b"),
+        ("A#1", 0, "c"),
+        ("A#1", 1, "d"),
+        ("B#0", 0, "x"),
+        ("B#0", 1, "y"),
+        ("B#0", 2, "z"),
+    }
+
+
+def test_resegment_single_shuffle_plan(spark):
+    from record_linkage_spark.operators.transcript_checks import (
+        resegment_conversations,
+    )
+
+    rows = [("A", 0, "u", "a", _ts(0)), ("A", 1, "a", "b", _ts(50))]
+    plan = resegment_conversations(
+        _turns(spark, rows)
+    )._jdf.queryExecution().executedPlan().toString()
+    # the (conv_id, _seg) renumber window is a refinement of the gap
+    # window's conv_id partitioning — Spark reuses the Exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Python" not in plan
+
+
 def test_integrity_single_shuffle_plan(spark):
     rows = [("ok", 0, "user", "hi", _ts(0)), ("ok", 1, "assistant", "yo", _ts(1))]
     plan = transcript_integrity(
