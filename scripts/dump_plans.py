@@ -104,6 +104,15 @@ COMMENTARY = {
         "hash join probing the corpus against that small catalog — the "
         "corpus payload itself is never reshuffled."
     ),
+    "rl_ann_candidates": (
+        "ANN (vector-similarity) blocking. The bucket self-join ships "
+        "only (id, 64-bit signature) — the vectors never enter the pair "
+        "blow-up; the bit_count Hamming prefilter sits directly on the "
+        "join output (codegen); both vector hydrations are "
+        "BroadcastHashJoins (explicit hint — the vector table beats the "
+        "10 MB auto threshold); the unit-dot verify runs only on "
+        "deduped survivors. Pure Catalyst: no Python node anywhere."
+    ),
 }
 
 
