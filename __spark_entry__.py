@@ -3095,6 +3095,33 @@ def q_tool_transitions(spark, sf):
     return tool_transitions(t)
 
 
+def q_tool_ngrams(spark, sf):
+    """Order-3 tool-sequence mining
+    (``operators/agent_analytics.py::tool_ngrams``): every
+    conversation's tool-call sequence contributes its length-3 windows,
+    counted corpus-wide with distinct-conversation support — the
+    multi-step-workflow generalization of ``tool_transitions``. Same
+    planted derivation as that entry; DuckDB replays with ordered list
+    aggregation + inclusive slicing (the fp_winnow pattern)."""
+    from record_linkage_spark.operators.agent_analytics import tool_ngrams
+
+    e = _t(spark, sf, "events").filter(
+        F.col("ts").isNotNull() & (F.col("user_id") < 500)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.when(F.col("event_id") % 4 != 0, F.lit("tool"))
+        .otherwise(F.lit("user"))
+        .alias("role"),
+        F.when(F.col("event_id") % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("event_type"))
+        .alias("tool"),
+    )
+    return tool_ngrams(t, n=3)
+
+
 def q_turn_boilerplate(spark, sf):
     """Cross-conversation boilerplate-turn stripping
     (``operators/agent_analytics.py::strip_boilerplate_turns``) — the
@@ -3274,6 +3301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_dups": q_prefix_dups,
         "agent_loops": q_agent_loops,
         "tool_transitions": q_tool_transitions,
+        "tool_ngrams": q_tool_ngrams,
         "turn_boilerplate": q_turn_boilerplate,
         "ann_blocking": q_ann_blocking,
         "conv_reseg": q_conv_reseg,
@@ -5290,6 +5318,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT prev_tool, next_tool, CAST(count(*) AS BIGINT) AS n, "
             "CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs "
             "FROM seq GROUP BY prev_tool, next_tool"
+        ),
+        # ordered list aggregation + inclusive slices (l[i:i+2] is the
+        # 3-element window in DuckDB's 1-based inclusive slicing)
+        "tool_ngrams": (
+            "WITH e AS (SELECT * FROM events "
+            "WHERE ts IS NOT NULL AND user_id < 500), "
+            "t AS (SELECT CAST(user_id AS VARCHAR) AS conv_id, "
+            "CAST(row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) - 1 AS INT) AS turn_idx, "
+            "CASE WHEN event_id % 4 <> 0 THEN 'tool' ELSE 'user' END AS role, "
+            "CASE WHEN event_id % 11 = 0 THEN NULL "
+            "ELSE event_type END AS tool FROM e), "
+            "calls AS (SELECT conv_id, turn_idx, tool FROM t "
+            "WHERE role = 'tool' AND tool IS NOT NULL), "
+            "seqs AS (SELECT conv_id, list(tool ORDER BY turn_idx) AS l "
+            "FROM calls GROUP BY conv_id), "
+            "g AS (SELECT conv_id, array_to_string(l[i:i+2], '>') AS gram "
+            "FROM seqs, unnest(range(1, len(l) - 1)) AS u(i) "
+            "WHERE len(l) >= 3) "
+            "SELECT gram, CAST(count(*) AS BIGINT) AS n_times, "
+            "CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs "
+            "FROM g GROUP BY gram"
         ),
         # >= 20-distinct-conv catalog + anti join; grouping by text here
         # == Spark's md5(text) grouping (no nulls, md5 injective)

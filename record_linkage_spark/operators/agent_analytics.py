@@ -180,6 +180,60 @@ def loop_runs(
     )
 
 
+def tool_ngrams(
+    turns: DataFrame,
+    n: int = 3,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    tool_col: str = "tool",
+    sep: str = ">",
+) -> DataFrame:
+    """Frequent order-``n`` tool-call sequences across the corpus.
+
+    The order-n generalization of :func:`tool_transitions` (which is the
+    n=2 case with a start token): each conversation's tool-call sequence
+    contributes its length-n windows, counted corpus-wide with
+    distinct-conversation support — the mining pass behind "what
+    multi-step tool workflows do agents actually run".
+
+    Returns ``(gram, n_times, n_convs)`` with ``gram`` the
+    ``sep``-joined tool names. One conv_id shuffle builds the ordered
+    call arrays (rollup-shaped); the window slicing is per-row array
+    work; the final groupBy's cardinality is bounded by distinct
+    observed sequences and combines map-side.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    c, i, r, tl = conv_col, idx_col, role_col, tool_col
+    calls = (
+        turns.filter((F.col(r) == "tool") & F.col(tl).isNotNull())
+        .groupBy(F.col(c).alias("_conv"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(i).alias("i"), F.col(tl).alias("t")))
+            ).alias("_seq")
+        )
+        .select("_conv", F.col("_seq.t").alias("_tools"))
+    )
+    # guard: sequence(1, stop) REVERSES when stop < 1 (step defaults to
+    # -1), so too-short conversations must yield an explicit empty array
+    starts = F.when(
+        F.size("_tools") >= n,
+        F.sequence(F.lit(1), F.size("_tools") - F.lit(n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = calls.select(
+        "_conv",
+        F.explode(
+            F.transform(starts, lambda j: F.array_join(F.slice("_tools", j, n), sep))
+        ).alias("gram"),
+    )
+    return grams.groupBy("gram").agg(
+        F.count("*").cast("long").alias("n_times"),
+        F.countDistinct("_conv").cast("long").alias("n_convs"),
+    )
+
+
 def tool_transitions(
     turns: DataFrame,
     conv_col: str = "conv_id",

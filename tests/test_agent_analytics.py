@@ -113,6 +113,37 @@ def test_tool_transitions_truth_table(spark):
     }
 
 
+def test_tool_ngrams_truth_table(spark):
+    from record_linkage_spark.operators.agent_analytics import tool_ngrams
+
+    rows = [
+        # A: search > read > write  (two 2-grams, one 3-gram)
+        ("A", 0, "tool", "t", "search"),
+        ("A", 1, "user", "q", None),  # non-tool turn ignored
+        ("A", 2, "tool", "t", "read"),
+        ("A", 3, "tool", "t", "write"),
+        # B: search > read (shares the 2-gram with A)
+        ("B", 0, "tool", "t", "search"),
+        ("B", 1, "tool", "t", "read"),
+        # C: single call — too short for any 2-gram
+        ("C", 0, "tool", "t", "search"),
+    ]
+    t = _turns(spark, rows)
+    g2 = {
+        r.gram: (r.n_times, r.n_convs)
+        for r in tool_ngrams(t, n=2).collect()
+    }
+    assert g2 == {
+        "search>read": (2, 2),
+        "read>write": (1, 1),
+    }
+    g3 = {r.gram: (r.n_times, r.n_convs) for r in tool_ngrams(t, n=3).collect()}
+    assert g3 == {"search>read>write": (1, 1)}
+    # n=1 degenerates to per-tool totals
+    g1 = {r.gram: r.n_times for r in tool_ngrams(t, n=1).collect()}
+    assert g1 == {"search": 3, "read": 2, "write": 1}
+
+
 def test_plan_shapes(spark):
     rows = [
         ("A", 0, "tool", "t", "search"),

@@ -45,6 +45,7 @@ def test_window_is_wall_to_wall_oracle_backed():
         "soft_tfidf",
         "span_dedup",
         "temporal_joins",
+        "tool_ngrams",
         "tool_transitions",
         "transcript_integrity",
         "turn_boilerplate",
