@@ -3122,6 +3122,36 @@ def q_tool_ngrams(spark, sf):
     return tool_ngrams(t, n=3)
 
 
+def q_transition_drift(spark, sf):
+    """Agent-behavior drift between two corpus snapshots
+    (``operators/agent_analytics.py::transition_drift``): the
+    tool-transition distributions of two disjoint user populations
+    (user_id < 500 vs 500-999) full-outer aligned with per-transition
+    probability deltas — sum(abs_diff)/2 is total-variation distance.
+    DuckDB replays both minings, the alignment and the normalization."""
+    from record_linkage_spark.operators.agent_analytics import transition_drift
+
+    def snap(lo, hi):
+        e = _t(spark, sf, "events").filter(
+            F.col("ts").isNotNull()
+            & (F.col("user_id") >= lo)
+            & (F.col("user_id") < hi)
+        )
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return e.select(
+            F.col("user_id").cast("string").alias("conv_id"),
+            (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+            F.when(F.col("event_id") % 4 != 0, F.lit("tool"))
+            .otherwise(F.lit("user"))
+            .alias("role"),
+            F.when(F.col("event_id") % 11 == 0, F.lit(None).cast("string"))
+            .otherwise(F.col("event_type"))
+            .alias("tool"),
+        )
+
+    return transition_drift(snap(0, 500), snap(500, 1000))
+
+
 def q_turn_boilerplate(spark, sf):
     """Cross-conversation boilerplate-turn stripping
     (``operators/agent_analytics.py::strip_boilerplate_turns``) — the
@@ -3302,6 +3332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agent_loops": q_agent_loops,
         "tool_transitions": q_tool_transitions,
         "tool_ngrams": q_tool_ngrams,
+        "transition_drift": q_transition_drift,
         "turn_boilerplate": q_turn_boilerplate,
         "ann_blocking": q_ann_blocking,
         "conv_reseg": q_conv_reseg,
@@ -5340,6 +5371,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT gram, CAST(count(*) AS BIGINT) AS n_times, "
             "CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs "
             "FROM g GROUP BY gram"
+        ),
+        # both snapshot minings + full-outer alignment + normalization
+        "transition_drift": (
+            "WITH t AS (SELECT CAST(user_id AS VARCHAR) AS conv_id, "
+            "CAST(row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) - 1 AS INT) AS turn_idx, "
+            "CASE WHEN event_id % 4 <> 0 THEN 'tool' ELSE 'user' END AS role, "
+            "CASE WHEN event_id % 11 = 0 THEN NULL ELSE event_type END AS tool, "
+            "user_id FROM events WHERE ts IS NOT NULL AND user_id < 1000), "
+            "calls AS (SELECT user_id, conv_id, turn_idx, tool AS next_tool "
+            "FROM t WHERE role = 'tool' AND tool IS NOT NULL), "
+            "seq AS (SELECT user_id, conv_id, coalesce(lag(next_tool) OVER "
+            "(PARTITION BY conv_id ORDER BY turn_idx), '^start') AS prev_tool, "
+            "next_tool FROM calls), "
+            "ca AS (SELECT prev_tool, next_tool, "
+            "CAST(count(*) AS BIGINT) AS n_a FROM seq WHERE user_id < 500 "
+            "GROUP BY prev_tool, next_tool), "
+            "cb AS (SELECT prev_tool, next_tool, "
+            "CAST(count(*) AS BIGINT) AS n_b FROM seq WHERE user_id >= 500 "
+            "GROUP BY prev_tool, next_tool), "
+            "j AS (SELECT coalesce(ca.prev_tool, cb.prev_tool) AS prev_tool, "
+            "coalesce(ca.next_tool, cb.next_tool) AS next_tool, "
+            "CAST(coalesce(n_a, 0) AS BIGINT) AS n_a, "
+            "CAST(coalesce(n_b, 0) AS BIGINT) AS n_b "
+            "FROM ca FULL OUTER JOIN cb "
+            "ON ca.prev_tool = cb.prev_tool AND ca.next_tool = cb.next_tool), "
+            "tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM j) "
+            "SELECT prev_tool, next_tool, n_a, n_b, "
+            "n_a / greatest(ta, 1) AS p_a, n_b / greatest(tb, 1) AS p_b, "
+            "abs(n_a / greatest(ta, 1) - n_b / greatest(tb, 1)) AS abs_diff "
+            "FROM j, tot"
         ),
         # >= 20-distinct-conv catalog + anti join; grouping by text here
         # == Spark's md5(text) grouping (no nulls, md5 injective)

@@ -234,6 +234,56 @@ def tool_ngrams(
     )
 
 
+def transition_drift(
+    turns_a: DataFrame,
+    turns_b: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Tool-transition distribution drift between two corpus snapshots.
+
+    Normalizes each snapshot's :func:`tool_transitions` counts into a
+    probability distribution over (prev_tool, next_tool) and full-outer
+    aligns them — the monitoring pass that flags agent-behavior change
+    between ingests (a new tool loop, a workflow that disappeared).
+    Returns one row per transition observed in EITHER snapshot::
+
+        (prev_tool, next_tool, n_a, n_b, p_a, p_b, abs_diff)
+
+    ``sum(abs_diff)/2`` over the result is total-variation distance.
+    Cost: two transition minings (one conv shuffle each, tiny outputs)
+    + a full outer join and two single-row totals on <= |tools|^2 rows.
+    """
+    kw = dict(
+        conv_col=conv_col, idx_col=idx_col, role_col=role_col, tool_col=tool_col
+    )
+    ta = tool_transitions(turns_a, **kw).select(
+        "prev_tool", "next_tool", F.col("n").alias("n_a")
+    )
+    tb = tool_transitions(turns_b, **kw).select(
+        "prev_tool", "next_tool", F.col("n").alias("n_b")
+    )
+    keys = ["prev_tool", "next_tool"]
+    joined = (
+        ta.join(tb, keys, "full_outer")
+        .withColumn("n_a", F.coalesce("n_a", F.lit(0)).cast("long"))
+        .withColumn("n_b", F.coalesce("n_b", F.lit(0)).cast("long"))
+    )
+    tot = joined.agg(
+        F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb")
+    )
+    out = joined.crossJoin(F.broadcast(tot)).select(
+        *keys,
+        "n_a",
+        "n_b",
+        (F.col("n_a") / F.greatest(F.col("_ta"), F.lit(1))).alias("p_a"),
+        (F.col("n_b") / F.greatest(F.col("_tb"), F.lit(1))).alias("p_b"),
+    )
+    return out.withColumn("abs_diff", F.abs(F.col("p_a") - F.col("p_b")))
+
+
 def tool_transitions(
     turns: DataFrame,
     conv_col: str = "conv_id",

@@ -6,7 +6,7 @@ Stages (each a checkpointed table + lineage sidecar, resumable):
   -> match_edges -> clusters (+ metrics JSON)
 
 Run:  python -m record_linkage_spark.plans.pipeline --warehouse /tmp/wh \
-        --entities 2000 [--from-stage candidates] [--strategy B1]
+        --entities 2000 [--from-stage candidates] [--strategy B1|B2|ANN]
 On a real cluster the same module ships via spark-submit --py-files.
 """
 

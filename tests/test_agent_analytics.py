@@ -144,6 +144,45 @@ def test_tool_ngrams_truth_table(spark):
     assert g1 == {"search": 3, "read": 2, "write": 1}
 
 
+def test_transition_drift_truth_table(spark):
+    from record_linkage_spark.operators.agent_analytics import transition_drift
+
+    a = _turns(
+        spark,
+        [
+            ("A", 0, "tool", "t", "search"),
+            ("A", 1, "tool", "t", "read"),
+            ("B", 0, "tool", "t", "search"),
+            ("B", 1, "tool", "t", "read"),
+        ],
+    )
+    # snapshot b: the search>read habit is gone, a write loop appeared
+    b = _turns(
+        spark,
+        [
+            ("C", 0, "tool", "t", "search"),
+            ("C", 1, "tool", "t", "write"),
+            ("C", 2, "tool", "t", "write"),
+        ],
+    )
+    rows = {
+        (r.prev_tool, r.next_tool): r
+        for r in transition_drift(a, b).collect()
+    }
+    # a: ^start>search x2, search>read x2 (4 total); b: ^start>search,
+    # search>write, write>write (3 total)
+    assert rows[("search", "read")].n_a == 2 and rows[("search", "read")].n_b == 0
+    assert abs(rows[("search", "read")].p_a - 0.5) < 1e-12
+    assert rows[("search", "read")].abs_diff == rows[("search", "read")].p_a
+    assert rows[("write", "write")].n_a == 0 and rows[("write", "write")].n_b == 1
+    assert abs(rows[("write", "write")].p_b - 1 / 3) < 1e-12
+    sstart = rows[("^start", "search")]
+    assert abs(sstart.abs_diff - abs(0.5 - 1 / 3)) < 1e-12
+    # total-variation distance = sum(abs_diff)/2, bounded by 1
+    tv = sum(r.abs_diff for r in rows.values()) / 2
+    assert 0 < tv < 1
+
+
 def test_plan_shapes(spark):
     rows = [
         ("A", 0, "tool", "t", "search"),

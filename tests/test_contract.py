@@ -48,6 +48,7 @@ def test_window_is_wall_to_wall_oracle_backed():
         "tool_ngrams",
         "tool_transitions",
         "transcript_integrity",
+        "transition_drift",
         "turn_boilerplate",
     ], "unexpected oracle-backed entry past the driver's 50-entry cutoff"
 
