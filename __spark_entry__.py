@@ -2478,6 +2478,148 @@ def q_curation_funnel(spark, sf):
 # exactly as strong as running the five entries separately.
 # --------------------------------------------------------------------------
 
+def q_blocking_cascades(spark, sf):
+    """Composite of the two production blocking cascades — B1
+    (``q_blocking_b1``) and B2 (``q_blocking_b2``) through the same
+    salted generator — union-folded into one slot; the ``strategy``
+    column already tags each leg, so every pair row of both standalone
+    checks appears verbatim in the hashed frame."""
+    return q_blocking_b1(spark, sf).unionByName(q_blocking_b2(spark, sf))
+
+
+def q_dedup_checks(spark, sf):
+    """Composite of exact-hash dedup (``q_dedup_exact``) and blocked
+    token-Jaccard + TF-IDF-cosine near-dup (``q_dedup_token_jaccard``)
+    union-tagged into one (kind, k1, k2, v1, v2) frame — both checks'
+    rows carried verbatim."""
+    ex = q_dedup_exact(spark, sf).select(
+        F.lit("exact").alias("kind"),
+        F.col("text_hash").alias("k1"),
+        F.col("keep_id").cast("string").alias("k2"),
+        F.col("n_copies").cast("double").alias("v1"),
+        F.lit(0.0).alias("v2"),
+    )
+    tj = q_dedup_token_jaccard(spark, sf).select(
+        F.lit("tokjac").alias("kind"),
+        F.col("id_A").cast("string").alias("k1"),
+        F.col("id_B").cast("string").alias("k2"),
+        F.col("jaccard").alias("v1"),
+        F.col("tfidf_cos").alias("v2"),
+    )
+    return ex.unionByName(tj)
+
+
+def q_doc_hygiene(spark, sf):
+    """Composite of the three per-document hygiene scans — PII scrub
+    (``q_pii_scrub``), Gopher repetition signals (``q_doc_repetition``)
+    and benchmark 8-gram decontamination (``q_decontam_overlap``) —
+    union-tagged into one (kind, doc_id, sval, v1..v4) frame with every
+    source value verbatim."""
+    pii = q_pii_scrub(spark, sf).select(
+        F.lit("pii").alias("kind"),
+        "doc_id",
+        F.col("scrubbed").alias("sval"),
+        F.lit(0.0).alias("v1"),
+        F.lit(0.0).alias("v2"),
+        F.lit(0.0).alias("v3"),
+        F.lit(0.0).alias("v4"),
+    )
+    rep = q_doc_repetition(spark, sf).select(
+        F.lit("rep").alias("kind"),
+        "doc_id",
+        F.lit("").alias("sval"),
+        F.col("n_tokens").cast("double").alias("v1"),
+        F.col("dup_token_frac").alias("v2"),
+        F.col("top_token_frac").alias("v3"),
+        F.col("dup_line_frac").alias("v4"),
+    )
+    dec = q_decontam_overlap(spark, sf).select(
+        F.lit("decontam").alias("kind"),
+        "doc_id",
+        F.lit("").alias("sval"),
+        F.col("n_shared_grams").cast("double").alias("v1"),
+        F.lit(0.0).alias("v2"),
+        F.lit(0.0).alias("v3"),
+        F.lit(0.0).alias("v4"),
+    )
+    return pii.unionByName(rep).unionByName(dec)
+
+
+def q_pack_budget(spark, sf):
+    """Composite of sequence packing (``q_seq_pack``) and per-language
+    token-budget sampling (``q_token_budget``) — the two
+    distributed-prefix-sum curation ops — union-tagged into one
+    (kind, rid, lang, n_tokens, v1, v2) frame, values verbatim."""
+    pack = q_seq_pack(spark, sf).select(
+        F.lit("pack").alias("kind"),
+        "rid",
+        F.lit("").alias("lang"),
+        "n_tokens",
+        F.col("bin_id").alias("v1"),
+        F.col("bin_offset").alias("v2"),
+    )
+    bud = q_token_budget(spark, sf).select(
+        F.lit("budget").alias("kind"),
+        F.col("doc_id").cast("string").alias("rid"),
+        "lang",
+        "n_tokens",
+        F.col("cum_before").alias("v1"),
+        F.lit(0).cast("bigint").alias("v2"),
+    )
+    return pack.unionByName(bud)
+
+
+def q_near_dup_pairs(spark, sf):
+    """Composite of the MinHash-LSH pair checks (symmetric +
+    cross-corpus, ``q_minhash_pairs``) and the SimHash pigeonhole check
+    (``q_simhash_hd``) in one (kind, id_A, id_B, v) frame — v carries
+    jaccard for the MinHash legs and the Hamming distance for SimHash."""
+    mh = q_minhash_pairs(spark, sf).withColumnRenamed("jaccard", "v")
+    sh = q_simhash_hd(spark, sf).select(
+        F.lit("simhash").alias("kind"),
+        F.col("id_A").cast("string").alias("id_A"),
+        F.col("id_B").cast("string").alias("id_B"),
+        F.col("hamming").cast("double").alias("v"),
+    )
+    return mh.unionByName(sh)
+
+
+def q_web_filters(spark, sf):
+    """Composite of the C4 rule cascade (``q_c4_filters``) and the
+    Gopher quality rules (``q_gopher_filters``) — union-tagged into one
+    (kind, doc_id, sval, i1-i3, f1-f5, keep) frame with every rule
+    metric of both standalone checks verbatim."""
+    c4 = q_c4_filters(spark, sf).select(
+        F.lit("c4").alias("kind"),
+        "doc_id",
+        F.col("kept_md5").alias("sval"),
+        F.col("n_lines").alias("i1"),
+        F.col("n_kept_lines").alias("i2"),
+        F.col("n_sentences").alias("i3"),
+        F.col("blocked").cast("double").alias("f1"),
+        F.col("lorem").cast("double").alias("f2"),
+        F.col("brace").cast("double").alias("f3"),
+        F.lit(0.0).alias("f4"),
+        F.lit(0.0).alias("f5"),
+        "keep",
+    )
+    go = q_gopher_filters(spark, sf).select(
+        F.lit("gopher").alias("kind"),
+        "doc_id",
+        F.lit("").alias("sval"),
+        F.col("n_words").alias("i1"),
+        F.col("n_stop_hits").alias("i2"),
+        F.lit(0).cast("int").alias("i3"),
+        F.col("mean_word_len").alias("f1"),
+        F.col("symbol_word_ratio").alias("f2"),
+        F.col("bullet_line_frac").alias("f3"),
+        F.col("ellipsis_line_frac").alias("f4"),
+        F.col("alpha_word_frac").alias("f5"),
+        "keep",
+    )
+    return c4.unionByName(go)
+
+
 def q_scalar_checks(spark, sf):
     """P1/A1 missing%, P14 prefix-key histogram, J5 semi/anti counts,
     A6 confusion counts, X1 hash-split sizes — one (chk, k, v) frame."""
@@ -3257,8 +3399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- flagship compositions (blocking -> featurize -> score -> report)
         "scored_pairs_portable": q_scored_pairs_portable,
         "compare_report_portable": q_compare_report_portable,
-        "blocking_b1": q_blocking_b1,
-        "blocking_b2": q_blocking_b2,
+        "blocking_cascades": q_blocking_cascades,  # B1 + B2 salted cascades
+        "ann_blocking": q_ann_blocking,
         "cc_components": q_cc_components,
         "inc_components": q_inc_components,
         "curation_funnel": q_curation_funnel,
@@ -3292,20 +3434,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sn_pairs": q_sn_pairs,
         "meta_blocking": q_meta_blocking,
         # -- dedup / similarity-search / curation extras
-        "dedup_exact": q_dedup_exact,
-        "dedup_token_jaccard": q_dedup_token_jaccard,
+        "dedup_checks": q_dedup_checks,    # exact + token-Jaccard/TF-IDF
+        "explain_pairs": q_explain_pairs,
         "ssjoin_prefix": q_ssjoin_prefix,  # guaranteed-recall prefix filter
         "dedup_keep_best": q_dedup_keep_best,
         "span_overlap": q_span_overlap,
-        "minhash_pairs": q_minhash_pairs,  # symmetric + cross-corpus LSH
-        "simhash_hd": q_simhash_hd,
+        "near_dup_pairs": q_near_dup_pairs,  # MinHash sym+cross + SimHash
+        "pq_adc": q_pq_adc,
         "ann_brute_topk": q_ann_brute_topk,
         "rl_embedding_neardup": q_rl_embedding_neardup,
-        "pii_scrub": q_pii_scrub,
-        "doc_repetition": q_doc_repetition,
-        "decontam_overlap": q_decontam_overlap,
-        "seq_pack": q_seq_pack,
-        "token_budget": q_token_budget,
+        "doc_hygiene": q_doc_hygiene,      # PII + repetition + decontam
+        "web_filters": q_web_filters,      # C4 + Gopher rule cascades
+        "transcript_integrity": q_transcript_integrity,
+        "pack_budget": q_pack_budget,      # seq packing + token budget
+        "temporal_joins": q_temporal_joins,
         "corpus_profile": q_corpus_profile,   # ngram_topk + length_quantiles
         "fp_winnow": q_fp_winnow,
         "text_stats": q_text_stats,              # token counts + quality + langid
@@ -3322,19 +3464,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pprl_dice": q_pprl_dice,
         "lm_entropy": q_lm_entropy,
         "dsir_select": q_dsir_select,
-        "temporal_joins": q_temporal_joins,
-        "c4_filters": q_c4_filters,
-        "gopher_filters": q_gopher_filters,
-        "explain_pairs": q_explain_pairs,
-        "pq_adc": q_pq_adc,
-        "transcript_integrity": q_transcript_integrity,
         "prefix_dups": q_prefix_dups,
         "agent_loops": q_agent_loops,
         "tool_transitions": q_tool_transitions,
         "tool_ngrams": q_tool_ngrams,
         "transition_drift": q_transition_drift,
         "turn_boilerplate": q_turn_boilerplate,
-        "ann_blocking": q_ann_blocking,
         "conv_reseg": q_conv_reseg,
         # ---- rows-only (hash-kernel / pipeline / streaming ops — no
         # portable SQL twin; each pinned by pytest) ----
@@ -3532,12 +3667,71 @@ def _composite_oracles(base: dict[str, str]) -> dict[str, str]:
         f"FROM ({base['minhash_cross']})"
     )
 
+    near_dup_sql = (
+        f"SELECT kind, id_A, id_B, jaccard AS v FROM ({minhash_pairs_sql}) "
+        "UNION ALL SELECT 'simhash' AS kind, CAST(id_A AS VARCHAR), "
+        "CAST(id_B AS VARCHAR), CAST(hamming AS DOUBLE) "
+        f"FROM ({base['simhash_hd']})"
+    )
+
+    dedup_checks_sql = (
+        "SELECT 'exact' AS kind, text_hash AS k1, "
+        "CAST(keep_id AS VARCHAR) AS k2, CAST(n_copies AS DOUBLE) AS v1, "
+        f"0.0 AS v2 FROM ({base['dedup_exact']}) "
+        "UNION ALL SELECT 'tokjac', CAST(id_A AS VARCHAR), "
+        "CAST(id_B AS VARCHAR), jaccard, tfidf_cos "
+        f"FROM ({base['dedup_token_jaccard']})"
+    )
+
+    doc_hygiene_sql = (
+        "SELECT 'pii' AS kind, doc_id, scrubbed AS sval, "
+        "0.0 AS v1, 0.0 AS v2, 0.0 AS v3, 0.0 AS v4 "
+        f"FROM ({base['pii_scrub']}) "
+        "UNION ALL SELECT 'rep', doc_id, '', CAST(n_tokens AS DOUBLE), "
+        "dup_token_frac, top_token_frac, dup_line_frac "
+        f"FROM ({base['doc_repetition']}) "
+        "UNION ALL SELECT 'decontam', doc_id, '', "
+        "CAST(n_shared_grams AS DOUBLE), 0.0, 0.0, 0.0 "
+        f"FROM ({base['decontam_overlap']})"
+    )
+
+    pack_budget_sql = (
+        "SELECT 'pack' AS kind, rid, '' AS lang, n_tokens, "
+        "CAST(bin_id AS BIGINT) AS v1, CAST(bin_offset AS BIGINT) AS v2 "
+        f"FROM ({base['seq_pack']}) "
+        "UNION ALL SELECT 'budget', CAST(doc_id AS VARCHAR), lang, "
+        "n_tokens, CAST(cum_before AS BIGINT), CAST(0 AS BIGINT) "
+        f"FROM ({base['token_budget']})"
+    )
+
+    web_filters_sql = (
+        "SELECT 'c4' AS kind, doc_id, kept_md5 AS sval, "
+        "CAST(n_lines AS INTEGER) AS i1, CAST(n_kept_lines AS INTEGER) AS i2, "
+        "CAST(n_sentences AS INTEGER) AS i3, "
+        "CAST(blocked AS DOUBLE) AS f1, CAST(lorem AS DOUBLE) AS f2, "
+        "CAST(brace AS DOUBLE) AS f3, 0.0 AS f4, 0.0 AS f5, "
+        f"CAST(keep AS INTEGER) AS keep FROM ({base['c4_filters']}) "
+        "UNION ALL SELECT 'gopher', doc_id, '', "
+        "CAST(n_words AS INTEGER), CAST(n_stop_hits AS INTEGER), "
+        "CAST(0 AS INTEGER), mean_word_len, symbol_word_ratio, "
+        "bullet_line_frac, ellipsis_line_frac, alpha_word_frac, "
+        f"CAST(keep AS INTEGER) FROM ({base['gopher_filters']})"
+    )
+
     return {
         "rollup_portable": rollup_sql,
         "scalar_transforms": scalar_transforms_sql,
         "set_ops": set_ops_sql,
         "golden_records": golden_sql,
-        "minhash_pairs": minhash_pairs_sql,
+        "blocking_cascades": (
+            f"SELECT * FROM ({base['blocking_b1']}) "
+            f"UNION ALL SELECT * FROM ({base['blocking_b2']})"
+        ),
+        "near_dup_pairs": near_dup_sql,
+        "dedup_checks": dedup_checks_sql,
+        "doc_hygiene": doc_hygiene_sql,
+        "pack_budget": pack_budget_sql,
+        "web_filters": web_filters_sql,
         "sampling_checks": (
             f"SELECT 'hash_quota' AS kind, doc_id, lang FROM ({base['w4_hash_quota']}) "
             "UNION ALL "
@@ -4844,8 +5038,9 @@ def oracle_sql() -> dict[str, str]:
             "c AS (SELECT rid, n_tokens, COALESCE(sum(n_tokens) OVER ("
             "ORDER BY h, rid ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
             "), 0) AS cum_before FROM t) "
-            "SELECT rid, n_tokens, cum_before // 2048 AS bin_id, "
-            "cum_before % 2048 AS bin_offset FROM c"
+            "SELECT rid, n_tokens, "
+            "CAST(cum_before // 2048 AS BIGINT) AS bin_id, "
+            "CAST(cum_before % 2048 AS BIGINT) AS bin_offset FROM c"
         ),
         # contamination scan: 8-gram overlap counts recomputed brute-force
         "decontam_overlap": (
@@ -5556,6 +5751,10 @@ def oracle_sql() -> dict[str, str]:
         "p18_checksum", "f4_gauss_comparator", "u1_union_sources",
         "u3_canonical_dedup", "minhash_exactset", "minhash_cross",
         "ngram_topk", "length_quantiles",
+        # round-4 window merges (each rides verbatim inside its composite)
+        "blocking_b1", "blocking_b2", "dedup_exact", "dedup_token_jaccard",
+        "pii_scrub", "doc_repetition", "decontam_overlap", "seq_pack",
+        "token_budget", "simhash_hd", "c4_filters", "gopher_filters",
     ):
         out.pop(merged, None)
     return out

@@ -174,15 +174,31 @@ def main() -> None:
     n_big = feats.count()
     queries["rl_featurize_pairs"] = feat_sec
 
+    # Deepen the SCORED set so the headline's timed pass is >= 5 s at
+    # local[32]: replicate the materialized feature rows (identical
+    # feature distribution, 16x the row count — scoring is row-wise
+    # codegen, so 16x rows is honestly 16x work) instead of featurizing
+    # 16x the pairs, which would charge ~100 s to a stage that isn't the
+    # headline. The r03 driver artifact halved the headline purely from
+    # scheduler jitter on a 0.3-1.0 s pass; at ~20M rows the pass is
+    # 5-8 s and jitter is noise, not the number. Replication and
+    # materialization are untimed.
+    _REPLICAS = 16
+    feats_deep = feats
+    for _ in range(_REPLICAS - 1):
+        feats_deep = feats_deep.unionByName(feats)
+    feats_deep = feats_deep.localCheckpoint()
+    n_deep = feats_deep.count()
+
     def _score_pass():
         return (
-            score_pairs(feats, model)
+            score_pairs(feats_deep, model)
             .agg(F.sum("pred").cast("long").alias("m"), F.count("*").alias("n"))
             .first()
         )
 
-    # headline is sub-second at this scale — best of two passes so one
-    # noisy-neighbor burst on the shared VM doesn't set the round record
+    # best of two passes so one noisy-neighbor burst on the shared VM
+    # doesn't set the round record
     t0 = time.time()
     n_matches = _score_pass()
     score_sec = time.time() - t0
@@ -342,7 +358,7 @@ def main() -> None:
         lambda: strip_boilerplate_turns(transcripts, min_convs=25).count()
     )
 
-    pairs_per_sec = n_big / score_sec if score_sec > 0 else 0.0
+    pairs_per_sec = n_deep / score_sec if score_sec > 0 else 0.0
     total = sum(queries.values())
     print(
         json.dumps(
@@ -358,7 +374,8 @@ def main() -> None:
                 "n_convs": n_convs,
                 "n_candidate_pairs": n_cands,
                 "n_scored_pairs": n_scored,
-                "n_headline_pairs": n_big,
+                "n_headline_pairs": n_deep,
+                "n_featurized_pairs": n_big,
                 "n_headline_matches": int(n_matches.m or 0),
                 "featurize_pairs_per_sec": round(n_big / feat_sec, 1) if feat_sec else 0.0,
                 "calib_mops_1t": _cpu_calibration(),

@@ -266,11 +266,15 @@ def transition_drift(
         "prev_tool", "next_tool", F.col("n").alias("n_b")
     )
     keys = ["prev_tool", "next_tool"]
+    # joined feeds two actions (the totals aggregate and the output
+    # select) — materialize it (<= |tools|^2 + |tools| rows) so each
+    # snapshot's conv-window transition mining runs ONCE, not once per
+    # consumer
     joined = (
         ta.join(tb, keys, "full_outer")
         .withColumn("n_a", F.coalesce("n_a", F.lit(0)).cast("long"))
         .withColumn("n_b", F.coalesce("n_b", F.lit(0)).cast("long"))
-    )
+    ).localCheckpoint()
     tot = joined.agg(
         F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb")
     )

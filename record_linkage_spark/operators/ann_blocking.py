@@ -60,6 +60,12 @@ ANN_DIM = 64
 ANN_COSINE_THRESHOLD = 0.80
 ANN_NUM_PLANES = 32
 ANN_NUM_BANDS = 4
+# above this estimated build-side size the hydration joins fall back to
+# SHUFFLE_HASH instead of broadcast: a broadcast is a full copy of the
+# vector table on the driver AND every executor, so an O(corpus) vector
+# table must never ride it (the never-O(corpus) discipline this module's
+# bucket join already follows)
+ANN_BROADCAST_MAX_BYTES = 128 << 20
 
 
 def _tok_hash(t: Column) -> Column:
@@ -146,6 +152,8 @@ def ann_candidate_pairs(
     cosine_threshold: float = ANN_COSINE_THRESHOLD,
     num_planes: int = ANN_NUM_PLANES,
     num_bands: int = ANN_NUM_BANDS,
+    h_sigmas: float = 2.0,
+    broadcast_max_bytes: int = ANN_BROADCAST_MAX_BYTES,
 ) -> DataFrame:
     """Generator form: (id_A, id_B, block_key, strategy) candidate pairs
     whose hashed-text vectors clear ``cosine_threshold``, found via the
@@ -157,10 +165,26 @@ def ann_candidate_pairs(
     signature (``bit_count(sig_A ^ sig_B)``) kills ~96% of random
     bucket-mates before anything is deduped or hydrated; the exact
     cosine runs via two hash joins back to the vector table on the
-    small survivor set only. The Hamming cut is mean + 2 sigma of the
-    binomial at exactly ``cosine_threshold`` (P(bit disagree) =
-    acos(tau)/pi), so pairs AT the threshold survive with ~97.5%
-    probability and better pairs essentially always."""
+    small survivor set only.
+
+    RECALL CONTRACT (not exactly 1.0 against "all pairs with cosine >=
+    tau"): two independent losses multiply. (a) Banding: a pair at
+    exactly ``cosine_threshold`` shares at least one band with
+    probability 1-(1-(1-p)^r)^b (p = acos(tau)/pi, r bits/band, b
+    bands); better-than-threshold pairs approach 1. (b) The Hamming
+    prefilter cut is mean + ``h_sigmas``·sigma of
+    Binomial(num_planes, p) at exactly the threshold, so an
+    AT-threshold pair that did collide survives it with
+    ~Phi(h_sigmas) — ~97.7% at the default 2.0 — and clearly-better
+    pairs essentially always. Raise ``h_sigmas`` (e.g. 3.0 → ~99.9%)
+    to trade verify fan-in for recall; ``tests/test_ann_blocking.py``
+    pins measured recall >= 0.8 against the brute-force oracle.
+
+    The exact-cosine hydration joins broadcast the vector table only
+    while its ESTIMATED size (rows x (8·dim + 64) bytes) stays under
+    ``broadcast_max_bytes``; above that they fall back to SHUFFLE_HASH
+    joins — a large corpus' vector table must never be copied to the
+    driver and every executor."""
     import math
 
     texts = profiles.select(
@@ -213,11 +237,12 @@ def ann_candidate_pairs(
         F.col("_vid").alias("id_B"),
         F.col("_sig").alias("_sb"),
     ).repartition(n_parts, "_bucket")
-    # Hamming cut: mean + 2 sigma of Binomial(num_planes, p_disagree)
+    # Hamming cut: mean + h_sigmas sigma of Binomial(num_planes,
+    # p_disagree) — see the recall contract in the docstring
     p_dis = math.acos(min(max(cosine_threshold, -1.0), 1.0)) / math.pi
     h_max = int(
         num_planes * p_dis
-        + 2.0 * math.sqrt(num_planes * p_dis * (1.0 - p_dis))
+        + h_sigmas * math.sqrt(num_planes * p_dis * (1.0 - p_dis))
     )
     survivors = (
         a.join(b, "_bucket")
@@ -230,14 +255,24 @@ def ann_candidate_pairs(
     )
     va = vecs.select(F.col(id_col).alias("id_A"), F.col("vec").alias("_va"))
     vb = vecs.select(F.col(id_col).alias("id_B"), F.col("vec").alias("_vb"))
-    # explicit broadcast: the vector table (n x dim doubles) routinely
-    # exceeds the 10 MB auto-broadcast threshold while the survivor pair
-    # set is orders of magnitude larger — without the hint both
-    # hydrations become sort-merge joins that shuffle every pair twice
-    # (measured 3x the whole operator's cost at sf0.1)
+    # hydration join strategy, size-gated: below the gate, explicit
+    # broadcast (the table routinely exceeds the 10 MB auto threshold
+    # while the survivor pair set is orders of magnitude larger —
+    # without the hint both hydrations become sort-merge joins that
+    # shuffle every pair twice, measured 3x the whole operator's cost
+    # at sf0.1). Above it, a broadcast would copy an O(corpus) vector
+    # table to the driver and every executor — force SHUFFLE_HASH
+    # instead (still no sort, and only the survivor keys shuffle).
+    # vecs is localCheckpointed above, so the count is a cheap scan of
+    # materialized partitions, not a recompute.
+    est_bytes = vecs.count() * (8 * dim + 64)
+    if est_bytes <= broadcast_max_bytes:
+        va, vb = F.broadcast(va), F.broadcast(vb)
+    else:
+        va, vb = va.hint("SHUFFLE_HASH"), vb.hint("SHUFFLE_HASH")
     return (
-        survivors.join(F.broadcast(va), "id_A")
-        .join(F.broadcast(vb), "id_B")
+        survivors.join(va, "id_A")
+        .join(vb, "id_B")
         .filter(unit_dot("_va", "_vb") >= F.lit(cosine_threshold))
         .select(
             "id_A",

@@ -57,7 +57,12 @@ def transcript_integrity(
       role — alternation violations;
     - ``n_ts_regress``   adjacent turns whose timestamp moves backwards
       relative to turn_idx order (both timestamps non-null);
-    - ``is_clean``       all of the above pass.
+    - ``is_clean``       no duplicate indexes, no gaps, starts at zero,
+      no empty texts, no timestamp regressions. ``n_role_repeats`` is
+      REPORTED but deliberately EXCLUDED from ``is_clean`` — same-role
+      adjacency occurs naturally in valid transcripts (consecutive tool
+      results, multi-part assistant turns), so it is a signal for
+      downstream policy, not a structural defect.
 
     Single-shuffle plan: the lag window and the final groupBy both
     partition on ``conv_id``, so the aggregation reuses the window's

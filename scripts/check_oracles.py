@@ -76,6 +76,25 @@ def main() -> None:
             continue
         ok_cols = sorted(sdf.columns) == sorted(ddf.columns)
         ok_rows = len(sdf) == len(ddf)
+        # dtype-KIND parity: the driver's value hash renders ints and
+        # floats differently (0 vs 0.0), so a twin that comes back
+        # float64 where Spark is int64 (e.g. DuckDB HUGEINT window sums)
+        # red-flags here even though values compare equal numerically.
+        # int <-> float is tolerated only when the column has nulls on
+        # either side (nullable ints surface as float64 in pandas).
+        if ok_cols:
+            for c in sdf.columns:
+                ks, kd = sdf[c].dtype.kind, ddf[c].dtype.kind
+                if ks == kd or {ks, kd} <= {"O", "b"}:
+                    continue
+                nullable = sdf[c].isna().any() or ddf[c].isna().any()
+                if {ks, kd} <= {"i", "u", "f"} and nullable:
+                    continue
+                ok_cols = False
+                print(
+                    f"      {name} dtype kind mismatch on '{c}': "
+                    f"spark={sdf[c].dtype} duckdb={ddf[c].dtype}"
+                )
         ok_vals = False
         if ok_cols and ok_rows:
             a, b = normalize(sdf.copy()), normalize(ddf.copy())

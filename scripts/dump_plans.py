@@ -19,8 +19,9 @@ from record_linkage_spark.session import get_spark  # noqa: E402
 SF = "/root/testdata/sf0.001"
 
 COMMENTARY = {
-    "blocking_b1": (
-        "Salted blocking generator. Reading order: parquet scans feed a "
+    "blocking_cascades": (
+        "Salted blocking generator (B1 + B2 cascades union-folded). "
+        "Reading order: parquet scans feed a "
         "broadcast of per-key block sizes (the salt fan-out decision), the "
         "self-join is a hash join on (equality keys, salt) — never a "
         "cartesian — and ArrowEvalPython (the JW kernel) sits strictly "
