@@ -58,8 +58,17 @@ def unit_dot(a, b) -> Column:
 
 ANN_DIM = 64
 ANN_COSINE_THRESHOLD = 0.80
-ANN_NUM_PLANES = 32
+# the full RHP signature feeds only the Hamming prefilter; banding uses
+# the low num_bands*band_bits bits. 60 planes (vs the round-3 32) keep
+# the at-threshold survival at ~Phi(2) while the binomial concentrates,
+# so the filter gets SHARPER around the threshold as planes grow:
+# same-boot A/B at sf0.1 (64k profiles, 61.2M bucket-mate pairs) —
+# verify fan-in 38.2M -> 8.4M survivors, whole stage 50.1 s -> 18.1 s,
+# candidate output 23,528 -> 23,526 (recall vs the brute-force oracle
+# unchanged, pinned by tests/test_ann_blocking.py).
+ANN_NUM_PLANES = 60
 ANN_NUM_BANDS = 4
+ANN_BAND_BITS = 8
 # above this estimated build-side size the hydration joins fall back to
 # SHUFFLE_HASH instead of broadcast: a broadcast is a full copy of the
 # vector table on the driver AND every executor, so an O(corpus) vector
@@ -152,6 +161,7 @@ def ann_candidate_pairs(
     cosine_threshold: float = ANN_COSINE_THRESHOLD,
     num_planes: int = ANN_NUM_PLANES,
     num_bands: int = ANN_NUM_BANDS,
+    band_bits: int = ANN_BAND_BITS,
     h_sigmas: float = 2.0,
     broadcast_max_bytes: int = ANN_BROADCAST_MAX_BYTES,
 ) -> DataFrame:
@@ -170,15 +180,18 @@ def ann_candidate_pairs(
     RECALL CONTRACT (not exactly 1.0 against "all pairs with cosine >=
     tau"): two independent losses multiply. (a) Banding: a pair at
     exactly ``cosine_threshold`` shares at least one band with
-    probability 1-(1-(1-p)^r)^b (p = acos(tau)/pi, r bits/band, b
-    bands); better-than-threshold pairs approach 1. (b) The Hamming
-    prefilter cut is mean + ``h_sigmas``·sigma of
+    probability 1-(1-(1-p)^r)^b (p = acos(tau)/pi, r = ``band_bits``,
+    b = ``num_bands``); better-than-threshold pairs approach 1.
+    (b) The Hamming prefilter cut is mean + ``h_sigmas``·sigma of
     Binomial(num_planes, p) at exactly the threshold, so an
     AT-threshold pair that did collide survives it with
     ~Phi(h_sigmas) — ~97.7% at the default 2.0 — and clearly-better
     pairs essentially always. Raise ``h_sigmas`` (e.g. 3.0 → ~99.9%)
     to trade verify fan-in for recall; ``tests/test_ann_blocking.py``
     pins measured recall >= 0.8 against the brute-force oracle.
+    ``num_planes`` does NOT change banding (which reads only the low
+    ``num_bands*band_bits`` bits) — extra planes only concentrate the
+    Hamming statistic, shrinking verify fan-in at constant recall.
 
     The exact-cosine hydration joins broadcast the vector table only
     while its ESTIMATED size (rows x (8·dim + 64) bytes) stays under
@@ -186,6 +199,12 @@ def ann_candidate_pairs(
     joins — a large corpus' vector table must never be copied to the
     driver and every executor."""
     import math
+
+    if num_bands * band_bits > min(num_planes, 63):
+        raise ValueError(
+            f"banding reads {num_bands * band_bits} low bits but the "
+            f"signature has only {min(num_planes, 63)}"
+        )
 
     texts = profiles.select(
         F.col(id_col),
@@ -206,14 +225,17 @@ def ann_candidate_pairs(
         F.col(id_col).alias("_vid"),
         rhp_signature(F.col("vec"), num_planes).alias("_sig"),
     )
-    bits_per_band = num_planes // num_bands
+    # banding reads only the LOW num_bands*band_bits signature bits
+    # (bucket structure — and so banding recall and bucket-join volume —
+    # is independent of num_planes); the remaining planes exist purely
+    # to sharpen the Hamming prefilter below
     bands = F.array(
         *[
             F.concat_ws(
                 ":",
                 F.lit(str(i)),
-                F.shiftright("_sig", i * bits_per_band)
-                .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+                F.shiftright("_sig", i * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1))
                 .cast("string"),
             )
             for i in range(num_bands)
