@@ -2,17 +2,29 @@
 
 Image/audio/video content rides as ``binary`` columns with a metadata
 struct; decode/feature-extraction runs as Arrow-batched ``mapInPandas``
-(one batch of payloads per Python call, never per-row UDFs). The actual
-codec step is STUBBED — the decode libraries (PIL/librosa/av) are not in
-this container — behind ``set_decoder``: the default deterministic fake
-derives pseudo-features from the payload hash so the Spark-side plumbing
-(schema, batch shape, partitioning) is real and tested; swap in a real
-decoder in production without touching the plan.
+(one batch of payloads per Python call, never per-row UDFs). Two
+decoders ship:
+
+- ``_fake_decode_batch`` (default): deterministic hash-derived pseudo-
+  features — keeps the contract queries replayable (the DuckDB oracle
+  recomputes the same sha1 math) and exercises the full Spark plumbing
+  (schema, batch shape, partitioning) with no codec dependency.
+- ``stdlib_decode_batch``: a REAL decoder for the formats the Python
+  stdlib can parse without third-party codecs — RIFF/WAVE PCM audio
+  (via ``wave``) and binary netpbm images (P5 PGM / P6 PPM) — emitting
+  signal statistics as the feature vector. Formats are sniffed from
+  magic bytes; unrecognized payloads fall back to the hash features so
+  a mixed corpus decodes in one pass. Install richer codecs
+  (PIL/librosa/av) in production via ``set_decoder`` / the ``decoder=``
+  argument without touching the plan.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from typing import Callable, Iterator
 
 import numpy as np
@@ -76,21 +88,147 @@ def set_decoder(fn: Callable[[pd.Series], np.ndarray]) -> None:
     _DECODER = fn
 
 
-def real_decode_stub(payloads: pd.Series) -> np.ndarray:
-    """The production decode path — requires PIL/librosa/av, absent here."""
-    raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "install a decoder and register it with set_decoder()"
-    )
+def _decode_wav(data: bytes) -> np.ndarray | None:
+    """RIFF/WAVE PCM -> FEATURE_DIM floats of audio statistics, or None
+    if the payload isn't a parseable PCM WAV. Layout:
+    [1.0 (audio tag), n_channels, sample_rate/1000, n_frames,
+     duration_s, mean, std, min, max, rms, zero_crossing_rate,
+     mean(|x|), seg_rms x4 (4-window energy envelope)], samples
+    normalized to [-1, 1]."""
+    if not data.startswith(b"RIFF") or data[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            n_ch = w.getnchannels()
+            rate = w.getframerate()
+            width = w.getsampwidth()
+            n_frames = w.getnframes()
+            raw = w.readframes(n_frames)
+    except (wave.Error, EOFError, struct.error):
+        return None
+    if width == 1:  # 8-bit WAV is unsigned
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+        x = (x - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        return None
+    out = np.zeros(FEATURE_DIM, dtype=np.float32)
+    out[0] = 1.0
+    out[1] = n_ch
+    out[2] = rate / 1000.0
+    out[3] = float(n_frames)
+    out[4] = n_frames / rate if rate else 0.0
+    if x.size:
+        out[5] = x.mean()
+        out[6] = x.std()
+        out[7] = x.min()
+        out[8] = x.max()
+        out[9] = float(np.sqrt(np.mean(x * x)))
+        out[10] = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+        out[11] = float(np.mean(np.abs(x)))
+        for i, seg in enumerate(np.array_split(x, 4)):
+            if seg.size:
+                out[12 + i] = float(np.sqrt(np.mean(seg * seg)))
+    return out
 
 
-def extract_media_features(media: DataFrame) -> DataFrame:
+def _decode_netpbm(data: bytes) -> np.ndarray | None:
+    """Binary netpbm (P5 grayscale / P6 RGB, maxval <= 255) -> FEATURE_DIM
+    floats of pixel statistics, or None if not parseable. Layout:
+    [2.0|3.0 (gray|rgb tag), width, height, channels, maxval,
+     mean, std, min, max (all /maxval), channel means x3 (/maxval;
+     gray repeats), quadrant means x3 (/maxval: top-left, top-right,
+     bottom half)]."""
+    if data[:2] not in (b"P5", b"P6"):
+        return None
+    # header: magic, width, height, maxval as whitespace-separated ASCII
+    # tokens; '#' comments run to end-of-line
+    pos, tokens = 2, []
+    while len(tokens) < 3 and pos < len(data):
+        c = data[pos : pos + 1]
+        if c == b"#":
+            nl = data.find(b"\n", pos)
+            pos = len(data) if nl < 0 else nl + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(data) and not data[end : end + 1].isspace():
+                end += 1
+            tokens.append(data[pos:end])
+            pos = end
+    if len(tokens) < 3:
+        return None
+    try:
+        width, height, maxval = (int(t) for t in tokens)
+    except ValueError:
+        return None
+    if min(width, height, maxval) <= 0 or maxval > 255:
+        return None
+    pos += 1  # single whitespace byte after maxval, then raster
+    ch = 3 if data[:2] == b"P6" else 1
+    need = width * height * ch
+    raster = data[pos : pos + need]
+    if len(raster) < need:
+        return None
+    px = np.frombuffer(raster, dtype=np.uint8).reshape(height, width, ch)
+    x = px.astype(np.float32) / maxval
+    out = np.zeros(FEATURE_DIM, dtype=np.float32)
+    out[0] = 2.0 if ch == 1 else 3.0
+    out[1] = width
+    out[2] = height
+    out[3] = ch
+    out[4] = maxval
+    out[5] = x.mean()
+    out[6] = x.std()
+    out[7] = x.min()
+    out[8] = x.max()
+    for i in range(3):
+        out[9 + i] = x[:, :, min(i, ch - 1)].mean()
+    out[12] = x[: (height + 1) // 2, : (width + 1) // 2].mean()
+    out[13] = x[: (height + 1) // 2, (width + 1) // 2 :].mean() if width > 1 else out[12]
+    out[14] = x[(height + 1) // 2 :].mean() if height > 1 else out[12]
+    out[15] = 0.0
+    return out
+
+
+def stdlib_decode_batch(payloads: pd.Series) -> np.ndarray:
+    """Real (non-fake) batch decoder built on the Python stdlib alone:
+    PCM WAV audio and binary PGM/PPM images, sniffed per payload from
+    magic bytes; anything else (including undecodable bytes) falls back
+    to the deterministic hash features so mixed corpora never error.
+    Same signature as every decoder: pd.Series[bytes] -> (n, FEATURE_DIM)
+    float32. Heavier codecs (JPEG/MP3/MP4) still require third-party
+    libraries — register them with ``set_decoder()``."""
+    out = _fake_decode_batch(payloads)
+    for i, p in enumerate(payloads):
+        if p is None:
+            continue
+        b = bytes(p)
+        feat = _decode_wav(b)
+        if feat is None:
+            feat = _decode_netpbm(b)
+        if feat is not None:
+            out[i] = feat
+    return out
+
+
+def extract_media_features(
+    media: DataFrame,
+    decoder: Callable[[pd.Series], np.ndarray] | None = None,
+) -> DataFrame:
     """mapInPandas feature extraction: batches of (media_id, kind, payload)
-    in, (media_id, kind, n_bytes, feature[FEATURE_DIM]) out."""
+    in, (media_id, kind, n_bytes, feature[FEATURE_DIM]) out. ``decoder``
+    overrides the module default for this plan (closure-captured, so it
+    ships to executors with the task)."""
+    dec = decoder or _DECODER
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = _DECODER(pdf["payload"])
+            feats = dec(pdf["payload"])
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -145,8 +283,8 @@ def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:
     computed JVM-side (pure column math — the part that must be right at
     scale: no payload bytes move until the mapInPandas decode slot), with
     the pixel transform itself deferred to the same batched decoder stage
-    as ``extract_media_features`` (stubbed in this container, see
-    ``real_decode_stub``). Returns the media frame with
+    as ``extract_media_features`` (see ``stdlib_decode_batch`` /
+    ``set_decoder``). Returns the media frame with
     (target_width, target_height, scale) columns added; rows already
     within ``max_side`` carry scale = 1.0."""
     w = F.coalesce(F.col("meta.width"), F.lit(0))
