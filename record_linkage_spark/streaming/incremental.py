@@ -32,6 +32,61 @@ def _fs_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(p))
 
 
+def _latest_profiles(base: DataFrame) -> DataFrame:
+    """Latest-wins upsert view over an epoch-partitioned profile table
+    (the parquet stand-in for an Iceberg MERGE target): a conversation
+    re-rolled in a later epoch supersedes its older rows. One window
+    shuffle per read here; on a warehouse deployment the MERGE keeps the
+    table unique per conv_id and this view is a plain scan."""
+    if "epoch" not in base.columns:
+        return base
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("conv_id").orderBy(F.col("epoch").desc())
+    return (
+        base.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def current_matches(
+    spark: SparkSession, matches_dir: str, base_profiles_dir: str
+) -> DataFrame:
+    """The VALID match-edge view under update semantics: an edge derived
+    at epoch e is current iff neither endpoint's profile was re-rolled
+    after e (e >= the latest profile epoch of both endpoints). An update
+    wave thus invalidates the updated conversations' old edges
+    wholesale, and the wave's own re-link re-derives exactly the ones
+    that still hold — the view equals a batch re-link of the mutated
+    corpus (asserted in tests). Seed profiles live at the reserved
+    ``epoch=-1``, so edges from any stream epoch (>= 0) stay valid until
+    an update supersedes an endpoint.
+
+    Scale shape: one additive groupBy over the profile table for the
+    (conv_id -> latest epoch) map, then two endpoint joins. On a
+    warehouse deployment the MERGE equality-deletes superseded edges in
+    place and this view is a plain scan."""
+    edges = spark.read.parquet(matches_dir)
+    base = spark.read.parquet(base_profiles_dir)
+    if "epoch" not in edges.columns or "epoch" not in base.columns:
+        # un-epoched (append-only) layouts have no update provenance —
+        # every edge is current
+        return edges
+    lat = base.groupBy("conv_id").agg(F.max("epoch").alias("_lat"))
+    la = lat.select(F.col("conv_id").alias("id_A"), F.col("_lat").alias("_lat_a"))
+    lb = lat.select(F.col("conv_id").alias("id_B"), F.col("_lat").alias("_lat_b"))
+    return (
+        edges.join(la, "id_A", "left")
+        .join(lb, "id_B", "left")
+        .filter(
+            (F.col("epoch") >= F.coalesce("_lat_a", F.lit(-1)))
+            & (F.col("epoch") >= F.coalesce("_lat_b", F.lit(-1)))
+        )
+        .drop("_lat_a", "_lat_b")
+    )
+
+
 TRANSCRIPT_SCHEMA = T.StructType(
     [
         T.StructField("conv_id", T.StringType(), False),
@@ -120,6 +175,15 @@ def stream_link(
     the new profiles join the base so later batches link against them
     too. Returns the StreamingQuery.
 
+    UPDATE waves are first-class: a batch that re-sends an existing
+    conversation's turns (the full conversation — a CDC-style snapshot
+    upsert) re-rolls its profile under the new epoch, which supersedes
+    the old rows (latest-wins base view) and invalidates the old edges
+    (see ``current_matches``); the batch's re-link derives the updated
+    conversation's current edges against the rest of the corpus. The
+    maintained edge view equals a batch rerun on the mutated corpus
+    (asserted in tests).
+
     Sinks are idempotent per epoch (``epoch=<id>`` subdirectories written
     with overwrite); seed an initial profile base under a reserved
     partition (e.g. ``epoch=-1``) so the directory layout stays
@@ -148,6 +212,12 @@ def stream_link(
                 # crashed after the profile write must not link against
                 # itself (partition pruning makes the exclusion free)
                 base = base.filter(F.col("epoch") != epoch_id)
+            # latest-wins view, minus rows superseded by THIS batch: an
+            # updated conversation must link as its new self only — its
+            # stale profile would otherwise self-match
+            base = _latest_profiles(base).join(
+                new_profiles.select("conv_id"), "conv_id", "left_anti"
+            )
             base = base.select(*cols)
         else:
             base = new_profiles.select(*cols).limit(0)
@@ -307,6 +377,18 @@ def stream_entities(
     (``survivorship.incremental_golden_records``) — per-batch work is
     O(increment), never O(corpus).
 
+    UPDATE waves retract edges (``current_matches``), and retraction can
+    SPLIT a component — which contraction cannot express — so entities
+    containing an updated conversation are rebuilt from the valid edge
+    view restricted to their members (O(affected subgraph)); members
+    left with no valid edges drop out of the assignment, matching the
+    batch contract that only linked records are tracked. Ever-updated
+    conversations are detected from the profile table's epoch
+    multiplicity and re-derive idempotently each batch until a
+    compaction job rewrites the profile table latest-wins (on a
+    warehouse deployment the MERGE does this continuously and the
+    detection is the MERGE's own changelog).
+
     State tables (assignment, golden) are snapshot-per-epoch: each batch
     writes the full new state under ``epoch=<id>`` and reads the latest
     PRIOR epoch, so a retried micro-batch overwrites its own snapshot
@@ -360,32 +442,105 @@ def stream_entities(
     )
     prof_cols = ["conv_id", *mode_cols, longest_col, *sum_cols]
 
+    def _rebuild_updated(assign: DataFrame, updated_ids: DataFrame) -> DataFrame:
+        """Recompute components for every entity containing an updated
+        conversation against the valid edge view; all other rows pass
+        through. Valid edges never cross entity boundaries of ``assign``
+        (old edges were intra-entity by construction; this batch's new
+        edges were contracted into ``assign`` first), so restricting the
+        view to affected members is complete."""
+        from record_linkage_spark.operators.clustering import connected_components
+
+        affected = (
+            assign.join(F.broadcast(updated_ids), "conv_id", "left_semi")
+            .select("entity_id")
+            .distinct()
+            .localCheckpoint()
+        )
+        members = assign.join(
+            F.broadcast(affected), "entity_id", "left_semi"
+        ).select("conv_id")
+        valid = current_matches(spark, matches_dir, base_profiles_dir)
+        sub = (
+            valid.join(
+                F.broadcast(members.withColumnRenamed("conv_id", "id_A")),
+                "id_A",
+                "left_semi",
+            )
+            .join(
+                F.broadcast(members.withColumnRenamed("conv_id", "id_B")),
+                "id_B",
+                "left_semi",
+            )
+            .select(F.col("id_A").alias("src"), F.col("id_B").alias("dst"))
+        )
+        rebuilt = connected_components(sub)
+        # the anti-join moves its key to column 0 — restore (conv_id,
+        # entity_id) so every epoch snapshot shares one schema order
+        return (
+            assign.join(F.broadcast(affected), "entity_id", "left_anti")
+            .select("conv_id", "entity_id")
+            .unionByName(rebuilt)
+        )
+
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         edges = batch_df.select(
             F.col("id_A").alias("src"), F.col("id_B").alias("dst")
         ).localCheckpoint()
-        profiles = spark.read.parquet(base_profiles_dir).select(*prof_cols)
+        base = spark.read.parquet(base_profiles_dir)
+        profiles = _latest_profiles(base).select(*prof_cols)
 
         prev = _latest_epoch(assignment_dir, before=epoch_id)
         if prev is None:
+            # first maintenance batch = the scheduled full CC: assign
+            # from the whole currently-valid edge view (the profile
+            # table may already carry updates that invalidate part of
+            # the streamed edge backlog)
+            vedges = current_matches(
+                spark, matches_dir, base_profiles_dir
+            ).select(F.col("id_A").alias("src"), F.col("id_B").alias("dst"))
             ids = (
-                edges.select(F.col("src").alias("conv_id"))
-                .unionByName(edges.select(F.col("dst").alias("conv_id")))
+                vedges.select(F.col("src").alias("conv_id"))
+                .unionByName(vedges.select(F.col("dst").alias("conv_id")))
                 .distinct()
             )
-            new_assign = assign_entities(ids, edges).localCheckpoint()
+            new_assign = assign_entities(ids, vedges).localCheckpoint()
             golden_new = golden_records(profiles, new_assign, **fuse)
         else:
             old_assign = spark.read.parquet(
                 f"{assignment_dir}/epoch={prev}"
             )
-            new_assign = incremental_components(
-                old_assign, edges
-            ).localCheckpoint()
+            # 1) fold NEW edges in via contraction (the append path)
+            new_assign = incremental_components(old_assign, edges)
+            # 2) rebuild entities whose members were UPDATED — their old
+            #    edges are retracted, which can split the component
+            updated = None
+            if "epoch" in base.columns:
+                updated = (
+                    base.groupBy("conv_id")
+                    .agg(F.count_distinct("epoch").alias("_n"))
+                    .filter(F.col("_n") > 1)
+                    .select("conv_id")
+                    .localCheckpoint()
+                )
+            if updated is not None and not updated.isEmpty():
+                new_assign = _rebuild_updated(new_assign, updated)
+            new_assign = new_assign.localCheckpoint()
             old_golden = spark.read.parquet(f"{golden_dir}/epoch={prev}")
             touched = touched_entities(old_assign, new_assign)
+            if updated is not None:
+                # content-only updates keep their assignment but must
+                # still re-fuse their entity's golden record
+                touched = (
+                    touched.unionByName(
+                        new_assign.join(
+                            updated, "conv_id", "left_semi"
+                        ).select("entity_id")
+                    )
+                    .distinct()
+                )
             golden_new = incremental_golden_records(
                 profiles, new_assign, old_golden, touched, **fuse
             )

@@ -202,6 +202,130 @@ def test_stream_link_end_to_end(spark, tmp_path):
     assert len(same_entity) > 0
 
 
+def test_stream_update_wave_reassigns_entity(spark, tmp_path):
+    """Mutated-base coverage for the STREAMING path (the batch analogue
+    is test_link_increment_after_updates_and_deletes): a conversation is
+    re-sent through the stream with content copied from a DIFFERENT
+    entity's conversation. The maintained edge view, the assignment and
+    the golden table must all equal a full batch rerun on the mutated
+    corpus — the update must sever the old duplicate edge (a component
+    SPLIT, which pure contraction cannot express) and re-home the
+    conversation into the other entity."""
+    from record_linkage_spark.operators.blocking import candidate_pairs
+    from record_linkage_spark.operators.classifier import LinearModel, score_pairs
+    from record_linkage_spark.operators.clustering import assign_entities
+    from record_linkage_spark.operators.features import add_features
+    from record_linkage_spark.operators.ground_truth import hydrate_pairs
+    from record_linkage_spark.operators.incremental_link import HYDRATE_COLS
+    from record_linkage_spark.operators.rollup import rollup_conversations
+    from record_linkage_spark.operators.survivorship import golden_records
+    from record_linkage_spark.streaming.incremental import (
+        current_matches,
+        stream_entities,
+        stream_link,
+    )
+    from record_linkage_spark.synth.transcripts import (
+        generate_transcripts,
+        transcripts_table,
+    )
+
+    import os
+
+    model = LinearModel(
+        weights=[2.0, 1.0, 1.5, 0.8, 0.6, 0.3, 0.5, 1.2, 0.4, 0.3, 0.8, 0.8, 0.8, 0.4, 1.0, 2.0],
+        intercept=-6.0,
+        threshold=0.5,
+    )
+    raw = transcripts_table(
+        generate_transcripts(spark, n_entities=24, dup_rate=1.8)
+    ).localCheckpoint()
+    dirs = {n: str(tmp_path / n) for n in
+            ("in", "base", "matches", "assign", "golden", "ckl", "cke")}
+
+    # wave 1: the whole corpus streams in (no seed base). Conversations
+    # must arrive whole — partition by conv_id so no conversation's turns
+    # split across micro-batch boundaries (the update contract: a wave
+    # carries complete conversations, CDC-snapshot style).
+    raw.repartition(4, "conv_id").write.mode("append").parquet(dirs["in"])
+    largs = (spark, dirs["in"], dirs["base"], dirs["matches"], dirs["ckl"], model)
+    eargs = (spark, dirs["matches"], dirs["base"], dirs["assign"],
+             dirs["golden"], dirs["cke"])
+    stream_link(*largs).awaitTermination()
+    stream_entities(*eargs).awaitTermination()
+
+    def latest(d):
+        eps = [int(n.split("=")[1]) for n in os.listdir(d) if n.startswith("epoch=")]
+        return spark.read.parquet(f"{d}/epoch={max(eps)}")
+
+    a1 = {r.conv_id: r.entity_id for r in latest(dirs["assign"]).collect()}
+    e0 = sorted(
+        (r.id_A, r.id_B)
+        for r in spark.read.parquet(dirs["matches"]).collect()
+    )
+    assert e0, "wave 1 must produce match edges"
+    partner, x = e0[0]  # x: the conv that will be UPDATED
+    assert a1[x] == a1[partner]
+    y = next(
+        c
+        for c in sorted(r.conv_id for r in raw.select("conv_id").distinct().collect())
+        if c.split("_")[0] != x.split("_")[0]
+    )
+
+    # wave 2: x re-sent with y's full content (an update, same conv_id)
+    upd = raw.filter(F.col("conv_id") == y).withColumn("conv_id", F.lit(x))
+    upd.coalesce(1).write.mode("append").parquet(dirs["in"])
+    stream_link(*largs).awaitTermination()
+    stream_entities(*eargs).awaitTermination()
+
+    # batch rerun on the mutated corpus
+    raw_mut = raw.filter(F.col("conv_id") != x).unionByName(upd).localCheckpoint()
+    profs_mut = rollup_conversations(raw_mut).drop("turns").localCheckpoint()
+    cands = candidate_pairs(profs_mut, "B1").select("id_A", "id_B")
+    scored = score_pairs(
+        add_features(hydrate_pairs(cands, profs_mut, HYDRATE_COLS)), model
+    )
+    want_edges = {
+        (r.id_A, r.id_B)
+        for r in scored.filter(F.col("pred") == 1).select("id_A", "id_B").collect()
+    }
+    got_edges = {
+        (r.id_A, r.id_B)
+        for r in current_matches(spark, dirs["matches"], dirs["base"]).collect()
+    }
+    assert got_edges == want_edges
+    assert (x, y) in want_edges or (y, x) in want_edges
+
+    edges_df = spark.createDataFrame(
+        sorted(want_edges), "src string, dst string"
+    )
+    linked = (
+        edges_df.select(F.col("src").alias("conv_id"))
+        .unionByName(edges_df.select(F.col("dst").alias("conv_id")))
+        .distinct()
+    )
+    want_assign = assign_entities(linked, edges_df)
+    got_assign = latest(dirs["assign"])
+    assert sorted(map(tuple, got_assign.collect())) == sorted(
+        map(tuple, want_assign.collect())
+    )
+    a2 = {r.conv_id: r.entity_id for r in got_assign.collect()}
+    assert a2[x] == a2[y]  # re-homed into y's entity
+    assert a2.get(partner) != a2[x]  # severed from the old duplicate
+
+    fuse = dict(
+        id_col="conv_id",
+        mode_cols=("first_role", "primary_tool"),
+        longest_col="last_text_norm",
+        sum_cols=("n_tokens", "n_turns"),
+    )
+    prof_cols = ["conv_id", "first_role", "primary_tool", "last_text_norm",
+                 "n_tokens", "n_turns"]
+    want_golden = golden_records(profs_mut.select(*prof_cols), want_assign, **fuse)
+    assert sorted(map(tuple, latest(dirs["golden"]).collect())) == sorted(
+        map(tuple, want_golden.collect())
+    )
+
+
 def test_stream_entities_maintains_assignment_and_golden(spark, tmp_path):
     """Two waves of match edges stream through stream_entities; the final
     snapshot's assignment AND golden table must equal the batch recompute
