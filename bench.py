@@ -174,15 +174,18 @@ def main() -> None:
     n_big = feats.count()
     queries["rl_featurize_pairs"] = feat_sec
 
-    # Deepen the SCORED set so the headline's timed pass is >= 5 s at
-    # local[32]: replicate the materialized feature rows (identical
-    # feature distribution, 16x the row count — scoring is row-wise
-    # codegen, so 16x rows is honestly 16x work) instead of featurizing
-    # 16x the pairs, which would charge ~100 s to a stage that isn't the
-    # headline. The r03 driver artifact halved the headline purely from
-    # scheduler jitter on a 0.3-1.0 s pass; at ~20M rows the pass is
-    # 5-8 s and jitter is noise, not the number. Replication and
-    # materialization are untimed.
+    # Deepen the SCORED set so the headline is not a sub-second blip:
+    # replicate the materialized feature rows (identical feature
+    # distribution — scoring is row-wise codegen, so 16x rows is honestly
+    # 16x work) instead of featurizing 16x the pairs, which would charge
+    # ~100 s to a stage that isn't the headline. Replication and
+    # materialization are untimed. Deepening alone turned out not to be
+    # enough: 20.5M rows score in ~0.8 s at local[32] (the old 0.3-1.0 s
+    # pass over 1.28M rows was fixed scheduling overhead, not scoring),
+    # so the timed window SUMS consecutive warm passes until it exceeds
+    # 5 s — one noisy-neighbor burst is averaged into a >=5 s window
+    # instead of settling (best-of-2) or inflating (single-pass) the
+    # round record. Throughput = rows scored in the window / window time.
     _REPLICAS = 16
     feats_deep = feats
     for _ in range(_REPLICAS - 1):
@@ -197,14 +200,18 @@ def main() -> None:
             .first()
         )
 
-    # best of two passes so one noisy-neighbor burst on the shared VM
-    # doesn't set the round record
+    n_matches = _score_pass()  # warm-up: JIT + checkpoint blocks hot
     t0 = time.time()
-    n_matches = _score_pass()
-    score_sec = time.time() - t0
-    t0 = time.time()
-    _score_pass()
-    score_sec = min(score_sec, time.time() - t0)
+    score_passes = 0
+    while True:
+        _score_pass()
+        score_passes += 1
+        score_sec = time.time() - t0
+        if score_sec >= 5.0 and score_passes >= 2:
+            break
+        if score_passes >= 64:  # safety valve on a degenerate machine
+            break
+    n_deep_scored = n_deep * score_passes
     queries["rl_score_pairs"] = score_sec
 
     # pipeline tail: score blocking candidates, cluster the match edges
@@ -358,7 +365,7 @@ def main() -> None:
         lambda: strip_boilerplate_turns(transcripts, min_convs=25).count()
     )
 
-    pairs_per_sec = n_deep / score_sec if score_sec > 0 else 0.0
+    pairs_per_sec = n_deep_scored / score_sec if score_sec > 0 else 0.0
     total = sum(queries.values())
     print(
         json.dumps(
@@ -375,6 +382,7 @@ def main() -> None:
                 "n_candidate_pairs": n_cands,
                 "n_scored_pairs": n_scored,
                 "n_headline_pairs": n_deep,
+                "n_headline_score_passes": score_passes,
                 "n_featurized_pairs": n_big,
                 "n_headline_matches": int(n_matches.m or 0),
                 "featurize_pairs_per_sec": round(n_big / feat_sec, 1) if feat_sec else 0.0,

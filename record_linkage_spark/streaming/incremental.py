@@ -184,6 +184,14 @@ def stream_link(
     maintained edge view equals a batch rerun on the mutated corpus
     (asserted in tests).
 
+    DELETE waves are the degenerate update: send one tombstone turn
+    ``(conv_id, turn_idx=-1, text=NULL)``. The re-rolled profile has
+    NULL blocking keys, so the conversation forms no new candidate
+    pairs, its old edges are epoch-invalidated like any update, and
+    downstream ``stream_entities`` drops it from the assignment and
+    re-fuses its former entity without it. The ghost profile row stays
+    until compaction (an Iceberg MERGE deletes it in place).
+
     Sinks are idempotent per epoch (``epoch=<id>`` subdirectories written
     with overwrite); seed an initial profile base under a reserved
     partition (e.g. ``epoch=-1``) so the directory layout stays
@@ -484,12 +492,26 @@ def stream_entities(
         )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
+        base = spark.read.parquet(base_profiles_dir)
+        # ever-updated conversations (profile re-rolled in >1 epoch):
+        # their entities must rebuild even when the triggering batch
+        # carries no edge rows — a DELETE wave is exactly that (the
+        # tombstone epoch writes an empty edge file, the batch fires
+        # empty, and the retraction still has to propagate)
+        updated = None
+        if "epoch" in base.columns:
+            updated = (
+                base.groupBy("conv_id")
+                .agg(F.count_distinct("epoch").alias("_n"))
+                .filter(F.col("_n") > 1)
+                .select("conv_id")
+                .localCheckpoint()
+            )
+        if batch_df.isEmpty() and (updated is None or updated.isEmpty()):
             return
         edges = batch_df.select(
             F.col("id_A").alias("src"), F.col("id_B").alias("dst")
         ).localCheckpoint()
-        base = spark.read.parquet(base_profiles_dir)
         profiles = _latest_profiles(base).select(*prof_cols)
 
         prev = _latest_epoch(assignment_dir, before=epoch_id)
@@ -516,15 +538,6 @@ def stream_entities(
             new_assign = incremental_components(old_assign, edges)
             # 2) rebuild entities whose members were UPDATED — their old
             #    edges are retracted, which can split the component
-            updated = None
-            if "epoch" in base.columns:
-                updated = (
-                    base.groupBy("conv_id")
-                    .agg(F.count_distinct("epoch").alias("_n"))
-                    .filter(F.col("_n") > 1)
-                    .select("conv_id")
-                    .localCheckpoint()
-                )
             if updated is not None and not updated.isEmpty():
                 new_assign = _rebuild_updated(new_assign, updated)
             new_assign = new_assign.localCheckpoint()

@@ -326,6 +326,103 @@ def test_stream_update_wave_reassigns_entity(spark, tmp_path):
     )
 
 
+def test_stream_delete_tombstone_wave(spark, tmp_path):
+    """DELETE through the stream: a tombstone turn (turn_idx=-1, NULL
+    text) re-rolls the conversation to a profile with NULL blocking keys
+    — its old edges invalidate, no new ones form, and the entity view
+    equals the batch rerun on the corpus WITHOUT it."""
+    from record_linkage_spark.operators.blocking import candidate_pairs
+    from record_linkage_spark.operators.classifier import LinearModel, score_pairs
+    from record_linkage_spark.operators.clustering import assign_entities
+    from record_linkage_spark.operators.features import add_features
+    from record_linkage_spark.operators.ground_truth import hydrate_pairs
+    from record_linkage_spark.operators.incremental_link import HYDRATE_COLS
+    from record_linkage_spark.operators.rollup import rollup_conversations
+    from record_linkage_spark.streaming.incremental import (
+        TRANSCRIPT_SCHEMA,
+        current_matches,
+        stream_entities,
+        stream_link,
+    )
+    from record_linkage_spark.synth.transcripts import (
+        generate_transcripts,
+        transcripts_table,
+    )
+
+    import os
+
+    model = LinearModel(
+        weights=[2.0, 1.0, 1.5, 0.8, 0.6, 0.3, 0.5, 1.2, 0.4, 0.3, 0.8, 0.8, 0.8, 0.4, 1.0, 2.0],
+        intercept=-6.0,
+        threshold=0.5,
+    )
+    raw = transcripts_table(
+        generate_transcripts(spark, n_entities=16, dup_rate=1.8)
+    ).localCheckpoint()
+    dirs = {n: str(tmp_path / n) for n in
+            ("in", "base", "matches", "assign", "golden", "ckl", "cke")}
+    raw.repartition(4, "conv_id").write.mode("append").parquet(dirs["in"])
+    largs = (spark, dirs["in"], dirs["base"], dirs["matches"], dirs["ckl"], model)
+    eargs = (spark, dirs["matches"], dirs["base"], dirs["assign"],
+             dirs["golden"], dirs["cke"])
+    stream_link(*largs).awaitTermination()
+    stream_entities(*eargs).awaitTermination()
+
+    e0 = sorted(
+        (r.id_A, r.id_B) for r in spark.read.parquet(dirs["matches"]).collect()
+    )
+    assert e0
+    x = e0[0][1]  # delete one endpoint of a matched pair
+
+    # tombstone wave: one delete-marker turn. The epoch's edge write is
+    # empty but still produces a part file (Spark writes one empty file
+    # for an empty frame), so the maintenance stream fires an empty
+    # batch and the retraction propagates immediately — not "at the
+    # next real wave"
+    spark.createDataFrame(
+        [(x, -1, None, None, None, None)], TRANSCRIPT_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(dirs["in"])
+    stream_link(*largs).awaitTermination()
+    stream_entities(*eargs).awaitTermination()
+
+    # batch rerun WITHOUT the deleted conversation
+    raw_mut = raw.filter(F.col("conv_id") != x).localCheckpoint()
+    profs_mut = rollup_conversations(raw_mut).drop("turns").localCheckpoint()
+    cands = candidate_pairs(profs_mut, "B1").select("id_A", "id_B")
+    scored = score_pairs(
+        add_features(hydrate_pairs(cands, profs_mut, HYDRATE_COLS)), model
+    )
+    want_edges = {
+        (r.id_A, r.id_B)
+        for r in scored.filter(F.col("pred") == 1).select("id_A", "id_B").collect()
+    }
+    got_edges = {
+        (r.id_A, r.id_B)
+        for r in current_matches(spark, dirs["matches"], dirs["base"]).collect()
+    }
+    assert got_edges == want_edges
+    assert not any(x in e for e in got_edges)
+
+    def latest(d):
+        eps = [int(n.split("=")[1]) for n in os.listdir(d) if n.startswith("epoch=")]
+        return spark.read.parquet(f"{d}/epoch={max(eps)}")
+
+    edges_df = spark.createDataFrame(
+        sorted(want_edges) or [("_none", "_none")], "src string, dst string"
+    ).filter(F.col("src") != "_none")
+    linked = (
+        edges_df.select(F.col("src").alias("conv_id"))
+        .unionByName(edges_df.select(F.col("dst").alias("conv_id")))
+        .distinct()
+    )
+    want_assign = sorted(
+        map(tuple, assign_entities(linked, edges_df).collect())
+    )
+    got_assign = sorted(map(tuple, latest(dirs["assign"]).collect()))
+    assert x not in {c for c, _ in got_assign}
+    assert got_assign == want_assign
+
+
 def test_stream_entities_maintains_assignment_and_golden(spark, tmp_path):
     """Two waves of match edges stream through stream_entities; the final
     snapshot's assignment AND golden table must equal the batch recompute
