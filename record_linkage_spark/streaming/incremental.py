@@ -87,6 +87,65 @@ def current_matches(
     )
 
 
+def compact_state(
+    spark: SparkSession,
+    base_profiles_dir: str,
+    matches_dir: str,
+    out_base_dir: str,
+    out_matches_dir: str,
+) -> dict:
+    """Offline compaction of the epoch-partitioned stream state — the
+    parquet stand-in for what Iceberg MERGE + snapshot expiry do
+    continuously. Rewrites the profile table latest-wins (dropping
+    superseded rows AND delete tombstones: rows whose blocking payload
+    is entirely NULL never pair again, so they only exist to invalidate
+    old edges — which compaction does for real by deleting those edges)
+    and rewrites the match table to exactly the valid edge view. Both
+    land under the reserved ``epoch=-1`` partition (a fresh stream's own
+    epochs start at 0, so the compacted state is never overwritten) and
+    seed a FRESH deployment with new checkpoints — the blue/green
+    rollover pattern; compacting under a live stream's feet would desync
+    its file-source bookkeeping.
+
+    Scale shape: one latest-wins window over the profile table, one
+    groupBy for the epoch map, two endpoint joins — each a single pass,
+    run on a maintenance schedule, amortized across every subsequent
+    batch that would otherwise re-derive ever-updated conversations.
+
+    Returns {"profiles": n, "tombstones_dropped": n, "matches": n}."""
+    base = spark.read.parquet(base_profiles_dir)
+    latest = _latest_profiles(base)
+    # tombstone = the delete convention's product: a profile rolled from
+    # delete-marker turns only — no text payload anywhere (such rows
+    # can never form blocking keys, so dropping them loses nothing)
+    text_cols = [
+        c
+        for c in ("first_text", "last_text", "first_text_norm", "last_text_norm")
+        if c in latest.columns
+    ]
+    is_tombstone = F.lit(True)
+    for c in text_cols:
+        is_tombstone = is_tombstone & F.col(c).isNull()
+    if "n_tokens" in latest.columns:
+        is_tombstone = is_tombstone & (F.coalesce("n_tokens", F.lit(0)) == 0)
+    live = latest.filter(~is_tombstone) if text_cols else latest
+    n_tomb = latest.count() - live.count()
+    live.drop("epoch").write.mode("overwrite").parquet(
+        f"{out_base_dir}/epoch=-1"
+    )
+    valid = current_matches(spark, matches_dir, base_profiles_dir)
+    valid.drop("epoch").write.mode("overwrite").parquet(
+        f"{out_matches_dir}/epoch=-1"
+    )
+    out_p = spark.read.parquet(out_base_dir)
+    out_m = spark.read.parquet(out_matches_dir)
+    return {
+        "profiles": out_p.count(),
+        "tombstones_dropped": n_tomb,
+        "matches": out_m.count(),
+    }
+
+
 TRANSCRIPT_SCHEMA = T.StructType(
     [
         T.StructField("conv_id", T.StringType(), False),

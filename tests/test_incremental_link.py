@@ -423,6 +423,152 @@ def test_stream_delete_tombstone_wave(spark, tmp_path):
     assert got_assign == want_assign
 
 
+def test_compact_state_blue_green_rollover(spark, tmp_path):
+    """compact_state rewrites the epoch-partitioned stream state:
+    superseded profile rows and delete tombstones gone, matches reduced
+    to exactly the valid edge view — and the outputs seed a FRESH stream
+    deployment (new checkpoints) whose next wave continues correctly."""
+    from record_linkage_spark.operators.blocking import candidate_pairs
+    from record_linkage_spark.operators.classifier import LinearModel, score_pairs
+    from record_linkage_spark.operators.clustering import assign_entities
+    from record_linkage_spark.operators.features import add_features
+    from record_linkage_spark.operators.ground_truth import hydrate_pairs
+    from record_linkage_spark.operators.incremental_link import HYDRATE_COLS
+    from record_linkage_spark.operators.rollup import rollup_conversations
+    from record_linkage_spark.streaming.incremental import (
+        TRANSCRIPT_SCHEMA,
+        compact_state,
+        current_matches,
+        stream_entities,
+        stream_link,
+    )
+    from record_linkage_spark.synth.transcripts import (
+        generate_transcripts,
+        transcripts_table,
+    )
+
+    import os
+
+    model = LinearModel(
+        weights=[2.0, 1.0, 1.5, 0.8, 0.6, 0.3, 0.5, 1.2, 0.4, 0.3, 0.8, 0.8, 0.8, 0.4, 1.0, 2.0],
+        intercept=-6.0,
+        threshold=0.5,
+    )
+    ent = F.substring("conv_id", 1, 8).cast("int")
+    raw_all = transcripts_table(
+        generate_transcripts(spark, n_entities=16, dup_rate=1.8)
+    ).localCheckpoint()
+    raw = raw_all.filter(ent < 12).localCheckpoint()
+    wave2 = raw_all.filter(ent >= 12).localCheckpoint()
+
+    dirs = {n: str(tmp_path / n) for n in
+            ("in", "base", "matches", "ckl", "assign", "golden", "cke",
+             "g_base", "g_matches", "g_in", "g_ckl", "g_assign",
+             "g_golden", "g_cke")}
+    raw.repartition(4, "conv_id").write.mode("append").parquet(dirs["in"])
+    largs = (spark, dirs["in"], dirs["base"], dirs["matches"], dirs["ckl"], model)
+    stream_link(*largs).awaitTermination()
+
+    edges = sorted(
+        (r.id_A, r.id_B) for r in spark.read.parquet(dirs["matches"]).collect()
+    )
+    assert len(edges) >= 2
+    x = edges[0][1]   # update target
+    z = edges[-1][0]  # delete target (a different matched conv)
+    assert z != x
+    y = next(
+        c
+        for c in sorted(r.conv_id for r in raw.select("conv_id").distinct().collect())
+        if c.split("_")[0] not in (x.split("_")[0], z.split("_")[0])
+    )
+
+    # update x := y's content; delete z via tombstone
+    upd = raw.filter(F.col("conv_id") == y).withColumn("conv_id", F.lit(x))
+    upd.coalesce(1).write.mode("append").parquet(dirs["in"])
+    stream_link(*largs).awaitTermination()
+    spark.createDataFrame(
+        [(z, -1, None, None, None, None)], TRANSCRIPT_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(dirs["in"])
+    stream_link(*largs).awaitTermination()
+
+    stats = compact_state(
+        spark, dirs["base"], dirs["matches"], dirs["g_base"], dirs["g_matches"]
+    )
+    assert stats["tombstones_dropped"] == 1
+
+    # compacted profiles: latest-wins, one row per conv, z gone, x carries
+    # y's content
+    comp = spark.read.parquet(dirs["g_base"])
+    ids = [r.conv_id for r in comp.select("conv_id").collect()]
+    assert len(ids) == len(set(ids))
+    assert z not in ids and x in ids
+    x_row = comp.filter(F.col("conv_id") == x).select("first_text_norm").first()
+    y_row = comp.filter(F.col("conv_id") == y).select("first_text_norm").first()
+    assert x_row.first_text_norm == y_row.first_text_norm
+
+    # compacted matches == the valid edge view == batch edges on the
+    # mutated corpus (x rewritten, z deleted)
+    raw_mut = (
+        raw.filter(~F.col("conv_id").isin(x, z)).unionByName(upd).localCheckpoint()
+    )
+    profs_mut = rollup_conversations(raw_mut).drop("turns").localCheckpoint()
+
+    def batch_edges(profiles):
+        cands = candidate_pairs(profiles, "B1").select("id_A", "id_B")
+        scored = score_pairs(
+            add_features(hydrate_pairs(cands, profiles, HYDRATE_COLS)), model
+        )
+        return {
+            (r.id_A, r.id_B)
+            for r in scored.filter(F.col("pred") == 1).select("id_A", "id_B").collect()
+        }
+
+    want_now = batch_edges(profs_mut)
+    got_comp = {
+        (r.id_A, r.id_B) for r in spark.read.parquet(dirs["g_matches"]).collect()
+    }
+    assert got_comp == want_now
+    assert got_comp == {
+        (r.id_A, r.id_B)
+        for r in current_matches(spark, dirs["matches"], dirs["base"]).collect()
+    }
+
+    # blue/green rollover: a fresh deployment on the compacted state
+    # takes the next wave and ends equal to the batch rerun on
+    # (mutated corpus + wave2)
+    wave2.repartition(2, "conv_id").write.mode("append").parquet(dirs["g_in"])
+    stream_link(
+        spark, dirs["g_in"], dirs["g_base"], dirs["g_matches"], dirs["g_ckl"], model
+    ).awaitTermination()
+    stream_entities(
+        spark, dirs["g_matches"], dirs["g_base"], dirs["g_assign"],
+        dirs["g_golden"], dirs["g_cke"]
+    ).awaitTermination()
+
+    full = raw_mut.unionByName(wave2)
+    profs_full = rollup_conversations(full).drop("turns").localCheckpoint()
+    want_edges = batch_edges(profs_full)
+    got_edges = {
+        (r.id_A, r.id_B)
+        for r in current_matches(spark, dirs["g_matches"], dirs["g_base"]).collect()
+    }
+    assert got_edges == want_edges
+
+    def latest(d):
+        eps = [int(n.split("=")[1]) for n in os.listdir(d) if n.startswith("epoch=")]
+        return spark.read.parquet(f"{d}/epoch={max(eps)}")
+
+    edges_df = spark.createDataFrame(sorted(want_edges), "src string, dst string")
+    linked = (
+        edges_df.select(F.col("src").alias("conv_id"))
+        .unionByName(edges_df.select(F.col("dst").alias("conv_id")))
+        .distinct()
+    )
+    want_assign = sorted(map(tuple, assign_entities(linked, edges_df).collect()))
+    got_assign = sorted(map(tuple, latest(dirs["g_assign"]).collect()))
+    assert got_assign == want_assign
+
+
 def test_stream_entities_maintains_assignment_and_golden(spark, tmp_path):
     """Two waves of match edges stream through stream_entities; the final
     snapshot's assignment AND golden table must equal the batch recompute
