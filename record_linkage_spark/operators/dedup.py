@@ -240,6 +240,86 @@ def minhash_bands(sig: Column, num_bands: int = 8, rows_per_band: int = 4) -> Co
     return F.array(*bands)
 
 
+def lsh_candidate_probability(s: float, num_bands: int, rows_per_band: int) -> float:
+    """P(a pair with true Jaccard ``s`` collides in >=1 LSH band) for the
+    banding scheme above: ``1 - (1 - s^r)^b`` (Leskovec/Rajaraman/Ullman,
+    Mining of Massive Datasets ch. 3.4)."""
+    return 1.0 - (1.0 - s**rows_per_band) ** num_bands
+
+
+def plan_minhash_lsh(
+    jaccard_threshold: float,
+    num_hashes: int = 32,
+    min_recall: float | None = 0.9,
+    fp_weight: float = 0.5,
+) -> dict:
+    """Choose (num_bands, rows_per_band) for ``minhash_near_duplicates``.
+
+    At 100 TB the banding parameters ARE the cost model: bands set how many
+    bucket rows each doc explodes into (shuffle volume) and the S-curve
+    ``1-(1-s^r)^b`` sets both the recall at the threshold and how much
+    sub-threshold candidate mass survives into exact verification — the
+    stage that re-reads text. This planner makes the trade explicit instead
+    of leaving the 8x4 default to luck.
+
+    Enumerates every (b, r) with ``b*r <= num_hashes``, keeps those whose
+    collision probability at ``jaccard_threshold`` is >= ``min_recall``
+    (if none qualify, falls back to the max-recall scheme), and among the
+    feasible picks the minimizer of
+    ``fp_weight * FP_area + (1-fp_weight) * FN_area`` where FP_area is the
+    integral of the S-curve below the threshold (wasted verification work,
+    the scale cost) and FN_area the integral of (1 - S) above it (missed
+    near-dups). Deterministic midpoint integration, pure Python — run it
+    once at plan time, pass the result to the operator.
+
+    Returns ``{"num_bands", "rows_per_band", "num_hashes_used",
+    "recall_at_threshold", "fp_area", "fn_area"}``.
+    """
+    if not 0.0 < jaccard_threshold < 1.0:
+        raise ValueError("jaccard_threshold must be in (0, 1)")
+    if num_hashes < 1:
+        raise ValueError("num_hashes must be >= 1")
+    steps = 500
+    best = None
+    fallback = None  # max recall, tiebreak lower cost
+    for r in range(1, num_hashes + 1):
+        for b in range(1, num_hashes // r + 1):
+            recall = lsh_candidate_probability(jaccard_threshold, b, r)
+            fp = fn = 0.0
+            for i in range(steps):
+                s = (i + 0.5) / steps
+                p = lsh_candidate_probability(s, b, r)
+                if s < jaccard_threshold:
+                    fp += p
+                else:
+                    fn += 1.0 - p
+            fp /= steps
+            fn /= steps
+            cost = fp_weight * fp + (1.0 - fp_weight) * fn
+            cand = {
+                "num_bands": b,
+                "rows_per_band": r,
+                "num_hashes_used": b * r,
+                "recall_at_threshold": recall,
+                "fp_area": fp,
+                "fn_area": fn,
+            }
+            if fallback is None or (recall, -cost) > (
+                fallback["recall_at_threshold"],
+                -(fp_weight * fallback["fp_area"]
+                  + (1.0 - fp_weight) * fallback["fn_area"]),
+            ):
+                fallback = cand
+            if min_recall is not None and recall < min_recall:
+                continue
+            if best is None or cost < (
+                fp_weight * best["fp_area"]
+                + (1.0 - fp_weight) * best["fn_area"]
+            ):
+                best = cand
+    return best if best is not None else fallback
+
+
 def minhash_near_duplicates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -253,6 +333,11 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: shingle -> minhash -> band -> bucket
     self-join -> true-Jaccard verification. Returns (id_A, id_B, jaccard).
+
+    ``num_bands``/``num_hashes`` set the LSH S-curve; use
+    ``plan_minhash_lsh(jaccard_threshold, num_hashes)`` to pick them for a
+    recall target instead of guessing (the default 8x4 has ~0.89 recall at
+    tau=0.7 and still passes ~19% of s=0.4 pairs into verification).
 
     ``pair_predicate``: optional ``(id_A_col, id_B_col) -> Column``
     filter applied right after the bucket join, BEFORE the estimator
