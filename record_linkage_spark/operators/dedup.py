@@ -598,10 +598,14 @@ def set_similarity_pairs(
     DuckDB all-shared-token-pairs replay).
 
     Scale shape: frequent tokens sort OUT of prefixes, so postings
-    lists stay short and there is no head-token hot key; the
+    lists stay short and there is no CORPUS-WIDE head-token hot key; the
     df-annotation join fans out 1:1 per (doc, token) row (AQE absorbs
     its key skew); only (doc_id, token, n) rows shuffle until the final
-    bounded hydration of surviving candidate pairs. Float guards: the
+    bounded hydration of surviving candidate pairs. A duplicate-dense
+    corpus still concentrates postings (near-copies share their rarest
+    tokens), so the prefix self-join sides carry an explicit-N
+    repartition on the token key — AQE sizes that exchange by its tiny
+    input and is blind to the posting-pair blow-up. Float guards: the
     prefix ceil subtracts eps (prefix can only lengthen — recall-safe)
     and the required-overlap ceil subtracts eps (alpha can only drop —
     prune-safe).
@@ -619,6 +623,11 @@ def set_similarity_pairs(
         .filter(F.size("toks") > 0)
         .select("doc_id", "toks", F.size("toks").alias("n"))
     )
+    # base has FOUR consumers (df-count scan, prefix scan, both verify
+    # hydration sides) — localCheckpoint so the regex tokenization runs
+    # once per doc, not once per consumer (same rationale as the MinHash
+    # signature checkpoint above; a warehouse run would use a stage table)
+    base = base.localCheckpoint()
     tok = base.select("doc_id", "n", F.explode("toks").alias("token"))
     dfreq = tok.groupBy("token").agg(F.count("*").alias("df"))
     plen = (
@@ -639,18 +648,27 @@ def set_similarity_pairs(
             ).alias("pos", "token"),
         )
     )
+    # explicit-N repartition on the join key, the same defense the LSH
+    # band join and B1/B2 salted joins carry: AQE sizes the exchange by
+    # the join INPUT bytes (a few prefix rows per doc) and is blind to
+    # the posting-list pair blow-up the self-join produces — in a
+    # near-copy-dense corpus thousands of docs share their rarest
+    # tokens, so without this the multi-million-row join output (and
+    # the pair groupBy behind it) coalesces onto a handful of cores
+    # (measured 4.5x on the bench corpus at tau=0.95)
+    n_parts = max(docs.sparkSession.sparkContext.defaultParallelism * 2, 8)
     a = prefix.select(
         "token",
         F.col("doc_id").alias("id_A"),
         F.col("n").alias("n_A"),
         (F.col("pos") + 1).alias("pa"),
-    )
+    ).repartition(n_parts, "token")
     b = prefix.select(
         "token",
         F.col("doc_id").alias("id_B"),
         F.col("n").alias("n_B"),
         (F.col("pos") + 1).alias("pb"),
-    )
+    ).repartition(n_parts, "token")
     alpha = F.ceil(
         F.lit(tau / (1.0 + tau)) * (F.col("n_A") + F.col("n_B")) - F.lit(eps)
     )
