@@ -405,8 +405,19 @@ def meta_block_prune(
         .select("kname", "kval")
     )
     kept = postings.join(small_blocks, ["kname", "kval"], "left_semi")
-    a = kept.select("kname", "kval", F.col("_id").alias("id_A"))
-    b = kept.select("kname", "kval", F.col("_id").alias("id_B"))
+    # explicit-N repartition on the block key: the per-block cap bounds
+    # each key's pair fan-out but not the total join output, and AQE
+    # sizes this exchange by the tiny postings input — blind to the
+    # blow-up (same defense as the LSH band joins)
+    n_parts = max(
+        records.sparkSession.sparkContext.defaultParallelism * 2, 8
+    )
+    a = kept.select("kname", "kval", F.col("_id").alias("id_A")).repartition(
+        n_parts, "kname", "kval"
+    )
+    b = kept.select("kname", "kval", F.col("_id").alias("id_B")).repartition(
+        n_parts, "kname", "kval"
+    )
     weighted = (
         a.join(b, ["kname", "kval"])
         .where(F.col("id_A") < F.col("id_B"))

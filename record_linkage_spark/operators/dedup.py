@@ -378,12 +378,19 @@ def minhash_near_duplicates(
         "sig",
         F.explode(minhash_bands(F.col("sig"), num_bands, rows_per_band)).alias("bucket"),
     )
+    # explicit-N repartition on the bucket key: AQE sizes this exchange
+    # by the banded rows (id + 32 longs each — tiny) and is blind to the
+    # within-bucket pair blow-up; in a duplicate-dense corpus the join
+    # output is orders of magnitude larger than its input and would
+    # otherwise coalesce onto a handful of cores (same defense as the
+    # B1/B2 salted joins, the ANN band join, and the ssjoin prefix join)
+    n_parts = max(docs.sparkSession.sparkContext.defaultParallelism * 2, 8)
     a = banded.select(
         F.col("bucket"), F.col("doc_id").alias("id_A"), F.col("sig").alias("sig_A")
-    )
+    ).repartition(n_parts, "bucket")
     b = banded.select(
         F.col("bucket"), F.col("doc_id").alias("id_B"), F.col("sig").alias("sig_B")
-    )
+    ).repartition(n_parts, "bucket")
     cand = a.join(b, "bucket").filter(F.col("id_A") < F.col("id_B"))
     if pair_predicate is not None:
         cand = cand.filter(pair_predicate(F.col("id_A"), F.col("id_B")))
@@ -547,8 +554,17 @@ def ngram_jaccard_pairs(
         word_ngrams(F.col(text_col), ngram).alias("shingles"),
         F.concat_ws(" ", F.slice(toks, 1, block_prefix_tokens)).alias("bk"),
     ).filter((F.size("shingles") > 0) & (F.col("bk") != ""))
-    a = base.select("bk", F.col("doc_id").alias("id_A"), F.col("shingles").alias("sh_A"))
-    b = base.select("bk", F.col("doc_id").alias("id_B"), F.col("shingles").alias("sh_B"))
+    # explicit-N repartition on the block key: the head-token block is
+    # the documented hot key of this baseline, and AQE sizes the exchange
+    # by the input rows, blind to the within-block pair blow-up — which
+    # here also carries both shingle arrays
+    n_parts = max(docs.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    a = base.select(
+        "bk", F.col("doc_id").alias("id_A"), F.col("shingles").alias("sh_A")
+    ).repartition(n_parts, "bk")
+    b = base.select(
+        "bk", F.col("doc_id").alias("id_B"), F.col("shingles").alias("sh_B")
+    ).repartition(n_parts, "bk")
     pairs = a.join(b, "bk").filter(F.col("id_A") < F.col("id_B"))
     inter = F.size(F.array_intersect("sh_A", "sh_B"))
     union = F.size(F.array_union("sh_A", "sh_B"))
@@ -833,8 +849,15 @@ def simhash_near_duplicates(
     banded = fp.select(
         "doc_id", "fp", F.explode(F.array(*band_cols)).alias("bucket")
     )
-    a = banded.select("bucket", F.col("doc_id").alias("id_A"), F.col("fp").alias("fp_A"))
-    b = banded.select("bucket", F.col("doc_id").alias("id_B"), F.col("fp").alias("fp_B"))
+    # explicit-N repartition on the bucket key — AQE is blind to the
+    # within-bucket pair blow-up (see minhash_near_duplicates above)
+    n_parts = max(docs.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    a = banded.select(
+        "bucket", F.col("doc_id").alias("id_A"), F.col("fp").alias("fp_A")
+    ).repartition(n_parts, "bucket")
+    b = banded.select(
+        "bucket", F.col("doc_id").alias("id_B"), F.col("fp").alias("fp_B")
+    ).repartition(n_parts, "bucket")
     return (
         a.join(b, "bucket")
         .filter(F.col("id_A") < F.col("id_B"))
@@ -1064,8 +1087,13 @@ def span_overlap_pairs(
         counts.filter((F.col("_c") >= 2) & (F.col("_c") <= max_postings)).select("_h"),
         "_h",
     )
-    a = good.select("_h", F.col("_id").alias("id_A"))
-    b = good.select("_h", F.col("_id").alias("id_B"))
+    # explicit-N repartition on the span-hash key: the postings cap
+    # bounds each span's fan-out (<= max_postings^2) but not the total
+    # join output, which AQE — sizing by the tiny (hash, id) input —
+    # would coalesce onto few cores
+    n_parts = max(docs.sparkSession.sparkContext.defaultParallelism * 2, 8)
+    a = good.select("_h", F.col("_id").alias("id_A")).repartition(n_parts, "_h")
+    b = good.select("_h", F.col("_id").alias("id_B")).repartition(n_parts, "_h")
     return (
         a.join(b, "_h")
         .filter(F.col("id_A") < F.col("id_B"))

@@ -162,8 +162,18 @@ def clk_candidate_pairs(
     keys = clk_band_keys(encodings, n_bands=n_bands, m=m, id_col=id_col).filter(
         F.col("pattern") != ""
     )
-    a = keys.select("band", "pattern", F.col(id_col).alias("id_A"))
-    b = keys.select("band", "pattern", F.col(id_col).alias("id_B"))
+    # explicit-N repartition on the band keys: AQE sizes the exchange by
+    # the tiny (band, pattern, id) input and is blind to the
+    # within-pattern pair blow-up (same defense as the LSH band joins)
+    n_parts = max(
+        encodings.sparkSession.sparkContext.defaultParallelism * 2, 8
+    )
+    a = keys.select("band", "pattern", F.col(id_col).alias("id_A")).repartition(
+        n_parts, "band", "pattern"
+    )
+    b = keys.select("band", "pattern", F.col(id_col).alias("id_B")).repartition(
+        n_parts, "band", "pattern"
+    )
     return (
         a.join(b, ["band", "pattern"])
         .filter(F.col("id_A") < F.col("id_B"))

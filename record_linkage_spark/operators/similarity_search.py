@@ -171,8 +171,20 @@ def embedding_near_duplicates(
     base = vectors.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), F.explode(bands).alias("bucket")
     )
-    a = base.select("bucket", F.col("vid").alias("id_A"), F.col("v").alias("va"))
-    b = base.select("bucket", F.col("vid").alias("id_B"), F.col("v").alias("vb"))
+    # explicit-N repartition on the bucket key: AQE sizes the exchange by
+    # the banded input rows and is blind to the within-bucket pair
+    # blow-up (same defense as the LSH band joins elsewhere); the blow-up
+    # here also carries the vectors, so landing it on few cores is doubly
+    # expensive
+    n_parts = max(
+        vectors.sparkSession.sparkContext.defaultParallelism * 2, 8
+    )
+    a = base.select(
+        "bucket", F.col("vid").alias("id_A"), F.col("v").alias("va")
+    ).repartition(n_parts, "bucket")
+    b = base.select(
+        "bucket", F.col("vid").alias("id_B"), F.col("v").alias("vb")
+    ).repartition(n_parts, "bucket")
     return (
         a.join(b, "bucket")
         .filter(F.col("id_A") < F.col("id_B"))
@@ -260,8 +272,18 @@ def semantic_duplicate_pairs(
     Returns (id_A, id_B, cosine, cell) with id_A < id_B."""
     centroids = train_ivf_centroids(vectors, n_clusters, iterations, id_col, vec_col)
     cells = _assign_cells(vectors, centroids, id_col, vec_col)
-    a = cells.select("cell", F.col("_vid").alias("id_A"), F.col("_v").alias("va"))
-    b = cells.select("cell", F.col("_vid").alias("id_B"), F.col("_v").alias("vb"))
+    # explicit-N repartition on the cell key: one row per vector goes IN,
+    # sum-of-k_i^2 pair rows come OUT — AQE sizes the exchange by the
+    # input and would coalesce the within-cell blow-up onto few cores
+    n_parts = max(
+        vectors.sparkSession.sparkContext.defaultParallelism * 2, 8
+    )
+    a = cells.select(
+        "cell", F.col("_vid").alias("id_A"), F.col("_v").alias("va")
+    ).repartition(n_parts, "cell")
+    b = cells.select(
+        "cell", F.col("_vid").alias("id_B"), F.col("_v").alias("vb")
+    ).repartition(n_parts, "cell")
     return (
         a.join(b, "cell")
         .filter(F.col("id_A") < F.col("id_B"))
@@ -295,8 +317,16 @@ def semantic_deduplicate(
 
     centroids = train_ivf_centroids(vectors, n_clusters, iterations, id_col, vec_col)
     cells = _assign_cells(vectors, centroids, id_col, vec_col)
-    a = cells.select("cell", F.col("_vid").alias("id_A"), F.col("_v").alias("va"))
-    b = cells.select("cell", F.col("_vid").alias("id_B"), F.col("_v").alias("vb"))
+    # same AQE-blind within-cell blow-up defense as semdedup_candidates
+    n_parts = max(
+        vectors.sparkSession.sparkContext.defaultParallelism * 2, 8
+    )
+    a = cells.select(
+        "cell", F.col("_vid").alias("id_A"), F.col("_v").alias("va")
+    ).repartition(n_parts, "cell")
+    b = cells.select(
+        "cell", F.col("_vid").alias("id_B"), F.col("_v").alias("vb")
+    ).repartition(n_parts, "cell")
     pairs = (
         a.join(b, "cell")
         .filter(F.col("id_A") < F.col("id_B"))
