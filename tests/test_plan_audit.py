@@ -450,3 +450,63 @@ def test_pq_paths_are_broadcast_equality_joins(spark):
     assert "CartesianProduct" not in p2
     assert "EvalPython" not in p2
     assert "partial_sum" in p2  # ADC sums combine map-side
+
+
+def test_bucket_self_joins_carry_explicit_repartition(spark):
+    """Every bucket-style candidate self-join must repartition both sides
+    on its computed pair key with an EXPLICIT partition count
+    (REPARTITION_BY_NUM): AQE sizes those exchanges by the tiny join
+    input and is blind to the quadratic within-key pair blow-up, so on a
+    duplicate-dense corpus the join output otherwise coalesces onto a
+    handful of cores (measured 4.5x on ssjoin at sf0.1). AQE never
+    coalesces user-numbered exchanges, which is exactly the point."""
+    from record_linkage_spark.operators.blocking import meta_block_prune
+    from record_linkage_spark.operators.dedup import (
+        minhash_near_duplicates,
+        ngram_jaccard_pairs,
+        set_similarity_pairs,
+        simhash_near_duplicates,
+        span_overlap_pairs,
+    )
+    from record_linkage_spark.operators.pprl import clk_candidate_pairs, clk_encode
+    from record_linkage_spark.operators.similarity_search import (
+        embedding_near_duplicates,
+        semantic_duplicate_pairs,
+    )
+
+    docs = _doc_df(spark)
+    vecs = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        F.array(
+            *[((F.col("doc_id") + i) % 7).cast("double") for i in range(8)]
+        ).alias("embedding"),
+    )
+    recs = docs.select(
+        F.col("doc_id").alias("record_id"),
+        F.col("text").alias("name"),
+        F.col("text").alias("city"),
+    )
+    plans = {
+        "minhash": _plan(minhash_near_duplicates(docs)),
+        "simhash": _plan(simhash_near_duplicates(docs)),
+        "ssjoin": _plan(set_similarity_pairs(docs, threshold=0.8)),
+        "ngram_block": _plan(ngram_jaccard_pairs(docs)),
+        "span_overlap": _plan(span_overlap_pairs(docs, window=4)),
+        "embedding": _plan(embedding_near_duplicates(vecs)),
+        "semdedup": _plan(
+            semantic_duplicate_pairs(vecs, n_clusters=2, iterations=1)
+        ),
+        "pprl": _plan(
+            clk_candidate_pairs(clk_encode(recs, ["name", "city"], m=64))
+        ),
+        "meta_blocking": _plan(
+            meta_block_prune(
+                recs,
+                {"name": F.col("name"), "city": F.col("city")},
+                id_col="record_id",
+            )
+        ),
+    }
+    for name, plan in plans.items():
+        assert "REPARTITION_BY_NUM" in plan, name
+        assert "CartesianProduct" not in plan, name
