@@ -653,3 +653,50 @@ def test_stream_entities_maintains_assignment_and_golden(spark, tmp_path):
     assert sorted(map(tuple, got_golden.collect())) == sorted(
         map(tuple, want_golden.collect())
     )
+
+
+def test_maintenance_cli_compacts_synthetic_state(spark, tmp_path, capsys):
+    """The maintenance entry point compacts a hand-built epoch-partitioned
+    state: superseded profile rows latest-win, the tombstone drops, and
+    the match table reduces to exactly the valid edge view."""
+    import json
+
+    from record_linkage_spark.streaming.maintenance import main
+
+    base = str(tmp_path / "base")
+    matches = str(tmp_path / "matches")
+    prof_schema = "conv_id string, first_text_norm string, n_tokens int"
+    spark.createDataFrame(
+        [("A", "old words", 2), ("B", "b words", 2), ("C", "c words", 2)],
+        prof_schema,
+    ).write.parquet(f"{base}/epoch=0")
+    spark.createDataFrame(
+        [("A", "new words", 2), ("C", None, 0)], prof_schema
+    ).write.parquet(f"{base}/epoch=1")
+    pair_schema = "id_A string, id_B string"
+    spark.createDataFrame(
+        [("A", "B"), ("B", "C")], pair_schema
+    ).write.parquet(f"{matches}/epoch=0")
+    spark.createDataFrame([("A", "B")], pair_schema).write.parquet(
+        f"{matches}/epoch=1"
+    )
+
+    out_base = str(tmp_path / "g_base")
+    out_matches = str(tmp_path / "g_matches")
+    stats = main(
+        [
+            "--base", base,
+            "--matches", matches,
+            "--out-base", out_base,
+            "--out-matches", out_matches,
+        ],
+        spark=spark,
+    )
+    assert stats == {"profiles": 2, "tombstones_dropped": 1, "matches": 1}
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1]) == stats
+
+    comp = spark.read.parquet(out_base)
+    rows = {r.conv_id: r.first_text_norm for r in comp.collect()}
+    assert rows == {"A": "new words", "B": "b words"}
+    got = [(r.id_A, r.id_B) for r in spark.read.parquet(out_matches).collect()]
+    assert got == [("A", "B")]
