@@ -1793,12 +1793,27 @@ def q_dsir_select(spark, sf):
 
 
 def q_temporal_joins(spark, sf):
-    """AS-OF + interval RANGE join composite over the events table:
-    every click gains (a) the latest preceding view per user — the
-    union-sort single-shuffle as-of, replayed by DuckDB's NATIVE
-    ``ASOF LEFT JOIN`` — and (b) the error windows (12h) containing it,
-    via the interval-bucketing equality join replayed as a plain
-    BETWEEN theta join."""
+    """Temporal-operator composite over the events table, union-tagged
+    (kind, id1, id2, sval, t1, t2, v):
+
+      kind='asof'   every click gains the latest preceding view per
+                    user — the union-sort single-shuffle as-of,
+                    replayed by DuckDB's NATIVE ``ASOF LEFT JOIN``
+                    (id1=click, id2=view, v=view_value)
+      kind='range'  the 12h error windows containing each click, via
+                    the interval-bucketing equality join replayed as a
+                    plain BETWEEN theta join (id1=click, id2=error)
+      kind='scd2'   SCD2 attribute-history runs over each user's
+                    event_type stream (``operators/entity_history.py``
+                    — lag → run cumsum → collapse → lead, one
+                    entity_id shuffle; id1=entity, id2=version,
+                    sval=value, t1/t2=valid_from/valid_to,
+                    v=n_observations), replayed by the identical
+                    DuckDB window cascade
+    """
+    from record_linkage_spark.operators.entity_history import (
+        attribute_history,
+    )
     from record_linkage_spark.operators.temporal_join import (
         asof_join,
         range_join,
@@ -1814,10 +1829,14 @@ def q_temporal_joins(spark, sf):
         F.col("event_id").alias("view_id"),
         F.col("value").alias("view_value"),
     )
+    ns = F.lit(None).cast("string")
     a = asof_join(clicks, views, on=["user_id"]).select(
         F.lit("asof").alias("kind"),
         F.col("event_id").alias("id1"),
         F.col("r_view_id").alias("id2"),
+        F.lit("").alias("sval"),
+        ns.alias("t1"),
+        ns.alias("t2"),
         F.round("r_view_value", 6).alias("v"),
     )
     errs = ev.filter(F.col("event_type") == "error").select(
@@ -1832,9 +1851,30 @@ def q_temporal_joins(spark, sf):
         F.lit("range").alias("kind"),
         F.col("event_id").alias("id1"),
         F.col("err_id").alias("id2"),
+        F.lit("").alias("sval"),
+        ns.alias("t1"),
+        ns.alias("t2"),
         F.lit(None).cast("double").alias("v"),
     )
-    return a.unionByName(rj)
+    obs = ev.filter(F.col("ts").isNotNull()).select(
+        F.col("user_id").cast("bigint").alias("entity_id"),
+        "ts",
+        F.col("event_type").alias("value"),
+        "event_id",
+    )
+    fmt = lambda c: F.date_format(
+        F.col(c).cast("timestamp"), "yyyy-MM-dd HH:mm:ss"
+    )
+    scd2 = attribute_history(obs, tiebreak_col="event_id").select(
+        F.lit("scd2").alias("kind"),
+        F.col("entity_id").alias("id1"),
+        F.col("version").alias("id2"),
+        F.col("value").alias("sval"),
+        fmt("valid_from").alias("t1"),
+        fmt("valid_to").alias("t2"),
+        F.col("n_observations").cast("double").alias("v"),
+    )
+    return a.unionByName(rj).unionByName(scd2)
 
 
 def q_rl_truth_discovery(spark, sf):
@@ -2571,24 +2611,47 @@ def q_pack_budget(spark, sf):
 
 def q_near_dup_pairs(spark, sf):
     """Composite of the MinHash-LSH pair checks (symmetric +
-    cross-corpus, ``q_minhash_pairs``) and the SimHash pigeonhole check
-    (``q_simhash_hd``) in one (kind, id_A, id_B, v) frame — v carries
-    jaccard for the MinHash legs and the Hamming distance for SimHash."""
-    mh = q_minhash_pairs(spark, sf).withColumnRenamed("jaccard", "v")
+    cross-corpus, ``q_minhash_pairs``), the SimHash pigeonhole check
+    (``q_simhash_hd``) and the SemDeDup embedding keep-policy
+    (``q_semantic_dedup`` verbatim) in one (kind, id_A, id_B, v, i1,
+    i2) frame — v carries jaccard for the MinHash legs, the Hamming
+    distance for SimHash and centroid_sim for SemDeDup (i1=cell,
+    i2=keep; id_B=group_id)."""
+    pad = [F.lit(0).cast("bigint").alias("i1"), F.lit(0).cast("bigint").alias("i2")]
+    mh = q_minhash_pairs(spark, sf).withColumnRenamed("jaccard", "v").select(
+        "kind", "id_A", "id_B", "v", *pad
+    )
     sh = q_simhash_hd(spark, sf).select(
         F.lit("simhash").alias("kind"),
         F.col("id_A").cast("string").alias("id_A"),
         F.col("id_B").cast("string").alias("id_B"),
         F.col("hamming").cast("double").alias("v"),
+        *pad,
     )
-    return mh.unionByName(sh)
+    sd = q_semantic_dedup(spark, sf).select(
+        F.lit("semdedup").alias("kind"),
+        F.col("vec_id").cast("string").alias("id_A"),
+        F.col("group_id").cast("string").alias("id_B"),
+        F.col("centroid_sim").alias("v"),
+        F.col("cell").cast("bigint").alias("i1"),
+        F.col("keep").cast("bigint").alias("i2"),
+    )
+    return mh.unionByName(sh).unionByName(sd)
 
 
 def q_web_filters(spark, sf):
-    """Composite of the C4 rule cascade (``q_c4_filters``) and the
-    Gopher quality rules (``q_gopher_filters``) — union-tagged into one
-    (kind, doc_id, sval, i1-i3, f1-f5, keep) frame with every rule
-    metric of both standalone checks verbatim."""
+    """Web-corpus quality-filter composite, union-tagged into one
+    (kind, doc_id, sval, i1-i3, f1-f5, keep) frame with every metric
+    of each standalone check verbatim:
+
+      kind='c4'      C4 rule cascade (``q_c4_filters``)
+      kind='gopher'  Gopher quality rules (``q_gopher_filters``)
+      kind='lm'      CCNet-style bigram-LM cross-entropy
+                     (``q_lm_entropy``: i1=n_bigrams, f1=cross_entropy)
+      kind='dsir'    DSIR importance resampling
+                     (``q_dsir_select``: i1=n_feats, f1=log_w,
+                     f2=gumbel_key)
+    """
     c4 = q_c4_filters(spark, sf).select(
         F.lit("c4").alias("kind"),
         "doc_id",
@@ -2617,12 +2680,45 @@ def q_web_filters(spark, sf):
         F.col("alpha_word_frac").alias("f5"),
         "keep",
     )
-    return c4.unionByName(go)
+    zi = F.lit(0).cast("int")
+    zd = F.lit(0.0)
+    lm = q_lm_entropy(spark, sf).select(
+        F.lit("lm").alias("kind"),
+        "doc_id",
+        F.lit("").alias("sval"),
+        F.col("n_bigrams").cast("int").alias("i1"),
+        zi.alias("i2"),
+        zi.alias("i3"),
+        F.col("cross_entropy").alias("f1"),
+        zd.alias("f2"),
+        zd.alias("f3"),
+        zd.alias("f4"),
+        zd.alias("f5"),
+        zi.alias("keep"),
+    )
+    ds = q_dsir_select(spark, sf).select(
+        F.lit("dsir").alias("kind"),
+        "doc_id",
+        F.lit("").alias("sval"),
+        F.col("n_feats").cast("int").alias("i1"),
+        zi.alias("i2"),
+        zi.alias("i3"),
+        F.col("log_w").alias("f1"),
+        F.col("gumbel_key").alias("f2"),
+        zd.alias("f3"),
+        zd.alias("f4"),
+        zd.alias("f5"),
+        F.lit(1).cast("int").alias("keep"),
+    )
+    return c4.unionByName(go).unionByName(lm).unionByName(ds)
 
 
 def q_scalar_checks(spark, sf):
     """P1/A1 missing%, P14 prefix-key histogram, J5 semi/anti counts,
-    A6 confusion counts, X1 hash-split sizes — one (chk, k, v) frame."""
+    A6 confusion counts, X1 hash-split sizes — one (chk, k, v) frame —
+    plus the corpus-profile rows (n-gram top-k + length quantiles,
+    ``q_corpus_profile``) verbatim: both sides are already (chk, k, v)
+    tagged, so the union costs nothing and frees a window slot."""
     def tag(df, chk, k, v):
         return df.select(
             F.lit(chk).alias("chk"),
@@ -2646,6 +2742,7 @@ def q_scalar_checks(spark, sf):
         .unionByName(tag(j5, "j5_semi_anti", "k", "v"))
         .unionByName(tag(a6, "a6_confusion", "k", "v"))
         .unionByName(tag(q_x1_hash_split(spark, sf), "x1_hash_split", "split", "n"))
+        .unionByName(q_corpus_profile(spark, sf))
     )
 
 
@@ -2741,6 +2838,11 @@ def q_similarity_funcs(spark, sf):
                     DuckDB replays the token cross-product with native
                     jaro_winkler_similarity (v1=symmetric max,
                     v2=me_ab, v3=me_ba)
+      kind='soft_tfidf'  SoftTFIDF hybrid comparator rows
+                    (``q_soft_tfidf`` verbatim: v1=soft_tfidf,
+                    v2=st_ab, v3=st_ba)
+      kind='pprl'   privacy-preserving CLK Dice pairs
+                    (``q_pprl_dice`` verbatim: v1=dice)
     """
     from record_linkage_spark.functions.similarity import (
         jw_sim,
@@ -2785,7 +2887,23 @@ def q_similarity_funcs(spark, sf):
             F.round("_me.me_ba", 6).alias("v3"),
         )
     )
-    return names.unionByName(me)
+    st = q_soft_tfidf(spark, sf).select(
+        F.lit("soft_tfidf").alias("kind"),
+        F.col("id_A").alias("id1"),
+        F.col("id_B").alias("id2"),
+        F.col("soft_tfidf").alias("v1"),
+        F.col("st_ab").alias("v2"),
+        F.col("st_ba").alias("v3"),
+    )
+    pp = q_pprl_dice(spark, sf).select(
+        F.lit("pprl").alias("kind"),
+        F.col("id_A").alias("id1"),
+        F.col("id_B").alias("id2"),
+        F.col("dice").alias("v1"),
+        F.lit(0.0).alias("v2"),
+        F.lit(0.0).alias("v3"),
+    )
+    return names.unionByName(me).unionByName(st).unionByName(pp)
 
 
 def q_text_stats(spark, sf):
@@ -3353,6 +3471,199 @@ def q_conv_reseg(spark, sf):
     return resegment_conversations(t, gap_minutes=60.0)
 
 
+def q_transcript_checks(spark, sf):
+    """Transcript-hygiene composite, union-tagged into one
+    (kind, k1, k2, k3, i1-i8) frame carrying each constituent's rows
+    verbatim (the three ops share the planted transcript derivation):
+
+      kind='integrity'  per-conversation structural QA
+                        (``q_transcript_integrity``: k1=conv_id,
+                        i1=n_turns, i2=n_dup_idx, i3=n_gaps,
+                        i4=starts_at_zero, i5=n_empty,
+                        i6=n_role_repeats, i7=n_ts_regress, i8=is_clean)
+      kind='prefix'     prefix-duplicate conversation pairs
+                        (``q_prefix_dups``: k1=prefix_conv_id,
+                        k2=super_conv_id, i1=prefix_len, i2=super_len)
+      kind='reseg'      idle-gap re-segmentation output
+                        (``q_conv_reseg``: k1=new conv_id, k2=text,
+                        k3=ts formatted, i1=turn_idx)
+    """
+    zi = F.lit(0).cast("bigint")
+    es = F.lit("")
+    ti = q_transcript_integrity(spark, sf).select(
+        F.lit("integrity").alias("kind"),
+        F.col("conv_id").alias("k1"),
+        es.alias("k2"),
+        es.alias("k3"),
+        F.col("n_turns").alias("i1"),
+        F.col("n_dup_idx").alias("i2"),
+        F.col("n_gaps").alias("i3"),
+        F.col("starts_at_zero").cast("bigint").alias("i4"),
+        F.col("n_empty").alias("i5"),
+        F.col("n_role_repeats").alias("i6"),
+        F.col("n_ts_regress").alias("i7"),
+        F.col("is_clean").cast("bigint").alias("i8"),
+    )
+    pd_ = q_prefix_dups(spark, sf).select(
+        F.lit("prefix").alias("kind"),
+        F.col("prefix_conv_id").alias("k1"),
+        F.col("super_conv_id").alias("k2"),
+        es.alias("k3"),
+        F.col("prefix_len").cast("bigint").alias("i1"),
+        F.col("super_len").cast("bigint").alias("i2"),
+        zi.alias("i3"), zi.alias("i4"), zi.alias("i5"),
+        zi.alias("i6"), zi.alias("i7"), zi.alias("i8"),
+    )
+    rs = q_conv_reseg(spark, sf).select(
+        F.lit("reseg").alias("kind"),
+        F.col("conv_id").alias("k1"),
+        F.col("text").alias("k2"),
+        F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd HH:mm:ss").alias("k3"),
+        F.col("turn_idx").cast("bigint").alias("i1"),
+        zi.alias("i2"), zi.alias("i3"), zi.alias("i4"), zi.alias("i5"),
+        zi.alias("i6"), zi.alias("i7"), zi.alias("i8"),
+    )
+    return ti.unionByName(pd_).unionByName(rs)
+
+
+def q_span_checks(spark, sf):
+    """Span-granular exact-substring composite (Lee et al. 2107.06499),
+    union-tagged into one (kind, id1, id2, sval, i1-i3) frame:
+
+      kind='overlap'  8-token-span overlap pairs (``q_span_overlap``:
+                      i1=shared_spans)
+      kind='dedup'    span duplicate REMOVAL with the rewritten text
+                      itself value-checked (``q_span_dedup``:
+                      sval=text_dedup, i1=n_tokens, i2=n_kept_tokens,
+                      i3=n_removed_spans)
+    """
+    zi = F.lit(0).cast("bigint")
+    ov = q_span_overlap(spark, sf).select(
+        F.lit("overlap").alias("kind"),
+        F.col("id_A").alias("id1"),
+        F.col("id_B").alias("id2"),
+        F.lit("").alias("sval"),
+        F.col("shared_spans").alias("i1"),
+        zi.alias("i2"),
+        zi.alias("i3"),
+    )
+    sd = q_span_dedup(spark, sf).select(
+        F.lit("dedup").alias("kind"),
+        F.col("doc_id").alias("id1"),
+        zi.alias("id2"),
+        F.col("text_dedup").alias("sval"),
+        F.col("n_tokens").cast("bigint").alias("i1"),
+        F.col("n_kept_tokens").cast("bigint").alias("i2"),
+        F.col("n_removed_spans").cast("bigint").alias("i3"),
+    )
+    return ov.unionByName(sd)
+
+
+def q_sn_progressive(spark, sf):
+    """Sorted-neighborhood composite, union-tagged into one
+    (kind, k1, k2, i1, i2, d1) frame:
+
+      kind='sn'    windowed SN pairs (``q_sn_pairs``: k1=id_A, k2=id_B,
+                   i1=rank_A, i2=rank_B)
+      kind='psnm'  progressive-ER cost/recall curve (``q_psnm_curve``:
+                   k1=priority, i1=n_pairs_cum, i2=n_matches_cum,
+                   d1=recall)
+    """
+    sn = q_sn_pairs(spark, sf).select(
+        F.lit("sn").alias("kind"),
+        F.col("id_A").alias("k1"),
+        F.col("id_B").alias("k2"),
+        F.col("rank_A").alias("i1"),
+        F.col("rank_B").alias("i2"),
+        F.lit(0.0).alias("d1"),
+    )
+    ps = q_psnm_curve(spark, sf).select(
+        F.lit("psnm").alias("kind"),
+        F.col("priority").cast("string").alias("k1"),
+        F.lit("").alias("k2"),
+        F.col("n_pairs_cum").alias("i1"),
+        F.col("n_matches_cum").alias("i2"),
+        F.col("recall").alias("d1"),
+    )
+    return sn.unionByName(ps)
+
+
+def q_agent_analytics(spark, sf):
+    """Agent-behavior analytics composite, union-tagged into one
+    (kind, k1, k2, i1-i4, d1-d3) frame carrying all five standalone
+    checks' rows verbatim (they share the planted events→transcript
+    derivation):
+
+      kind='loops'   per-conversation loop runs (``q_agent_loops``:
+                     k1=conv_id, i1=n_turns, i2=n_loop_turns,
+                     i3=n_loop_runs, i4=max_run_len, d1=loop_frac)
+      kind='trans'   tool-transition Markov counts
+                     (``q_tool_transitions``: k1=prev, k2=next, i1=n,
+                     i2=n_convs)
+      kind='ngrams'  order-3 tool-sequence mining (``q_tool_ngrams``:
+                     k1=gram, i1=n_times, i2=n_convs)
+      kind='drift'   snapshot transition drift (``q_transition_drift``:
+                     k1=prev, k2=next, i1=n_a, i2=n_b, d1=p_a, d2=p_b,
+                     d3=abs_diff)
+      kind='boiler'  boilerplate-stripped surviving turns
+                     (``q_turn_boilerplate``: k1=conv_id, k2=text,
+                     i1=turn_idx)
+    """
+    zi = F.lit(0).cast("bigint")
+    zd = F.lit(0.0)
+    es = F.lit("")
+    lo = q_agent_loops(spark, sf).select(
+        F.lit("loops").alias("kind"),
+        F.col("conv_id").alias("k1"),
+        es.alias("k2"),
+        F.col("n_turns").alias("i1"),
+        F.col("n_loop_turns").alias("i2"),
+        F.col("n_loop_runs").alias("i3"),
+        F.col("max_run_len").alias("i4"),
+        F.col("loop_frac").alias("d1"),
+        zd.alias("d2"),
+        zd.alias("d3"),
+    )
+    tr = q_tool_transitions(spark, sf).select(
+        F.lit("trans").alias("kind"),
+        F.col("prev_tool").alias("k1"),
+        F.col("next_tool").alias("k2"),
+        F.col("n").alias("i1"),
+        F.col("n_convs").alias("i2"),
+        zi.alias("i3"), zi.alias("i4"),
+        zd.alias("d1"), zd.alias("d2"), zd.alias("d3"),
+    )
+    ng = q_tool_ngrams(spark, sf).select(
+        F.lit("ngrams").alias("kind"),
+        F.col("gram").alias("k1"),
+        es.alias("k2"),
+        F.col("n_times").alias("i1"),
+        F.col("n_convs").alias("i2"),
+        zi.alias("i3"), zi.alias("i4"),
+        zd.alias("d1"), zd.alias("d2"), zd.alias("d3"),
+    )
+    dr = q_transition_drift(spark, sf).select(
+        F.lit("drift").alias("kind"),
+        F.col("prev_tool").alias("k1"),
+        F.col("next_tool").alias("k2"),
+        F.col("n_a").alias("i1"),
+        F.col("n_b").alias("i2"),
+        zi.alias("i3"), zi.alias("i4"),
+        F.col("p_a").alias("d1"),
+        F.col("p_b").alias("d2"),
+        F.col("abs_diff").alias("d3"),
+    )
+    bo = q_turn_boilerplate(spark, sf).select(
+        F.lit("boiler").alias("kind"),
+        F.col("conv_id").alias("k1"),
+        F.col("text").alias("k2"),
+        F.col("turn_idx").cast("bigint").alias("i1"),
+        zi.alias("i2"), zi.alias("i3"), zi.alias("i4"),
+        zd.alias("d1"), zd.alias("d2"), zd.alias("d3"),
+    )
+    return lo.unionByName(tr).unionByName(ng).unionByName(dr).unionByName(bo)
+
+
 def q_ann_blocking(spark, sf):
     """Hashed-text-vector blocking semantics under the oracle signal
     (``operators/ann_blocking.py``): signed hashing-trick vectors
@@ -3429,50 +3740,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,                    # U1 + U3/F10
         "golden_records": q_golden_records,      # survivorship fusion
         # -- F: scalar similarity functions
-        "similarity_funcs": q_similarity_funcs,  # F1 + F2
+        "similarity_funcs": q_similarity_funcs,  # F1 + F2 + Monge-Elkan + SoftTFIDF + PPRL
         # -- blocking families beyond equality cascades
-        "sn_pairs": q_sn_pairs,
+        "sn_progressive": q_sn_progressive,  # SN pairs + progressive-ER curve
         "meta_blocking": q_meta_blocking,
         # -- dedup / similarity-search / curation extras
         "dedup_checks": q_dedup_checks,    # exact + token-Jaccard/TF-IDF
         "explain_pairs": q_explain_pairs,
         "ssjoin_prefix": q_ssjoin_prefix,  # guaranteed-recall prefix filter
         "dedup_keep_best": q_dedup_keep_best,
-        "span_overlap": q_span_overlap,
-        "near_dup_pairs": q_near_dup_pairs,  # MinHash sym+cross + SimHash
+        "span_checks": q_span_checks,  # span overlap + span dedup rewrite
+        "near_dup_pairs": q_near_dup_pairs,  # MinHash sym+cross + SimHash + SemDeDup
         "pq_adc": q_pq_adc,
         "ann_brute_topk": q_ann_brute_topk,
         "rl_embedding_neardup": q_rl_embedding_neardup,
         "doc_hygiene": q_doc_hygiene,      # PII + repetition + decontam
-        "web_filters": q_web_filters,      # C4 + Gopher rule cascades
-        "transcript_integrity": q_transcript_integrity,
+        "web_filters": q_web_filters,      # C4 + Gopher + LM-perplexity + DSIR
+        "transcript_checks": q_transcript_checks,  # integrity + prefix dups + reseg
+        "agent_analytics": q_agent_analytics,  # loops + transitions + ngrams + drift + boilerplate
         "pack_budget": q_pack_budget,      # seq packing + token budget
         "temporal_joins": q_temporal_joins,
-        "corpus_profile": q_corpus_profile,   # ngram_topk + length_quantiles
         "fp_winnow": q_fp_winnow,
         "text_stats": q_text_stats,              # token counts + quality + langid
         "event_windows": q_event_windows,        # tumbling + session windows
         "rl_multimodal_features": q_rl_multimodal_features,
         "cluster_quality": q_cluster_quality,  # B-cubed + ARI family + cohesion/merge repair
-        # ---- position 51+: past the driver's verdict window (which is
-        # full of oracle entries). First the two oracle-backed extras —
-        # check_oracles.py value-checks them like any window entry ----
-        "span_dedup": q_span_dedup,
-        "semantic_dedup": q_semantic_dedup,
-        "soft_tfidf": q_soft_tfidf,
-        "psnm_curve": q_psnm_curve,
-        "pprl_dice": q_pprl_dice,
-        "lm_entropy": q_lm_entropy,
-        "dsir_select": q_dsir_select,
-        "prefix_dups": q_prefix_dups,
-        "agent_loops": q_agent_loops,
-        "tool_transitions": q_tool_transitions,
-        "tool_ngrams": q_tool_ngrams,
-        "transition_drift": q_transition_drift,
-        "turn_boilerplate": q_turn_boilerplate,
-        "conv_reseg": q_conv_reseg,
-        # ---- rows-only (hash-kernel / pipeline / streaming ops — no
-        # portable SQL twin; each pinned by pytest) ----
+        # ---- position 51+: rows-only entries (hash-kernel / pipeline /
+        # streaming ops — no portable SQL twin; each pinned by pytest).
+        # EVERY oracle-backed entry sits inside the 50-slot window: the
+        # former standalone past-window oracles (span_dedup,
+        # semantic_dedup, soft_tfidf, psnm_curve, pprl_dice, lm_entropy,
+        # dsir_select, prefix_dups, the five agent-analytics checks,
+        # conv_reseg, corpus_profile) now ride verbatim inside window
+        # composites — see q_span_checks, q_near_dup_pairs,
+        # q_similarity_funcs, q_sn_progressive, q_web_filters,
+        # q_transcript_checks, q_agent_analytics, q_scalar_checks. ----
         "rl_swoosh": q_rl_swoosh,
         "rl_group_linkage": q_rl_group_linkage,
         "rl_truth_discovery": q_rl_truth_discovery,
@@ -3668,10 +3970,17 @@ def _composite_oracles(base: dict[str, str]) -> dict[str, str]:
     )
 
     near_dup_sql = (
-        f"SELECT kind, id_A, id_B, jaccard AS v FROM ({minhash_pairs_sql}) "
+        "SELECT kind, id_A, id_B, jaccard AS v, "
+        "CAST(0 AS BIGINT) AS i1, CAST(0 AS BIGINT) AS i2 "
+        f"FROM ({minhash_pairs_sql}) "
         "UNION ALL SELECT 'simhash' AS kind, CAST(id_A AS VARCHAR), "
-        "CAST(id_B AS VARCHAR), CAST(hamming AS DOUBLE) "
-        f"FROM ({base['simhash_hd']})"
+        "CAST(id_B AS VARCHAR), CAST(hamming AS DOUBLE), "
+        "CAST(0 AS BIGINT), CAST(0 AS BIGINT) "
+        f"FROM ({base['simhash_hd']}) "
+        "UNION ALL SELECT 'semdedup' AS kind, CAST(vec_id AS VARCHAR), "
+        "CAST(group_id AS VARCHAR), centroid_sim, "
+        "CAST(cell AS BIGINT), CAST(keep AS BIGINT) "
+        f"FROM ({base['semantic_dedup']})"
     )
 
     dedup_checks_sql = (
@@ -3715,7 +4024,74 @@ def _composite_oracles(base: dict[str, str]) -> dict[str, str]:
         "CAST(n_words AS INTEGER), CAST(n_stop_hits AS INTEGER), "
         "CAST(0 AS INTEGER), mean_word_len, symbol_word_ratio, "
         "bullet_line_frac, ellipsis_line_frac, alpha_word_frac, "
-        f"CAST(keep AS INTEGER) FROM ({base['gopher_filters']})"
+        f"CAST(keep AS INTEGER) FROM ({base['gopher_filters']}) "
+        "UNION ALL SELECT 'lm', doc_id, '', "
+        "CAST(n_bigrams AS INTEGER), CAST(0 AS INTEGER), CAST(0 AS INTEGER), "
+        "cross_entropy, 0.0, 0.0, 0.0, 0.0, CAST(0 AS INTEGER) "
+        f"FROM ({base['lm_entropy']}) "
+        "UNION ALL SELECT 'dsir', doc_id, '', "
+        "CAST(n_feats AS INTEGER), CAST(0 AS INTEGER), CAST(0 AS INTEGER), "
+        "log_w, gumbel_key, 0.0, 0.0, 0.0, CAST(1 AS INTEGER) "
+        f"FROM ({base['dsir_select']})"
+    )
+
+    transcript_checks_sql = (
+        "SELECT 'integrity' AS kind, conv_id AS k1, '' AS k2, '' AS k3, "
+        "n_turns AS i1, n_dup_idx AS i2, n_gaps AS i3, "
+        "CAST(starts_at_zero AS BIGINT) AS i4, n_empty AS i5, "
+        "n_role_repeats AS i6, n_ts_regress AS i7, "
+        "CAST(is_clean AS BIGINT) AS i8 "
+        f"FROM ({base['transcript_integrity']}) "
+        "UNION ALL SELECT 'prefix', prefix_conv_id, super_conv_id, '', "
+        "CAST(prefix_len AS BIGINT), CAST(super_len AS BIGINT), "
+        "CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), "
+        "CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT) "
+        f"FROM ({base['prefix_dups']}) "
+        "UNION ALL SELECT 'reseg', conv_id, text, "
+        "strftime(ts, '%Y-%m-%d %H:%M:%S'), "
+        "CAST(turn_idx AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), "
+        "CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), "
+        "CAST(0 AS BIGINT), CAST(0 AS BIGINT) "
+        f"FROM ({base['conv_reseg']})"
+    )
+
+    span_checks_sql = (
+        "SELECT 'overlap' AS kind, id_A AS id1, id_B AS id2, '' AS sval, "
+        "shared_spans AS i1, CAST(0 AS BIGINT) AS i2, CAST(0 AS BIGINT) AS i3 "
+        f"FROM ({base['span_overlap']}) "
+        "UNION ALL SELECT 'dedup', doc_id, CAST(0 AS BIGINT), text_dedup, "
+        "CAST(n_tokens AS BIGINT), CAST(n_kept_tokens AS BIGINT), "
+        "CAST(n_removed_spans AS BIGINT) "
+        f"FROM ({base['span_dedup']})"
+    )
+
+    sn_progressive_sql = (
+        "SELECT 'sn' AS kind, id_A AS k1, id_B AS k2, "
+        "rank_A AS i1, rank_B AS i2, 0.0 AS d1 "
+        f"FROM ({base['sn_pairs']}) "
+        "UNION ALL SELECT 'psnm', CAST(priority AS VARCHAR), '', "
+        "n_pairs_cum, n_matches_cum, recall "
+        f"FROM ({base['psnm_curve']})"
+    )
+
+    agent_analytics_sql = (
+        "SELECT 'loops' AS kind, conv_id AS k1, '' AS k2, "
+        "n_turns AS i1, n_loop_turns AS i2, n_loop_runs AS i3, "
+        "max_run_len AS i4, loop_frac AS d1, 0.0 AS d2, 0.0 AS d3 "
+        f"FROM ({base['agent_loops']}) "
+        "UNION ALL SELECT 'trans', prev_tool, next_tool, "
+        "n, n_convs, CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0, 0.0, 0.0 "
+        f"FROM ({base['tool_transitions']}) "
+        "UNION ALL SELECT 'ngrams', gram, '', "
+        "n_times, n_convs, CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0, 0.0, 0.0 "
+        f"FROM ({base['tool_ngrams']}) "
+        "UNION ALL SELECT 'drift', prev_tool, next_tool, "
+        "n_a, n_b, CAST(0 AS BIGINT), CAST(0 AS BIGINT), p_a, p_b, abs_diff "
+        f"FROM ({base['transition_drift']}) "
+        "UNION ALL SELECT 'boiler', conv_id, text, "
+        "CAST(turn_idx AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), "
+        "CAST(0 AS BIGINT), 0.0, 0.0, 0.0 "
+        f"FROM ({base['turn_boilerplate']})"
     )
 
     return {
@@ -3737,14 +4113,19 @@ def _composite_oracles(base: dict[str, str]) -> dict[str, str]:
             "UNION ALL "
             f"SELECT 'stratified' AS kind, doc_id, lang FROM ({base['strat_sample']})"
         ),
-        "scalar_checks": " UNION ALL ".join(scalar_parts),
-        "corpus_profile": " UNION ALL ".join(
-            [
+        "scalar_checks": " UNION ALL ".join(
+            scalar_parts
+            + [
+                # corpus-profile rows folded verbatim (freed window slot)
                 tagged("ngram", base["ngram_topk"], "gram", "n_docs"),
                 # p unnests as DECIMAL(3,2) ('0.50'); double renders '0.5'
                 tagged("lq", base["length_quantiles"], "CAST(p AS DOUBLE)", "n_chars_q"),
             ]
         ),
+        "transcript_checks": transcript_checks_sql,
+        "span_checks": span_checks_sql,
+        "sn_progressive": sn_progressive_sql,
+        "agent_analytics": agent_analytics_sql,
         "p2_p11_filter_canon": (
             "SELECT doc_id, lang, n_chars, CASE WHEN lang = 'en' THEN 'english' "
             "WHEN lang = 'de' THEN 'german' WHEN lang = 'fr' THEN 'french' "
@@ -3812,7 +4193,12 @@ def _composite_oracles(base: dict[str, str]) -> dict[str, str]:
             "round(greatest(ab.v, ba.v), 6) AS v1, "
             "round(ab.v, 6) AS v2, round(ba.v, 6) AS v3 "
             "FROM meab ab JOIN meba ba ON ab.id1 = ba.id1 AND ab.id2 = ba.id2) "
-            "SELECT * FROM names UNION ALL SELECT * FROM monge"
+            "SELECT * FROM names UNION ALL SELECT * FROM monge "
+            "UNION ALL SELECT 'soft_tfidf' AS kind, id_A, id_B, "
+            "soft_tfidf, st_ab, st_ba "
+            f"FROM ({base['soft_tfidf']}) "
+            "UNION ALL SELECT 'pprl' AS kind, id_A, id_B, dice, 0.0, 0.0 "
+            f"FROM ({base['pprl_dice']})"
         ),
         "text_stats": (
             f"SELECT tc.doc_id, tc.n_ws, tc.n_bpe, q.n_tokens, q.stopword_ratio, "
@@ -5415,17 +5801,39 @@ def oracle_sql() -> dict[str, str]:
             "v AS (SELECT user_id, ts, event_id AS view_id, "
             "value AS view_value FROM ev WHERE event_type = 'view'), "
             "a AS (SELECT 'asof' AS kind, c.event_id AS id1, "
-            "v.view_id AS id2, round(v.view_value, 6) AS v "
+            "v.view_id AS id2, '' AS sval, CAST(NULL AS VARCHAR) AS t1, "
+            "CAST(NULL AS VARCHAR) AS t2, round(v.view_value, 6) AS v "
             "FROM c ASOF LEFT JOIN v "
             "ON c.user_id = v.user_id AND c.ts >= v.ts), "
             "e AS (SELECT user_id, event_id AS err_id, ts AS s, "
             "ts + INTERVAL 12 HOUR AS en FROM ev "
             "WHERE event_type = 'error'), "
             "r AS (SELECT 'range' AS kind, c.event_id AS id1, "
-            "e.err_id AS id2, CAST(NULL AS DOUBLE) AS v "
+            "e.err_id AS id2, '' AS sval, CAST(NULL AS VARCHAR) AS t1, "
+            "CAST(NULL AS VARCHAR) AS t2, CAST(NULL AS DOUBLE) AS v "
             "FROM c JOIN e ON c.user_id = e.user_id "
-            "AND c.ts >= e.s AND c.ts <= e.en) "
-            "SELECT * FROM a UNION ALL SELECT * FROM r"
+            "AND c.ts >= e.s AND c.ts <= e.en), "
+            # SCD2 replay: identical lag -> run cumsum -> collapse ->
+            # lead cascade over each user's event_type stream
+            "obs AS (SELECT CAST(user_id AS BIGINT) AS entity_id, ts, "
+            "event_type AS value, event_id FROM ev WHERE ts IS NOT NULL), "
+            "chg AS (SELECT *, CASE WHEN row_number() OVER w = 1 THEN 1 "
+            "WHEN value IS DISTINCT FROM lag(value) OVER w THEN 1 "
+            "ELSE 0 END AS _chg FROM obs "
+            "WINDOW w AS (PARTITION BY entity_id ORDER BY ts, event_id)), "
+            "runs AS (SELECT *, CAST(sum(_chg) OVER (PARTITION BY entity_id "
+            "ORDER BY ts, event_id) - 1 AS BIGINT) AS _run FROM chg), "
+            "coll AS (SELECT entity_id, _run, max(value) AS value, "
+            "min(ts) AS valid_from, CAST(count(*) AS DOUBLE) AS n "
+            "FROM runs GROUP BY entity_id, _run), "
+            "scd AS (SELECT 'scd2' AS kind, entity_id AS id1, "
+            "_run AS id2, value AS sval, "
+            "strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS t1, "
+            "strftime(lead(valid_from) OVER (PARTITION BY entity_id "
+            "ORDER BY _run), '%Y-%m-%d %H:%M:%S') AS t2, n AS v "
+            "FROM coll) "
+            "SELECT * FROM a UNION ALL SELECT * FROM r "
+            "UNION ALL SELECT * FROM scd"
         ),
         # identical lag-window adjacency checks + grouped violation
         # counts over the planted-violation transcript derivation
@@ -5755,6 +6163,13 @@ def oracle_sql() -> dict[str, str]:
         "blocking_b1", "blocking_b2", "dedup_exact", "dedup_token_jaccard",
         "pii_scrub", "doc_repetition", "decontam_overlap", "seq_pack",
         "token_budget", "simhash_hd", "c4_filters", "gopher_filters",
+        # round-4 session-4 merges: the former past-window standalone
+        # oracles now ride verbatim inside window composites
+        "soft_tfidf", "pprl_dice", "span_overlap", "span_dedup",
+        "semantic_dedup", "sn_pairs", "psnm_curve", "lm_entropy",
+        "dsir_select", "transcript_integrity", "prefix_dups", "conv_reseg",
+        "agent_loops", "tool_transitions", "tool_ngrams",
+        "transition_drift", "turn_boilerplate",
     ):
         out.pop(merged, None)
     return out
