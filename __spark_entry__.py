@@ -2586,10 +2586,31 @@ def q_doc_hygiene(spark, sf):
 
 
 def q_pack_budget(spark, sf):
-    """Composite of sequence packing (``q_seq_pack``) and per-language
-    token-budget sampling (``q_token_budget``) — the two
-    distributed-prefix-sum curation ops — union-tagged into one
-    (kind, rid, lang, n_tokens, v1, v2) frame, values verbatim."""
+    """Token-budgeting composite, union-tagged into one
+    (kind, rid, lang, n_tokens, v1, v2, d1, d2) frame, values verbatim:
+
+      kind='pack'     sequence packing (``q_seq_pack``: v1=bin_id,
+                      v2=bin_offset)
+      kind='budget'   per-language token-budget sampling
+                      (``q_token_budget``: v1=cum_before)
+      kind='mixplan'  domain-mixture plan (``operators/mixing.py``,
+                      weights en:1 de:2 fr:4 over 50k tokens, epoch
+                      cap 4 — rid=domain, n_tokens=available,
+                      v1=n_full_epochs, v2=n_docs, d1=frac_epoch,
+                      d2=target_tokens; weight/achieved are exact
+                      functions of these)
+      kind='mixsel'   the materialized mixture (``sample_mixture``
+                      portable mode: rid=doc_id, lang=domain,
+                      v1=epoch) — DuckDB replays plan arithmetic, the
+                      md5 hash test and the epoch range explode
+    """
+    from record_linkage_spark.operators.mixing import (
+        plan_mixture,
+        sample_mixture,
+    )
+    from record_linkage_spark.operators.text_analysis import token_count_ws
+
+    zd = F.lit(0.0)
     pack = q_seq_pack(spark, sf).select(
         F.lit("pack").alias("kind"),
         "rid",
@@ -2597,6 +2618,8 @@ def q_pack_budget(spark, sf):
         "n_tokens",
         F.col("bin_id").alias("v1"),
         F.col("bin_offset").alias("v2"),
+        zd.alias("d1"),
+        zd.alias("d2"),
     )
     bud = q_token_budget(spark, sf).select(
         F.lit("budget").alias("kind"),
@@ -2605,8 +2628,42 @@ def q_pack_budget(spark, sf):
         "n_tokens",
         F.col("cum_before").alias("v1"),
         F.lit(0).cast("bigint").alias("v2"),
+        zd.alias("d1"),
+        zd.alias("d2"),
     )
-    return pack.unionByName(bud)
+    corpus = (
+        _t(spark, sf, "documents")
+        .filter(F.col("lang").isNotNull())
+        .select(
+            "doc_id",
+            F.col("lang").alias("domain"),
+            token_count_ws("text").cast("bigint").alias("n_tokens"),
+        )
+    )
+    plan = plan_mixture(
+        corpus, {"en": 1.0, "de": 2.0, "fr": 4.0}, total_tokens=50_000
+    ).localCheckpoint()
+    mp = plan.select(
+        F.lit("mixplan").alias("kind"),
+        F.col("domain").alias("rid"),
+        F.lit("").alias("lang"),
+        F.col("available_tokens").alias("n_tokens"),
+        F.col("n_full_epochs").alias("v1"),
+        F.col("n_docs").alias("v2"),
+        F.col("frac_epoch").alias("d1"),
+        F.col("target_tokens").alias("d2"),
+    )
+    ms = sample_mixture(corpus, plan, portable=True).select(
+        F.lit("mixsel").alias("kind"),
+        F.col("doc_id").cast("string").alias("rid"),
+        F.col("domain").alias("lang"),
+        "n_tokens",
+        F.col("epoch").cast("bigint").alias("v1"),
+        F.lit(0).cast("bigint").alias("v2"),
+        zd.alias("d1"),
+        zd.alias("d2"),
+    )
+    return pack.unionByName(bud).unionByName(mp).unionByName(ms)
 
 
 def q_near_dup_pairs(spark, sf):
@@ -4004,13 +4061,47 @@ def _composite_oracles(base: dict[str, str]) -> dict[str, str]:
         f"FROM ({base['decontam_overlap']})"
     )
 
+    # domain-mixture replay (operators/mixing.py, portable mode): plan
+    # arithmetic is pure IEEE double ops (identical both engines), the
+    # sample is the md5 60-bit hash test + a range() epoch explode
+    mix_sql = (
+        "WITH mixc AS (SELECT doc_id, lang AS domain, "
+        "CAST(CASE WHEN trim(coalesce(text, '')) = '' THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) "
+        "END AS BIGINT) AS n_tokens "
+        "FROM documents WHERE lang IS NOT NULL), "
+        "mixm AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_tokens) AS BIGINT) AS avail, "
+        "CASE domain WHEN 'en' THEN 1.0/7.0 WHEN 'de' THEN 2.0/7.0 "
+        "WHEN 'fr' THEN 4.0/7.0 END AS w "
+        "FROM mixc GROUP BY domain), "
+        "mixp AS (SELECT domain, n_docs, avail, w * 50000.0 AS target, "
+        "least(4.0, (w * 50000.0) / greatest(CAST(avail AS DOUBLE), 1.0)) "
+        "AS epochs FROM mixm WHERE w IS NOT NULL), "
+        "mixs AS (SELECT c.doc_id, c.domain, c.n_tokens, "
+        "CAST(floor(p.epochs) AS BIGINT) + CASE WHEN "
+        "(CAST(('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 15))::BIGINT "
+        "AS DOUBLE) / 1152921504606846976.0) "
+        "< round(p.epochs - floor(p.epochs), 6) THEN 1 ELSE 0 END AS copies "
+        "FROM mixc c JOIN mixp p USING (domain)) "
+        "SELECT 'mixplan' AS kind, domain AS rid, '' AS lang, "
+        "avail AS n_tokens, CAST(floor(epochs) AS BIGINT) AS v1, "
+        "n_docs AS v2, round(epochs - floor(epochs), 6) AS d1, "
+        "round(target, 6) AS d2 FROM mixp "
+        "UNION ALL SELECT 'mixsel', CAST(doc_id AS VARCHAR), domain, "
+        "n_tokens, CAST(epoch AS BIGINT), CAST(0 AS BIGINT), 0.0, 0.0 "
+        "FROM (SELECT doc_id, domain, n_tokens, "
+        "unnest(range(copies)) AS epoch FROM mixs WHERE copies > 0)"
+    )
     pack_budget_sql = (
         "SELECT 'pack' AS kind, rid, '' AS lang, n_tokens, "
-        "CAST(bin_id AS BIGINT) AS v1, CAST(bin_offset AS BIGINT) AS v2 "
+        "CAST(bin_id AS BIGINT) AS v1, CAST(bin_offset AS BIGINT) AS v2, "
+        "0.0 AS d1, 0.0 AS d2 "
         f"FROM ({base['seq_pack']}) "
         "UNION ALL SELECT 'budget', CAST(doc_id AS VARCHAR), lang, "
-        "n_tokens, CAST(cum_before AS BIGINT), CAST(0 AS BIGINT) "
-        f"FROM ({base['token_budget']})"
+        "n_tokens, CAST(cum_before AS BIGINT), CAST(0 AS BIGINT), 0.0, 0.0 "
+        f"FROM ({base['token_budget']}) "
+        f"UNION ALL SELECT * FROM ({mix_sql})"
     )
 
     web_filters_sql = (
