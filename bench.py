@@ -365,6 +365,36 @@ def main() -> None:
         lambda: strip_boilerplate_turns(transcripts, min_convs=25).count()
     )
 
+    # --- SCD2 history + mixture sampling (one-shuffle / no-shuffle ops) --
+    from record_linkage_spark.operators.entity_history import attribute_history
+    from record_linkage_spark.operators.mixing import plan_mixture, sample_mixture
+    from record_linkage_spark.operators.text_analysis import token_count_ws
+
+    obs = transcripts.select(
+        F.col("conv_id").alias("entity_id"), "ts",
+        F.col("role").alias("value"), "turn_idx",
+    )
+    _, queries["entity_history"] = _timed_best2(
+        lambda: attribute_history(obs, tiebreak_col="turn_idx")
+        .agg(F.count("*"), F.sum("n_observations")).collect()
+    )
+    mix_corpus = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("lang").isNotNull())
+        .select(
+            "doc_id", F.col("lang").alias("domain"),
+            token_count_ws("text").cast("bigint").alias("n_tokens"),
+        )
+        .localCheckpoint()
+    )
+    mix_plan = plan_mixture(
+        mix_corpus, {"en": 1.0, "de": 2.0, "fr": 4.0}, total_tokens=2_000_000
+    ).localCheckpoint()
+    _, queries["mixture_sample"] = _timed_best2(
+        lambda: sample_mixture(mix_corpus, mix_plan)
+        .agg(F.count("*"), F.sum("n_tokens")).collect()
+    )
+
     pairs_per_sec = n_deep_scored / score_sec if score_sec > 0 else 0.0
     total = sum(queries.values())
     print(
