@@ -2308,9 +2308,9 @@ def q_ssjoin_prefix(spark, sf):
 
 
 def q_cluster_quality(spark, sf):
-    """Cluster-quality + cluster-repair composite — five oracle checks in
-    one window slot, all over the deterministic doc clustering
-    (entity = doc_id div 7) against the lang column as truth:
+    """Cluster-quality + cluster-repair + collective-ER composite — seven
+    oracle checks in one window slot, all over the deterministic doc
+    clustering (entity = doc_id div 7) against the lang column as truth:
 
       chk='bcubed'   B-cubed P/R/F1 + n (``bcubed_metrics``)
       chk='pc'       pair-counting metrics: pairwise P/R/F1, Rand,
@@ -2321,6 +2321,17 @@ def q_cluster_quality(spark, sf):
                      over JW-scored near-id pairs at threshold 0.8
       chk='merge'    cross-entity merge candidates (``merge_candidates``)
                      over the same pairs
+      chk='rel'      collective-ER relational evidence: per-pair
+                     neighborhood Jaccard (``collective.
+                     neighborhood_jaccard``) under the same assignment,
+                     over a deterministic two-key co-occurrence relation
+                     (doc_id div 3 / div 5 groups — every key stays far
+                     below the hub guard, every set far below the cap,
+                     so the twin replays the exact semantics)
+      chk='tri'      transitivity audit (``collective.
+                     triangle_inconsistencies``): wedges at 0.8 whose
+                     closing pair is missing (w_ac = -1, is_missing = 1)
+                     or weak
 
     The scored pairs are (doc_id, doc_id+k) k in 1..3 with JW over
     40-char normalized slices — under the kernel's 48-char cap, so
@@ -2415,8 +2426,76 @@ def q_cluster_quality(spark, sf):
             "completeness", "v_measure", "nmi",
         ],
     )
+
+    # collective-ER relational evidence: two-key co-occurrence relation
+    # (consecutive-id groups of 3 and 5) — deterministic, and every key
+    # touches <= 2 entities so the hub guard / neighbor cap never bind
+    # (their semantics are pinned by tests/test_collective.py)
+    from record_linkage_spark.operators.collective import (
+        neighborhood_jaccard,
+        triangle_inconsistencies,
+    )
+
+    rel = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("a"), F.floor(F.col("doc_id") / 3).cast("string")
+        ).alias("rel_key"),
+    ).unionByName(
+        d.select(
+            "doc_id",
+            F.concat(
+                F.lit("b"), F.floor(F.col("doc_id") / 5).cast("string")
+            ).alias("rel_key"),
+        )
+    )
+    rpairs = (
+        d.select(F.col("doc_id").alias("id_A"))
+        .crossJoin(offs)
+        .select("id_A", (F.col("id_A") + F.col("off")).alias("id_B"))
+        .join(d.select(F.col("doc_id").alias("id_B")), "id_B")
+    )
+    relj = neighborhood_jaccard(
+        rpairs,
+        rel,
+        a.select("doc_id", "entity_id"),
+        id_col="doc_id",
+    )
+    rel_out = relj.select(
+        F.lit("rel").alias("chk"),
+        F.concat_ws(
+            "-", F.col("id_A").cast("string"), F.col("id_B").cast("string")
+        ).alias("k"),
+        F.round("rel_sim", 6).alias("v"),
+    )
+
+    tri = triangle_inconsistencies(pairs, threshold=0.8)
+    tri_out = unpivot(
+        tri.select(
+            F.concat_ws(
+                "-",
+                F.col("id_a").cast("string"),
+                F.col("id_center").cast("string"),
+                F.col("id_c").cast("string"),
+            ).alias("_tk"),
+            F.round("w_ab", 6).alias("w_ab"),
+            F.round("w_bc", 6).alias("w_bc"),
+            F.coalesce(F.round("w_ac", 6), F.lit(-1.0)).alias("w_ac"),
+            F.when(F.col("status") == "missing", F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("is_missing"),
+        ),
+        "tri",
+        ["w_ab", "w_bc", "w_ac", "is_missing"],
+        key_expr=F.col("_tk"),
+    )
     return (
-        bc.unionByName(pc).unionByName(coh).unionByName(mrg).unionByName(vm)
+        bc.unionByName(pc)
+        .unionByName(coh)
+        .unionByName(mrg)
+        .unionByName(vm)
+        .unionByName(rel_out)
+        .unionByName(tri_out)
     )
 
 
@@ -4888,7 +4967,43 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN hom + com > 0 THEN 2 * hom * com / (hom + com) "
         "ELSE 0.0 END AS vm, "
         "CASE WHEN hcv > 0 AND hkv > 0 THEN (hcv - hck) / sqrt(hcv * hkv) "
-        "ELSE 0.0 END AS nmi FROM vmr) "
+        "ELSE 0.0 END AS nmi FROM vmr), "
+        # collective-ER relational evidence: two-key co-occurrence
+        # relation (id div 3 / div 5 groups), neighbor-entity sets under
+        # the div-7 assignment, per-pair Jaccard (hub guard / cap never
+        # bind on these inputs — every key touches <= 2 entities)
+        "rrel AS (SELECT doc_id, 'a' || CAST(doc_id // 3 AS VARCHAR) AS key "
+        "FROM d UNION ALL "
+        "SELECT doc_id, 'b' || CAST(doc_id // 5 AS VARCHAR) AS key FROM d), "
+        "rkeyed AS (SELECT r.doc_id, r.key, a.e FROM rrel r "
+        "JOIN asg a USING (doc_id)), "
+        "rke AS (SELECT DISTINCT key, e FROM rkeyed), "
+        "rnbr AS (SELECT DISTINCT k0.doc_id, re.e AS ne FROM rkeyed k0 "
+        "JOIN rke re ON k0.key = re.key AND re.e <> k0.e), "
+        "rpr AS (SELECT a.doc_id AS ia, b.doc_id AS ib FROM d a JOIN d b "
+        "ON b.doc_id IN (a.doc_id + 1, a.doc_id + 2, a.doc_id + 3)), "
+        "rsz AS (SELECT doc_id, count(*) AS n FROM rnbr GROUP BY 1), "
+        "rint AS (SELECT p.ia, p.ib, count(*) AS i FROM rpr p "
+        "JOIN rnbr na ON na.doc_id = p.ia "
+        "JOIN rnbr nb ON nb.doc_id = p.ib AND nb.ne = na.ne GROUP BY 1, 2), "
+        "rsim AS (SELECT p.ia, p.ib, CASE WHEN coalesce(sa.n, 0) + "
+        "coalesce(sb.n, 0) - coalesce(i.i, 0) > 0 THEN "
+        "CAST(coalesce(i.i, 0) AS DOUBLE) / (coalesce(sa.n, 0) + "
+        "coalesce(sb.n, 0) - coalesce(i.i, 0)) ELSE 0.0 END AS sim "
+        "FROM rpr p LEFT JOIN rsz sa ON sa.doc_id = p.ia "
+        "LEFT JOIN rsz sb ON sb.doc_id = p.ib "
+        "LEFT JOIN rint i ON i.ia = p.ia AND i.ib = p.ib), "
+        # transitivity audit: strong wedges at 0.8 whose closing pair is
+        # missing or weak (pr rows already have ia < ib)
+        "tstr AS (SELECT ia AS lo, ib AS hi, sc FROM pr WHERE sc >= 0.8), "
+        "tsym AS (SELECT lo AS ctr, hi AS leaf, sc FROM tstr "
+        "UNION ALL SELECT hi AS ctr, lo AS leaf, sc FROM tstr), "
+        "tw AS (SELECT l.leaf AS a, l.ctr AS c0, r.leaf AS c, "
+        "l.sc AS wab, r.sc AS wbc FROM tsym l "
+        "JOIN tsym r ON l.ctr = r.ctr AND l.leaf < r.leaf), "
+        "tout AS (SELECT tw.a, tw.c0, tw.c, tw.wab, tw.wbc, t.sc AS wac "
+        "FROM tw LEFT JOIN pr t ON t.ia = tw.a AND t.ib = tw.c "
+        "WHERE t.sc IS NULL OR t.sc < 0.8) "
         "SELECT 'bcubed' AS chk, unnest(['bcubed_precision', 'bcubed_recall', "
         "'bcubed_f1', 'n_records']) AS k, unnest([bcubed_precision, "
         "bcubed_recall, bcubed_f1, CAST(n_records AS DOUBLE)]) AS v "
@@ -4913,7 +5028,16 @@ def oracle_sql() -> dict[str, str]:
         "'nmi']) AS k, "
         "unnest([nn, round(hcv, 6), round(hkv, 6), round(hck, 6), "
         "round(hkc, 6), round(hcv - hck, 6), round(hom, 6), round(com, 6), "
-        "round(vm, 6), round(nmi, 6)]) AS v FROM vmx"
+        "round(vm, 6), round(nmi, 6)]) AS v FROM vmx "
+        "UNION ALL SELECT 'rel' AS chk, CAST(ia AS VARCHAR) || '-' || "
+        "CAST(ib AS VARCHAR) AS k, round(sim, 6) AS v FROM rsim "
+        "UNION ALL SELECT 'tri' AS chk, CAST(a AS VARCHAR) || '-' || "
+        "CAST(c0 AS VARCHAR) || '-' || CAST(c AS VARCHAR) || ':' || "
+        "unnest(['w_ab', 'w_bc', 'w_ac', 'is_missing']) AS k, "
+        "unnest([round(wab, 6), round(wbc, 6), "
+        "coalesce(round(wac, 6), CAST(-1.0 AS DOUBLE)), "
+        "CASE WHEN wac IS NULL THEN CAST(1.0 AS DOUBLE) "
+        "ELSE CAST(0.0 AS DOUBLE) END]) AS v FROM tout"
     )
     out = {
         "curation_funnel": curation_funnel_sql,
