@@ -210,6 +210,56 @@ def neighborhood_jaccard(
     )
 
 
+def transcript_tool_relations(
+    transcripts: DataFrame,
+    n: int = 2,
+    id_col: str = "conv_id",
+    tool_col: str = "tool",
+    order_col: str = "turn_idx",
+) -> DataFrame:
+    """The transcript domain's default co-occurrence relation for
+    :func:`collective_link`: each conversation's ordered tool-call
+    n-grams as ``(id_col, rel_key)`` rows. Duplicated conversations of
+    one entity replay the same tool sequence, so they share n-gram keys
+    even when their text is corrupted beyond what attribute comparators
+    tolerate; ubiquitous n-grams (every agent starts with ``search``)
+    are exactly what the hub-key guard drops. In production the caller
+    supplies whatever relation the domain carries (participants,
+    referenced artifacts, session ids) — this extractor is the built-in
+    stand-in wired into the pipeline CLI.
+
+    Plan: one shuffle on ``id_col`` (the ordered collect), then a
+    per-row slice explode — no joins. Conversations with fewer than
+    ``n`` tool calls emit no rows (no evidence, not zero-similarity
+    evidence — :func:`neighborhood_jaccard` scores such pairs 0.0).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    seq = (
+        transcripts.filter(F.col(tool_col).isNotNull())
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(order_col, tool_col))
+            ).alias("_s")
+        )
+        .select(
+            id_col,
+            F.transform("_s", lambda s: s[tool_col]).alias("_tools"),
+        )
+        .filter(F.size("_tools") >= n)
+    )
+    return seq.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_tools") - (n - 1)),
+                lambda i: F.concat_ws(">", F.slice("_tools", i, n)),
+            )
+        ).alias("rel_key"),
+    ).distinct()
+
+
 def collective_link(
     records: DataFrame,
     scored_pairs: DataFrame,

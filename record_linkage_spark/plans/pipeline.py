@@ -74,10 +74,13 @@ class LinkagePipeline:
         one_to_one: bool = False,
         clusterer: str = "cc",
         qa_boilerplate_min_convs: int = 25,
+        relations_df: DataFrame | None = None,
+        collective_alpha: float = 0.6,
     ):
-        if clusterer not in ("cc", "pivot", "star", "hac"):
+        if clusterer not in ("cc", "pivot", "star", "hac", "collective"):
             raise KeyError(
-                f"unknown clusterer {clusterer!r} (cc|pivot|star|hac)"
+                f"unknown clusterer {clusterer!r} "
+                "(cc|pivot|star|hac|collective)"
             )
         self.spark = spark
         self.wh = Warehouse(root=warehouse, spark=spark)
@@ -88,6 +91,9 @@ class LinkagePipeline:
         self.one_to_one = one_to_one
         self.clusterer = clusterer
         self.qa_boilerplate_min_convs = qa_boilerplate_min_convs
+        self._relations_df = relations_df
+        self.collective_alpha = collective_alpha
+        self._collective_rounds: list[dict] | None = None
         self._transcripts_df = transcripts_df
         self._keys_df = keys_df
         self.model: LinearModel | None = None
@@ -241,6 +247,34 @@ class LinkagePipeline:
                     .join(hc, "conv_id", "left")
                     .withColumn("entity_id", F.coalesce("entity_id", "conv_id"))
                 )
+            if self.clusterer == "collective":
+                # relational evidence reinforces ambiguous pairs:
+                # bootstrap merges attribute-certain pairs (so the result
+                # can only coarsen the cc answer), then iterative
+                # alpha*attr + (1-alpha)*neighborhood-Jaccard rounds
+                # promote pairs whose neighbors already co-resolve
+                from record_linkage_spark.operators.collective import (
+                    collective_link,
+                    transcript_tool_relations,
+                )
+
+                rel = (
+                    self._relations_df
+                    if self._relations_df is not None
+                    else transcript_tool_relations(transcripts)
+                )
+                tau = self.model.threshold if self.model is not None else 0.5
+                asg, rounds = collective_link(
+                    profiles.select("conv_id"),
+                    scored.select("id_A", "id_B", "score"),
+                    rel,
+                    id_col="conv_id",
+                    attr_col="score",
+                    alpha=self.collective_alpha,
+                    threshold=tau,
+                )
+                self._collective_rounds = rounds
+                return asg
             if self.clusterer in ("pivot", "star"):
                 # noise-robust alternatives: both bound clusters to
                 # radius 1 around a center, so a false match edge can't
@@ -268,7 +302,13 @@ class LinkagePipeline:
         clusters = wh.run_stage(
             "clusters",
             _clusters,
-            self._cfg(),
+            self._cfg(
+                **(
+                    {"collective_alpha": self.collective_alpha}
+                    if self.clusterer == "collective"
+                    else {}
+                )
+            ),
             inputs=["match_edges", "profiles"],
             resume=resume,
         )
@@ -452,6 +492,7 @@ class LinkagePipeline:
             "v_measure": vm,
             "repair": repair,
             "transcript_qa": transcript_qa,
+            "collective_rounds": self._collective_rounds,
             "threshold": self.model.threshold if self.model else None,
             "n_candidates": cands.count(),
             "n_clusters": clusters.select("entity_id").distinct().count(),
@@ -510,11 +551,20 @@ def main() -> None:
     ap.add_argument(
         "--clusterer",
         default="cc",
-        choices=["cc", "pivot", "star", "hac"],
+        choices=["cc", "pivot", "star", "hac", "collective"],
         help="transitive closure (cc, default), pivot correlation "
         "clustering (noise-robust, radius-1 clusters), star (evidence-"
-        "anchored), or hac (score-aware average-linkage agglomeration "
-        "cut at the tuned threshold)",
+        "anchored), hac (score-aware average-linkage agglomeration "
+        "cut at the tuned threshold), or collective (relational-"
+        "evidence rounds over tool-sequence co-occurrence; "
+        "Bhattacharya-Getoor)",
+    )
+    ap.add_argument(
+        "--collective-alpha",
+        type=float,
+        default=0.6,
+        help="collective clusterer only: weight of the attribute score "
+        "vs neighborhood Jaccard (1.0 degenerates to cc)",
     )
     ap.add_argument(
         "--compare",
@@ -550,6 +600,7 @@ def main() -> None:
         strategy=args.strategy,
         one_to_one=args.one_to_one,
         clusterer=args.clusterer,
+        collective_alpha=args.collective_alpha,
     )
     report = pipe.run(resume=not args.no_resume)
     if args.compare:

@@ -129,6 +129,24 @@ COMMENTARY = {
         "Exchange — mixing never reshuffles the corpus, and the explode "
         "multiplicity is bounded by the plan's epoch cap."
     ),
+    "collective_evidence": (
+        "Collective-ER relational evidence (one neighborhood-Jaccard "
+        "round). Every join is an equality hash join: the hub guard is a "
+        "two-phase distinct-count agg whose kept-key set semi-joins back, "
+        "the (rel_key x entity) fan-out join carries an explicit-N "
+        "repartition on the key (quadratic within-key output, AQE-blind "
+        "— the session-3 audit defense), and the per-pair score is "
+        "codegen array_intersect/array_union over capped sorted arrays. "
+        "No Python node, no cartesian, no Window."
+    ),
+    "triangle_audit": (
+        "Transitivity audit. Strong edges symmetrize via unionByName; "
+        "the degree guard is a two-phase agg + semi join; the wedge "
+        "self-join keys on the center id with an explicit-N repartition "
+        "(within-center output is quadratic in degree, bounded by the "
+        "guard); the closing edge is ONE left hash join back to the "
+        "canonical pair table. No Python node, no cartesian."
+    ),
 }
 
 
@@ -187,12 +205,69 @@ def _q_mixture_sample(spark, sf):
 # plus operators benched without a standalone entry — dumped via their
 # underlying builders so the audited plan stays the OPERATOR's, not the
 # union-tagged composite wrapper's
+def _collective_inputs(spark, sf):
+    from pyspark.sql import functions as F
+
+    d = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .filter(F.col("lang").isNotNull())
+        .select("doc_id")
+    )
+    rel = d.select(
+        "doc_id",
+        F.concat(F.lit("a"), F.floor(F.col("doc_id") / 3).cast("string")).alias(
+            "rel_key"
+        ),
+    ).unionByName(
+        d.select(
+            "doc_id",
+            F.concat(
+                F.lit("b"), F.floor(F.col("doc_id") / 5).cast("string")
+            ).alias("rel_key"),
+        )
+    )
+    asg = d.select(
+        "doc_id", F.floor(F.col("doc_id") / 7).cast("bigint").alias("entity_id")
+    )
+    offs = spark.range(1, 4).select(F.col("id").alias("off"))
+    pairs = (
+        d.select(F.col("doc_id").alias("id_A"))
+        .crossJoin(offs)
+        .select("id_A", (F.col("id_A") + F.col("off")).alias("id_B"))
+        .join(d.select(F.col("doc_id").alias("id_B")), "id_B")
+        .withColumn(
+            "score", (F.col("id_A") % 100).cast("double") / F.lit(100.0)
+        )
+    )
+    return rel, asg, pairs
+
+
+def _q_collective_evidence(spark, sf):
+    from record_linkage_spark.operators.collective import neighborhood_jaccard
+
+    rel, asg, pairs = _collective_inputs(spark, sf)
+    return neighborhood_jaccard(
+        pairs.select("id_A", "id_B"), rel, asg, id_col="doc_id"
+    )
+
+
+def _q_triangle_audit(spark, sf):
+    from record_linkage_spark.operators.collective import (
+        triangle_inconsistencies,
+    )
+
+    _, _, pairs = _collective_inputs(spark, sf)
+    return triangle_inconsistencies(pairs, threshold=0.8)
+
+
 FALLBACK = {
     "transcript_integrity": _q_transcript_integrity,
     "prefix_dups": _q_prefix_dups,
     "turn_boilerplate": _q_turn_boilerplate,
     "entity_history": _q_entity_history,
     "mixture_sample": _q_mixture_sample,
+    "collective_evidence": _q_collective_evidence,
+    "triangle_audit": _q_triangle_audit,
 }
 
 

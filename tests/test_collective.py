@@ -246,3 +246,85 @@ def test_triangle_hub_guard_and_report(spark):
     }
     hubs = hub_centers(s, threshold=0.7, max_degree=3).collect()
     assert [(h["node"], h["strong_degree"]) for h in hubs] == [("h", 5)]
+
+
+# ------------------------------------------------- relation extraction
+
+
+def test_transcript_tool_relations_ngram_truth_table(spark):
+    """Ordered tool bigrams per conversation; null tools skipped,
+    too-short conversations emit nothing, repeated grams dedup."""
+    from record_linkage_spark.operators.collective import (
+        transcript_tool_relations,
+    )
+
+    t = spark.createDataFrame(
+        [
+            # c1: tools a(0), b(2), c(5) -> a>b, b>c
+            ("c1", 0, "tool", "a"),
+            ("c1", 1, "user", None),
+            ("c1", 2, "tool", "b"),
+            ("c1", 5, "tool", "c"),
+            # c2: single tool -> no bigrams
+            ("c2", 0, "tool", "x"),
+            # c3: a,b,a,b -> a>b, b>a (deduped)
+            ("c3", 0, "tool", "a"),
+            ("c3", 1, "tool", "b"),
+            ("c3", 2, "tool", "a"),
+            ("c3", 3, "tool", "b"),
+        ],
+        "conv_id string, turn_idx int, role string, tool string",
+    )
+    got = {
+        (r.conv_id, r.rel_key)
+        for r in transcript_tool_relations(t, n=2).collect()
+    }
+    assert got == {
+        ("c1", "a>b"),
+        ("c1", "b>c"),
+        ("c3", "a>b"),
+        ("c3", "b>a"),
+    }
+    # n=1: unigram keys, c2 included
+    got1 = {
+        (r.conv_id, r.rel_key)
+        for r in transcript_tool_relations(t, n=1).collect()
+    }
+    assert ("c2", "x") in got1 and ("c1", "a") in got1
+
+
+def test_pipeline_collective_clusterer_end_to_end(spark, tmp_path):
+    """--clusterer collective runs the full pipeline: bootstrap merges
+    attribute-certain pairs (never demotes), relational rounds are
+    recorded in the report, every conversation keeps exactly one
+    entity, and quality stays high on the synthetic corpus."""
+    from record_linkage_spark.plans.pipeline import LinkagePipeline
+
+    pipe = LinkagePipeline(
+        spark, str(tmp_path / "wh"), n_entities=60, dup_rate=1.8,
+        clusterer="collective",
+    )
+    r = pipe.run(resume=True)
+    assert r["clusterer"] == "collective"
+    rounds = r["collective_rounds"]
+    assert rounds and rounds[0]["round"] == 0
+    assert all(rd["new_merges"] >= 0 for rd in rounds)
+    assert r["global"]["f1"] > 0.9
+    assert r["pair_counting"]["adjusted_rand"] > 0.8
+    clusters = spark.read.parquet(str(tmp_path / "wh" / "clusters"))
+    assert clusters.groupBy("conv_id").count().filter("count > 1").count() == 0
+    # the bootstrap guarantee: every pred==1 pair is intra-entity
+    scored = spark.read.parquet(str(tmp_path / "wh" / "scored_pairs"))
+    a = clusters.withColumnRenamed("conv_id", "id_A").withColumnRenamed(
+        "entity_id", "e_a"
+    )
+    b = clusters.withColumnRenamed("conv_id", "id_B").withColumnRenamed(
+        "entity_id", "e_b"
+    )
+    split = (
+        scored.filter(F.col("pred") == 1)
+        .join(a, "id_A")
+        .join(b, "id_B")
+        .filter(F.col("e_a") != F.col("e_b"))
+    )
+    assert split.count() == 0

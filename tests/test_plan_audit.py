@@ -510,3 +510,45 @@ def test_bucket_self_joins_carry_explicit_repartition(spark):
     for name, plan in plans.items():
         assert "REPARTITION_BY_NUM" in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_collective_plans_are_equality_joins_with_explicit_repartition(spark):
+    """Collective-ER evidence and the transitivity audit: the rel_key
+    fan-out join and the wedge-center self-join are the module's two
+    quadratic-within-key joins — both must carry REPARTITION_BY_NUM
+    (AQE is blind to within-key output), and neither path may contain a
+    cartesian or any Python node (the per-pair Jaccard is codegen array
+    ops; wedges are pure joins)."""
+    from record_linkage_spark.operators.collective import (
+        neighborhood_jaccard,
+        triangle_inconsistencies,
+    )
+
+    docs = _doc_df(spark)
+    rel = docs.select(
+        F.col("doc_id").cast("string").alias("record_id"),
+        F.concat(F.lit("k"), (F.col("doc_id") % 9).cast("string")).alias(
+            "rel_key"
+        ),
+    )
+    asg = docs.select(
+        F.col("doc_id").cast("string").alias("record_id"),
+        (F.col("doc_id") % 11).cast("string").alias("entity_id"),
+    )
+    pairs = (
+        docs.select(F.col("doc_id").alias("a"))
+        .join(docs.select(F.col("doc_id").alias("b")), F.col("b") == F.col("a") + 1)
+        .select(
+            F.col("a").cast("string").alias("id_A"),
+            F.col("b").cast("string").alias("id_B"),
+            ((F.col("a") % 10) / 10.0).alias("score"),
+        )
+    )
+    ev_plan = _plan(neighborhood_jaccard(pairs.select("id_A", "id_B"), rel, asg))
+    tri_plan = _plan(triangle_inconsistencies(pairs, threshold=0.5))
+    for name, plan in (("evidence", ev_plan), ("triangle", tri_plan)):
+        assert "REPARTITION_BY_NUM" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "PythonUDF" not in plan and "ArrowEval" not in plan, name
+        assert "BatchEvalPython" not in plan, name
