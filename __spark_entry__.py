@@ -2849,12 +2849,42 @@ def q_web_filters(spark, sf):
     return c4.unionByName(go).unionByName(lm).unionByName(ds)
 
 
+def q_bpe_pairs(spark, sf):
+    """First-round BPE pair statistics (``operators/bpe.py``) over the
+    documents corpus: top-20 frequency-weighted adjacent-symbol pairs,
+    ranked by (count DESC, pair ASC) for a fully deterministic set.
+    Exercises the production ``word_frequencies`` -> ``initial_symbols``
+    -> ``bpe_pair_counts`` chain the trainer's first merge round runs."""
+    from pyspark.sql import Window
+
+    from record_linkage_spark.operators.bpe import (
+        bpe_pair_counts,
+        initial_symbols,
+        word_frequencies,
+    )
+
+    d = _t(spark, sf, "documents")
+    pc = bpe_pair_counts(initial_symbols(word_frequencies(d))).select(
+        F.concat("a", F.lit("|"), "b").alias("k"),
+        F.col("n").cast("double").alias("v"),
+    )
+    # the pair table is O(|alphabet|^2) rows, so the single-partition
+    # rank window is a few hundred rows, not a corpus sort
+    w = Window.orderBy(F.desc("v"), "k")
+    return (
+        pc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select(F.lit("bpe_pairs").alias("chk"), "k", "v")
+    )
+
+
 def q_scalar_checks(spark, sf):
     """P1/A1 missing%, P14 prefix-key histogram, J5 semi/anti counts,
     A6 confusion counts, X1 hash-split sizes — one (chk, k, v) frame —
     plus the corpus-profile rows (n-gram top-k + length quantiles,
-    ``q_corpus_profile``) verbatim: both sides are already (chk, k, v)
-    tagged, so the union costs nothing and frees a window slot."""
+    ``q_corpus_profile``) verbatim and the first-round BPE pair counts
+    (``q_bpe_pairs``): all sides are already (chk, k, v) tagged, so the
+    unions cost nothing and keep the window at 50 slots."""
     def tag(df, chk, k, v):
         return df.select(
             F.lit(chk).alias("chk"),
@@ -2879,6 +2909,7 @@ def q_scalar_checks(spark, sf):
         .unionByName(tag(a6, "a6_confusion", "k", "v"))
         .unionByName(tag(q_x1_hash_split(spark, sf), "x1_hash_split", "split", "n"))
         .unionByName(q_corpus_profile(spark, sf))
+        .unionByName(q_bpe_pairs(spark, sf))
     )
 
 
@@ -3990,6 +4021,25 @@ def _composite_oracles(base: dict[str, str]) -> dict[str, str]:
             "k", "v",
         ),
         tagged("x1_hash_split", base["x1_hash_split"], "split", "n"),
+        tagged(
+            "bpe_pairs",
+            # first BPE merge round replay: whitespace words -> char
+            # symbols + '</w>' -> weighted adjacent-pair counts, top-20
+            # by (count DESC, pair ASC). a is always one char in round
+            # one, so ordering the concatenated 'a|b' key matches the
+            # Spark side's identical concat ordering.
+            "WITH toks AS (SELECT lower(unnest(regexp_split_to_array(text, '\\s+'))) AS w "
+            "FROM documents WHERE text IS NOT NULL), "
+            "words AS (SELECT w, count(*) AS n FROM toks WHERE w <> '' GROUP BY w), "
+            "pos AS (SELECT w, n, unnest(generate_series(1, length(w))) AS i FROM words), "
+            "pairs AS (SELECT substr(w, CAST(i AS INTEGER), 1) || '|' || "
+            "CASE WHEN i < length(w) THEN substr(w, CAST(i + 1 AS INTEGER), 1) "
+            "ELSE '</w>' END AS pair, n FROM pos), "
+            "agg AS (SELECT pair, CAST(sum(n) AS DOUBLE) AS v FROM pairs GROUP BY pair), "
+            "top AS (SELECT pair, v, row_number() OVER (ORDER BY v DESC, pair) AS rn FROM agg) "
+            "SELECT pair AS k, v FROM top WHERE rn <= 20",
+            "k", "v",
+        ),
     ]
 
     norm = NORM_SQL

@@ -394,6 +394,19 @@ def main() -> None:
         lambda: sample_mixture(mix_corpus, mix_plan)
         .agg(F.count("*"), F.sum("n_tokens")).collect()
     )
+    # BPE: one O(corpus) word-frequency shuffle + the driver-side merge
+    # loop (the word table is tiny; the corpus scan is the benched cost),
+    # then an Arrow-batched encode pass back over the corpus.
+    from record_linkage_spark.operators.bpe import encode_bpe, train_bpe
+
+    docs_txt = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges, queries["bpe_train"] = _timed_best2(
+        lambda: train_bpe(docs_txt, num_merges=200)
+    )
+    _, queries["bpe_encode"] = _timed_best2(
+        lambda: encode_bpe(docs_txt, merges)
+        .agg(F.sum(F.size("bpe_tokens"))).collect()
+    )
 
     pairs_per_sec = n_deep_scored / score_sec if score_sec > 0 else 0.0
     total = sum(queries.values())
