@@ -2878,13 +2878,36 @@ def q_bpe_pairs(spark, sf):
     )
 
 
+def q_pagerank_top(spark, sf):
+    """Damped PageRank (``operators/graph_rank.py``) over the
+    customer->supplier order graph, 3 power iterations, top-25 nodes
+    ranked by the 6-decimal-rounded score (so float sum-order noise
+    cannot reorder ties between engines). The DuckDB twin unrolls the
+    same three iterations as nested CTEs."""
+    from record_linkage_spark.operators.graph_rank import pagerank, top_ranked
+
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    edges = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    top = top_ranked(pagerank(edges, num_iters=3), k=25)
+    return top.select(
+        F.lit("pagerank").alias("chk"),
+        F.col("node").alias("k"),
+        F.col("r").alias("v"),
+    )
+
+
 def q_scalar_checks(spark, sf):
     """P1/A1 missing%, P14 prefix-key histogram, J5 semi/anti counts,
     A6 confusion counts, X1 hash-split sizes — one (chk, k, v) frame —
     plus the corpus-profile rows (n-gram top-k + length quantiles,
-    ``q_corpus_profile``) verbatim and the first-round BPE pair counts
-    (``q_bpe_pairs``): all sides are already (chk, k, v) tagged, so the
-    unions cost nothing and keep the window at 50 slots."""
+    ``q_corpus_profile``) verbatim, the first-round BPE pair counts
+    (``q_bpe_pairs``), and the PageRank top-25 (``q_pagerank_top``):
+    all sides are already (chk, k, v) tagged, so the unions cost
+    nothing and keep the window at 50 slots."""
     def tag(df, chk, k, v):
         return df.select(
             F.lit(chk).alias("chk"),
@@ -2910,6 +2933,7 @@ def q_scalar_checks(spark, sf):
         .unionByName(tag(q_x1_hash_split(spark, sf), "x1_hash_split", "split", "n"))
         .unionByName(q_corpus_profile(spark, sf))
         .unionByName(q_bpe_pairs(spark, sf))
+        .unionByName(q_pagerank_top(spark, sf))
     )
 
 
@@ -4038,6 +4062,35 @@ def _composite_oracles(base: dict[str, str]) -> dict[str, str]:
             "agg AS (SELECT pair, CAST(sum(n) AS DOUBLE) AS v FROM pairs GROUP BY pair), "
             "top AS (SELECT pair, v, row_number() OVER (ORDER BY v DESC, pair) AS rn FROM agg) "
             "SELECT pair AS k, v FROM top WHERE rn <= 20",
+            "k", "v",
+        ),
+        tagged(
+            "pagerank",
+            # damped PageRank, 3 unrolled power iterations over the
+            # customer->supplier order graph; rank by the 6-decimal-
+            # rounded score then node, mirroring top_ranked()
+            "WITH e AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src, "
+            "'s' || CAST(l_suppkey AS VARCHAR) AS dst "
+            "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), "
+            "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), "
+            "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src), "
+            "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), "
+            "r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn), "
+            + "".join(
+                f"c{i} AS (SELECT e.dst AS node, sum(r{i-1}.r / deg.outdeg) AS contrib "
+                f"FROM e JOIN r{i-1} ON e.src = r{i-1}.node "
+                f"JOIN deg ON e.src = deg.src GROUP BY e.dst), "
+                f"d{i} AS (SELECT coalesce(sum(r), 0) AS dm FROM r{i-1} "
+                f"WHERE node NOT IN (SELECT src FROM deg)), "
+                f"r{i} AS (SELECT nodes.node, (1 - 0.85) / nn.n "
+                f"+ 0.85 * (coalesce(c{i}.contrib, 0) + d{i}.dm / nn.n) AS r "
+                f"FROM nodes CROSS JOIN nn CROSS JOIN d{i} "
+                f"LEFT JOIN c{i} ON nodes.node = c{i}.node), "
+                for i in (1, 2, 3)
+            )
+            + "top AS (SELECT node, round(r, 6) AS v, "
+            "row_number() OVER (ORDER BY round(r, 6) DESC, node) AS rn FROM r3) "
+            "SELECT node AS k, v FROM top WHERE rn <= 25",
             "k", "v",
         ),
     ]

@@ -407,6 +407,20 @@ def main() -> None:
         lambda: encode_bpe(docs_txt, merges)
         .agg(F.sum(F.size("bpe_tokens"))).collect()
     )
+    # PageRank: 5 power iterations over the customer->supplier order
+    # graph — per iteration one edge join + one map-side-combined agg.
+    from record_linkage_spark.operators.graph_rank import pagerank
+
+    _o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    _li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    _edges = _o.join(_li, _o["o_orderkey"] == _li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    _, queries["pagerank"] = _timed_best2(
+        lambda: pagerank(_edges, num_iters=5)
+        .agg(F.sum("r"), F.count(F.lit(1))).collect()
+    )
 
     pairs_per_sec = n_deep_scored / score_sec if score_sec > 0 else 0.0
     total = sum(queries.values())
