@@ -2900,14 +2900,36 @@ def q_pagerank_top(spark, sf):
     )
 
 
+def q_schema_match(spark, sf):
+    """Instance-based schema matching (``operators/schema_match.py``):
+    the full exact value-Jaccard score matrix between customer and
+    supplier string/int columns (12 pairs, zero-overlap rows included).
+    The DuckDB twin replays unpivot -> distinct -> value join ->
+    Jaccard; string-typed columns only, so CAST rendering is portable."""
+    from record_linkage_spark.operators.schema_match import value_overlap
+
+    ov = value_overlap(
+        _t(spark, sf, "customer"),
+        _t(spark, sf, "supplier"),
+        ["c_name", "c_nationkey", "c_mktsegment", "c_custkey"],
+        ["s_name", "s_nationkey", "s_suppkey"],
+    )
+    return ov.select(
+        F.lit("schema_match").alias("chk"),
+        F.concat("lcol", F.lit(">"), "rcol").alias("k"),
+        F.round("value_jaccard", 6).alias("v"),
+    )
+
+
 def q_scalar_checks(spark, sf):
     """P1/A1 missing%, P14 prefix-key histogram, J5 semi/anti counts,
     A6 confusion counts, X1 hash-split sizes — one (chk, k, v) frame —
     plus the corpus-profile rows (n-gram top-k + length quantiles,
     ``q_corpus_profile``) verbatim, the first-round BPE pair counts
-    (``q_bpe_pairs``), and the PageRank top-25 (``q_pagerank_top``):
-    all sides are already (chk, k, v) tagged, so the unions cost
-    nothing and keep the window at 50 slots."""
+    (``q_bpe_pairs``), the PageRank top-25 (``q_pagerank_top``), and
+    the schema-match Jaccard matrix (``q_schema_match``): all sides
+    are already (chk, k, v) tagged, so the unions cost nothing and
+    keep the window at 50 slots."""
     def tag(df, chk, k, v):
         return df.select(
             F.lit(chk).alias("chk"),
@@ -2934,6 +2956,7 @@ def q_scalar_checks(spark, sf):
         .unionByName(q_corpus_profile(spark, sf))
         .unionByName(q_bpe_pairs(spark, sf))
         .unionByName(q_pagerank_top(spark, sf))
+        .unionByName(q_schema_match(spark, sf))
     )
 
 
@@ -4091,6 +4114,31 @@ def _composite_oracles(base: dict[str, str]) -> dict[str, str]:
             + "top AS (SELECT node, round(r, 6) AS v, "
             "row_number() OVER (ORDER BY round(r, 6) DESC, node) AS rn FROM r3) "
             "SELECT node AS k, v FROM top WHERE rn <= 25",
+            "k", "v",
+        ),
+        tagged(
+            "schema_match",
+            # instance-based schema matching: full 4x4 exact value-
+            # Jaccard matrix between customer and supplier columns
+            "WITH L AS (SELECT DISTINCT lcol, v FROM ("
+            "SELECT 'c_name' AS lcol, lower(CAST(c_name AS VARCHAR)) AS v FROM customer "
+            "UNION ALL SELECT 'c_nationkey', lower(CAST(c_nationkey AS VARCHAR)) FROM customer "
+            "UNION ALL SELECT 'c_mktsegment', lower(CAST(c_mktsegment AS VARCHAR)) FROM customer "
+            "UNION ALL SELECT 'c_custkey', lower(CAST(c_custkey AS VARCHAR)) FROM customer"
+            ") WHERE v IS NOT NULL), "
+            "R AS (SELECT DISTINCT rcol, v FROM ("
+            "SELECT 's_name' AS rcol, lower(CAST(s_name AS VARCHAR)) AS v FROM supplier "
+            "UNION ALL SELECT 's_nationkey', lower(CAST(s_nationkey AS VARCHAR)) FROM supplier "
+            "UNION ALL SELECT 's_suppkey', lower(CAST(s_suppkey AS VARCHAR)) FROM supplier"
+            ") WHERE v IS NOT NULL), "
+            "szl AS (SELECT lcol, count(*) AS nl FROM L GROUP BY lcol), "
+            "szr AS (SELECT rcol, count(*) AS nr FROM R GROUP BY rcol), "
+            "inter AS (SELECT lcol, rcol, count(*) AS ni "
+            "FROM L JOIN R ON L.v = R.v GROUP BY lcol, rcol) "
+            "SELECT szl.lcol || '>' || szr.rcol AS k, "
+            "round(coalesce(ni, 0) / CAST(nl + nr - coalesce(ni, 0) AS DOUBLE), 6) AS v "
+            "FROM szl CROSS JOIN szr LEFT JOIN inter "
+            "ON szl.lcol = inter.lcol AND szr.rcol = inter.rcol",
             "k", "v",
         ),
     ]
