@@ -552,3 +552,67 @@ def test_collective_plans_are_equality_joins_with_explicit_repartition(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "PythonUDF" not in plan and "ArrowEval" not in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_pagerank_iteration_plan_shape(spark):
+    """PageRank: the edge-rank join and the dst aggregation must be
+    equality hash joins with map-side partial sums; the ONLY
+    nested-loop joins are the single-row attaches (node count and
+    dangling mass — 1-row broadcasts, not cross products); zero Python
+    anywhere."""
+    from record_linkage_spark.operators.graph_rank import pagerank
+
+    edges = _doc_df(spark).select(
+        (F.col("doc_id") % 7).cast("string").alias("src"),
+        (F.col("doc_id") % 5).cast("string").alias("dst"),
+    )
+    plan = _plan(pagerank(edges, num_iters=2, checkpoint_every=100))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "partial_sum" in plan  # contrib sums combine map-side
+
+
+def test_schema_match_plan_shape(spark):
+    """Schema matching: the value intersection must be an equality
+    join (a cartesian here would be O(dataL x dataR)); distinct and
+    size aggregations combine map-side; the only cross join is the
+    schema-sized szl x szr matrix (|colsL| x |colsR| rows); no Python."""
+    from record_linkage_spark.operators.schema_match import value_overlap
+
+    docs = _doc_df(spark)
+    right = docs.select(
+        F.col("doc_id").alias("rid"), F.col("text").alias("rtext")
+    )
+    plan = _plan(value_overlap(docs, right))
+    assert "EvalPython" not in plan
+    assert "partial_count" in plan
+    # the O(data) value join is hash/sort-merge, never nested-loop:
+    # every BroadcastNestedLoopJoin in this plan is the schema-sized
+    # size-matrix cross join, whose build side is an aggregate result
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_bpe_plan_shapes(spark):
+    """BPE: pair counting must combine map-side before its shuffle and
+    contain zero Python (the distributed trainer is pure Catalyst);
+    encoding must be a single Arrow-batched projection with no shuffle
+    and no row-at-a-time Python."""
+    from record_linkage_spark.operators.bpe import (
+        bpe_pair_counts,
+        encode_bpe,
+        initial_symbols,
+        word_frequencies,
+    )
+
+    docs = _doc_df(spark)
+    p1 = _plan(bpe_pair_counts(initial_symbols(word_frequencies(docs))))
+    assert "EvalPython" not in p1
+    assert "partial_sum" in p1
+    assert "CartesianProduct" not in p1
+
+    p2 = _plan(encode_bpe(docs, [("t", "h"), ("th", "e")]))
+    assert "ArrowEvalPython" in p2
+    assert "BatchEvalPython" not in p2
+    assert "Exchange" not in p2
