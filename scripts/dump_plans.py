@@ -147,6 +147,29 @@ COMMENTARY = {
         "guard); the closing edge is ONE left hash join back to the "
         "canonical pair table. No Python node, no cartesian."
     ),
+    "pagerank_iteration": (
+        "One PageRank power iteration. The edge list joins the rank "
+        "vector and the out-degree table by hash joins on src; the "
+        "contribution sum partial-aggregates map-side on dst; the node "
+        "count and dangling mass attach as 1-row BroadcastNestedLoopJoin "
+        "nodes (single-row aggregates, not cross products). Zero Python, "
+        "and the per-round shape repeats identically, so the loop's cost "
+        "is num_iters x this tree."
+    ),
+    "schema_value_overlap": (
+        "Instance-based schema matching score matrix. Each table "
+        "unpivots ONCE (stack -> filter -> distinct with partial "
+        "aggregation); the value intersection is the single O(data) "
+        "hash join; the size matrix is the schema-sized cross join of "
+        "two aggregate outputs (|colsL| x |colsR| rows). Zero Python."
+    ),
+    "bpe_pair_counts": (
+        "BPE first merge round. The corpus collapses to the word table "
+        "via one partial-aggregated groupBy; symbolization and the "
+        "adjacent-pair explode are codegen projections; pair counts "
+        "partial-aggregate map-side before their only shuffle. Zero "
+        "Python — the distributed trainer path is pure Catalyst."
+    ),
 }
 
 
@@ -260,6 +283,42 @@ def _q_triangle_audit(spark, sf):
     return triangle_inconsistencies(pairs, threshold=0.8)
 
 
+def _q_pagerank_iter(spark, sf):
+    import pyspark.sql.functions as F
+
+    from record_linkage_spark.operators.graph_rank import pagerank
+
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    edges = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    return pagerank(edges, num_iters=1, checkpoint_every=100)
+
+
+def _q_schema_overlap(spark, sf):
+    from record_linkage_spark.operators.schema_match import value_overlap
+
+    return value_overlap(
+        spark.read.parquet(f"{sf}/customer.parquet"),
+        spark.read.parquet(f"{sf}/supplier.parquet"),
+        ["c_name", "c_nationkey", "c_mktsegment", "c_custkey"],
+        ["s_name", "s_nationkey", "s_suppkey"],
+    )
+
+
+def _q_bpe_pair_counts(spark, sf):
+    from record_linkage_spark.operators.bpe import (
+        bpe_pair_counts,
+        initial_symbols,
+        word_frequencies,
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return bpe_pair_counts(initial_symbols(word_frequencies(docs)))
+
+
 FALLBACK = {
     "transcript_integrity": _q_transcript_integrity,
     "prefix_dups": _q_prefix_dups,
@@ -268,6 +327,9 @@ FALLBACK = {
     "mixture_sample": _q_mixture_sample,
     "collective_evidence": _q_collective_evidence,
     "triangle_audit": _q_triangle_audit,
+    "pagerank_iteration": _q_pagerank_iter,
+    "schema_value_overlap": _q_schema_overlap,
+    "bpe_pair_counts": _q_bpe_pair_counts,
 }
 
 
