@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from typing import Iterable
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -237,3 +238,46 @@ def gopher_filters(
         & (F.col("n_stop_hits") >= min_stop_words)
     )
     return out.withColumn("keep", keep)
+
+
+def compression_ratio_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_ratio: float = 1.2,
+    max_ratio: float = 12.0,
+    level: int = 6,
+) -> DataFrame:
+    """Compression-ratio quality heuristic (the RefinedWeb / FineWeb
+    family's repetition proxy): ``len(utf8) / len(zlib(utf8))``. Very
+    compressible text (ratio above ``max_ratio``) is boilerplate or
+    generated repetition; near-incompressible text (below
+    ``min_ratio``) is usually binary junk or high-entropy noise.
+
+    Unlike the per-pattern Gopher counters this signal is holistic —
+    one number catches repetition the n-gram rules miss — at the cost
+    of leaving Catalyst: the deflate pass is an Arrow-batched
+    ``pandas_udf`` (zlib is stdlib, level fixed for determinism).
+    Zero shuffle: the filter fuses into whatever scan feeds it, so at
+    100 TB it costs one compression pass over bytes the stage was
+    already reading. Adds ``compression_ratio`` (double, rounded to 6)
+    and ``keep`` (boolean; null text is dropped)."""
+    import zlib
+
+    @F.pandas_udf("double")
+    def _ratio(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return None
+            return round(len(raw) / len(zlib.compress(raw, level)), 6)
+
+        return texts.map(one)
+
+    out = docs.withColumn("compression_ratio", _ratio(F.col(text_col)))
+    return out.withColumn(
+        "keep",
+        F.col("compression_ratio").isNotNull()
+        & F.col("compression_ratio").between(min_ratio, max_ratio),
+    )

@@ -132,3 +132,45 @@ def test_custom_blocklist(spark):
         blocklist=("example dot com",),
     )[1]
     assert out["has_blocked"] and out["keep"] is False
+
+
+def test_compression_ratio_filter_flags_repetition_and_noise(spark):
+    from record_linkage_spark.operators.web_filters import (
+        compression_ratio_filter,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    noise = "".join(chr(rng.randint(0x21, 0x7E)) for _ in range(4000))
+    rows = [
+        (0, "spam " * 2000),                      # hyper-compressible
+        (1, noise),                               # near-incompressible
+        (2, "A normal paragraph about record linkage, with varied "
+            "vocabulary, appearing once and reading like prose. " * 8),
+        (3, None),
+        (4, ""),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in compression_ratio_filter(
+            spark.createDataFrame(rows, "doc_id int, text string")
+        ).collect()
+    }
+    assert out[0]["compression_ratio"] > 12.0 and not out[0]["keep"]
+    assert out[1]["compression_ratio"] < 1.2 and not out[1]["keep"]
+    assert 1.2 <= out[2]["compression_ratio"] <= 12.0 and out[2]["keep"]
+    assert out[3]["compression_ratio"] is None and not out[3]["keep"]
+    assert out[4]["compression_ratio"] is None and not out[4]["keep"]
+
+
+def test_compression_ratio_filter_is_zero_shuffle(spark):
+    from record_linkage_spark.operators.web_filters import (
+        compression_ratio_filter,
+    )
+
+    docs = spark.createDataFrame([(1, "hello world")], "doc_id int, text string")
+    plan = compression_ratio_filter(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
