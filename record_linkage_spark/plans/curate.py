@@ -229,6 +229,7 @@ class CurationPipeline:
         rule_filters: tuple[str, ...] = (),
         c4_kwargs: dict | None = None,
         gopher_kwargs: dict | None = None,
+        zratio_kwargs: dict | None = None,
     ):
         self.spark = spark
         self.wh = Warehouse(root=warehouse, spark=spark)
@@ -252,12 +253,13 @@ class CurationPipeline:
         self.strata_cols = list(strata_cols)
         self.quota = quota
         self.pack_budget = pack_budget
-        bad = set(rule_filters) - {"c4", "gopher"}
+        bad = set(rule_filters) - {"c4", "gopher", "zratio"}
         if bad:
             raise ValueError(f"unknown rule_filters: {sorted(bad)}")
         self.rule_filters = tuple(rule_filters)
         self.c4_kwargs = dict(c4_kwargs or {})
         self.gopher_kwargs = dict(gopher_kwargs or {})
+        self.zratio_kwargs = dict(zratio_kwargs or {})
         self.report: dict = {}
 
     def _cfg(self, **kw) -> dict:
@@ -310,6 +312,7 @@ class CurationPipeline:
         if self.rule_filters:
             from record_linkage_spark.operators.web_filters import (
                 c4_filters,
+                compression_ratio_filter,
                 gopher_filters,
             )
 
@@ -327,6 +330,12 @@ class CurationPipeline:
                         .filter("keep")
                         .select("doc_id", "text")
                     )
+                if "zratio" in self.rule_filters:
+                    out = (
+                        compression_ratio_filter(out, **self.zratio_kwargs)
+                        .filter("keep")
+                        .select("doc_id", "text")
+                    )
                 return out
 
             signals_src = wh.run_stage(
@@ -336,6 +345,7 @@ class CurationPipeline:
                     rules=list(self.rule_filters),
                     c4=sorted(self.c4_kwargs.items()),
                     gopher=sorted(self.gopher_kwargs.items()),
+                    zratio=sorted(self.zratio_kwargs.items()),
                 ),
                 inputs=["scrubbed"],
                 resume=resume,
@@ -531,8 +541,9 @@ def main() -> None:
         "--rule-filters",
         default="",
         help="comma list of classic rule cascades to run between scrub and "
-        "signals: c4 (line filter + doc rules, rewrites text) and/or "
-        "gopher (statistical doc rules)",
+        "signals: c4 (line filter + doc rules, rewrites text), "
+        "gopher (statistical doc rules), and/or zratio "
+        "(zlib compression-ratio repetition proxy)",
     )
     ap.add_argument(
         "--rule-kwargs",
@@ -561,6 +572,7 @@ def main() -> None:
         ),
         c4_kwargs=json.loads(args.rule_kwargs).get("c4"),
         gopher_kwargs=json.loads(args.rule_kwargs).get("gopher"),
+        zratio_kwargs=json.loads(args.rule_kwargs).get("zratio"),
     )
     pipe.benchmark_path = args.benchmark_parquet
     report = pipe.run(resume=not args.no_resume)

@@ -248,3 +248,37 @@ def test_ssjoin_pair_strategy_exact_recall(spark, corpus, bench_docs, tmp_path_f
 def test_unknown_pair_strategy_rejected(spark):
     with pytest.raises(ValueError, match="unknown pair_strategy"):
         CurationPipeline(spark, "/tmp/never", docs_df=None, pair_strategy="nope")
+
+
+def test_zratio_rule_filter_drops_repetition(
+    spark, bench_docs, tmp_path_factory
+):
+    """--rule-filters zratio: the compression-ratio proxy drops the
+    hyper-compressible repetition doc the word-level rules would pass,
+    keeps prose, and the funnel attributes the removal."""
+    sentence = "the quick brown fox jumps over the lazy dog with glee."
+    prose = "\n".join(
+        f"{sentence} variation {i} keeps the vocabulary moving."
+        for i in range(8)
+    )
+    rows = [
+        (1, prose),
+        (2, ("spam ham " * 400).strip() + "."),  # compresses ~50x
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    wh = str(tmp_path_factory.mktemp("zratiowh"))
+    pipe = CurationPipeline(
+        spark, wh, docs_df=docs, benchmark_df=bench_docs,
+        rule_filters=("zratio",),
+        quota=10,
+    )
+    r = pipe.run(resume=True)
+    kept = {
+        row.doc_id
+        for row in spark.read.parquet(
+            os.path.join(wh, "rule_filtered")
+        ).collect()
+    }
+    assert kept == {1}
+    assert r["removed"]["rule_filters"] == 1
+    assert r["config"]["rule_filters"] == ["zratio"]
