@@ -190,7 +190,13 @@ def main() -> None:
     feats_deep = feats
     for _ in range(_REPLICAS - 1):
         feats_deep = feats_deep.unionByName(feats)
-    feats_deep = feats_deep.localCheckpoint()
+    # The union stacks 16 x 32 = 512 small partitions whose ~10 ms tasks
+    # make the timed pass scheduler-bound, not scorer-bound — and local
+    # scheduler overhead swings ~3x between boots (measured 2.68 s vs
+    # 0.77 s per pass on same-calibration windows). Coalesce (narrow, no
+    # shuffle) back to 2 x cores so each task carries ~40 ms of codegen
+    # work and the headline measures the scorer.
+    feats_deep = feats_deep.coalesce(2 * cpus).localCheckpoint()
     n_deep = feats_deep.count()
 
     def _score_pass():

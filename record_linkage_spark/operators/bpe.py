@@ -254,7 +254,9 @@ def encode_bpe(
     import re as _re
 
     ranks = {p: i for i, p in enumerate(merges)}
-    ws = _re.compile(r"\s+")
+    # ASCII \s to match Spark's Java regex semantics in word_frequencies
+    # (Python's \s is Unicode-wide by default; Java's is ASCII-only)
+    ws = _re.compile(r"\s+", _re.ASCII)
 
     def _enc_word(w: str, cache: dict) -> list:
         hit = cache.get(w)
