@@ -2846,7 +2846,26 @@ def q_web_filters(spark, sf):
         zd.alias("f5"),
         F.lit(1).cast("int").alias("keep"),
     )
-    return c4.unionByName(go).unionByName(lm).unionByName(ds)
+    from record_linkage_spark.operators.web_filters import blocklist_filter
+
+    bl = blocklist_filter(
+        _t(spark, sf, "documents").select("doc_id", "text"),
+        ["lorem", "ipsum", "the", "click"],
+    ).select(
+        F.lit("blocklist").alias("kind"),
+        "doc_id",
+        F.lit("").alias("sval"),
+        F.col("n_blocklist_hits").cast("int").alias("i1"),
+        zi.alias("i2"),
+        zi.alias("i3"),
+        zd.alias("f1"),
+        zd.alias("f2"),
+        zd.alias("f3"),
+        zd.alias("f4"),
+        zd.alias("f5"),
+        F.col("keep").cast("int").alias("keep"),
+    )
+    return c4.unionByName(go).unionByName(lm).unionByName(ds).unionByName(bl)
 
 
 def q_bpe_pairs(spark, sf):
@@ -4353,7 +4372,15 @@ def _composite_oracles(base: dict[str, str]) -> dict[str, str]:
         "UNION ALL SELECT 'dsir', doc_id, '', "
         "CAST(n_feats AS INTEGER), CAST(0 AS INTEGER), CAST(0 AS INTEGER), "
         "log_w, gumbel_key, 0.0, 0.0, 0.0, CAST(1 AS INTEGER) "
-        f"FROM ({base['dsir_select']})"
+        f"FROM ({base['dsir_select']}) "
+        # token blocklist: count of DISTINCT listed terms present
+        "UNION ALL SELECT 'blocklist', doc_id, '', "
+        "CAST(hits AS INTEGER), CAST(0 AS INTEGER), CAST(0 AS INTEGER), "
+        "0.0, 0.0, 0.0, 0.0, 0.0, CAST(hits = 0 AS INTEGER) FROM ("
+        "SELECT doc_id, CASE WHEN text IS NULL THEN NULL ELSE "
+        "len(list_filter(list_distinct(regexp_split_to_array(lower(text), '\\s+')), "
+        "x -> list_contains(['lorem', 'ipsum', 'the', 'click'], x))) END AS hits "
+        "FROM documents)"
     )
 
     transcript_checks_sql = (

@@ -281,3 +281,61 @@ def compression_ratio_filter(
         F.col("compression_ratio").isNotNull()
         & F.col("compression_ratio").between(min_ratio, max_ratio),
     )
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    terms,
+    text_col: str = "text",
+    max_literal_terms: int = 10_000,
+) -> DataFrame:
+    """C4-style token blocklist ("badwords") filter. ``terms`` is a
+    Python list or a single-column DataFrame of lowercase terms; a doc
+    is dropped when any whitespace token (lowercased) is listed. Adds
+    ``n_blocklist_hits`` (count of DISTINCT listed terms present) and
+    ``keep``.
+
+    Two physical paths, chosen by blocklist size, both returning the
+    same answer (pinned by tests):
+    - ``<= max_literal_terms`` literals: the list compiles into the row
+      expression (``array_intersect`` against a literal array) — zero
+      shuffle, fuses into the scan like the other rule cascades.
+    - larger lists / DataFrame input: tokens explode to DISTINCT
+      ``(doc_id, token)`` rows and hash-join the term table (AQE
+      broadcasts it when small) — one corpus-token shuffle, no O(n)
+      literal expression in the plan.
+    """
+    toks = F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+    if not isinstance(terms, DataFrame):
+        terms = [t.lower() for t in terms]
+        if len(terms) <= max_literal_terms:
+            hits = F.size(
+                F.array_intersect(toks, F.array(*[F.lit(t) for t in terms]))
+            )
+            out = docs.withColumn(
+                "n_blocklist_hits",
+                F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(hits),
+            )
+            return out.withColumn("keep", F.col("n_blocklist_hits") == 0)
+        spark = docs.sparkSession
+        terms = spark.createDataFrame([(t,) for t in terms], "term string")
+    term_df = terms.select(
+        F.lower(F.col(terms.columns[0])).alias("term")
+    ).distinct()
+    id_cols = [c for c in docs.columns]
+    hits = (
+        docs.select("*", F.explode(toks).alias("term"))
+        .join(term_df, "term")
+        .groupBy(*id_cols)
+        .agg(F.count(F.lit(1)).cast("int").alias("n_blocklist_hits"))
+    )
+    out = (
+        docs.join(hits.select(*id_cols, "n_blocklist_hits"), id_cols, "left")
+        .withColumn(
+            "n_blocklist_hits",
+            F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(
+                F.coalesce("n_blocklist_hits", F.lit(0))
+            ),
+        )
+    )
+    return out.withColumn("keep", F.col("n_blocklist_hits") == 0)

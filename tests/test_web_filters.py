@@ -174,3 +174,44 @@ def test_compression_ratio_filter_is_zero_shuffle(spark):
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_blocklist_filter_paths_agree_and_count_distinct_terms(spark):
+    from record_linkage_spark.operators.web_filters import blocklist_filter
+
+    rows = [
+        (0, "The LOREM ipsum text with lorem repeated"),  # 2 distinct hits
+        (1, "perfectly clean prose here"),
+        (2, None),
+        (3, "ipsum"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    terms = ["lorem", "ipsum", "badword"]
+    lit_path = {
+        r["doc_id"]: (r["n_blocklist_hits"], r["keep"])
+        for r in blocklist_filter(docs, terms).collect()
+    }
+    join_path = {
+        r["doc_id"]: (r["n_blocklist_hits"], r["keep"])
+        for r in blocklist_filter(docs, terms, max_literal_terms=0).collect()
+    }
+    df_path = {
+        r["doc_id"]: (r["n_blocklist_hits"], r["keep"])
+        for r in blocklist_filter(
+            docs, spark.createDataFrame([(t,) for t in terms], "t string")
+        ).collect()
+    }
+    assert lit_path == join_path == df_path
+    assert lit_path[0] == (2, False)
+    assert lit_path[1] == (0, True)
+    assert lit_path[2] == (None, None)
+    assert lit_path[3] == (1, False)
+
+
+def test_blocklist_literal_path_is_zero_shuffle(spark):
+    from record_linkage_spark.operators.web_filters import blocklist_filter
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+    plan = blocklist_filter(docs, ["a", "b"])._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
