@@ -2919,6 +2919,40 @@ def q_pagerank_top(spark, sf):
     )
 
 
+def q_label_prop_top(spark, sf):
+    """Label spreading (``operators/graph_rank.py``) over the
+    customer->supplier order graph: suppliers seed labels by
+    nationkey%3, 2 iterations, top-25 (node, label) scores ranked by
+    the 6-decimal-rounded value. The DuckDB twin unrolls both
+    iterations with the same full-outer seed mix."""
+    from pyspark.sql import Window
+
+    from record_linkage_spark.operators.graph_rank import label_propagation
+
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    edges = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    seeds = _t(spark, sf, "supplier").select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"),
+        F.concat(
+            F.lit("n"), (F.col("s_nationkey") % 3).cast("string")
+        ).alias("label"),
+    )
+    state = label_propagation(edges, seeds, num_iters=2).select(
+        F.concat("node", F.lit("|"), "label").alias("k"),
+        F.round("score", 6).alias("v"),
+    )
+    w = Window.orderBy(F.desc("v"), "k")
+    return (
+        state.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .select(F.lit("lprop").alias("chk"), "k", "v")
+    )
+
+
 def q_schema_match(spark, sf):
     """Instance-based schema matching (``operators/schema_match.py``):
     the full exact value-Jaccard score matrix between customer and
@@ -2976,6 +3010,7 @@ def q_scalar_checks(spark, sf):
         .unionByName(q_bpe_pairs(spark, sf))
         .unionByName(q_pagerank_top(spark, sf))
         .unionByName(q_schema_match(spark, sf))
+        .unionByName(q_label_prop_top(spark, sf))
     )
 
 
@@ -4158,6 +4193,38 @@ def _composite_oracles(base: dict[str, str]) -> dict[str, str]:
             "round(coalesce(ni, 0) / CAST(nl + nr - coalesce(ni, 0) AS DOUBLE), 6) AS v "
             "FROM szl CROSS JOIN szr LEFT JOIN inter "
             "ON szl.lcol = inter.lcol AND szr.rcol = inter.rcol",
+            "k", "v",
+        ),
+        tagged(
+            "lprop",
+            # label spreading, 2 unrolled iterations over the symmetrized
+            # customer<->supplier graph; (1 - 0.8) written as arithmetic
+            # so both engines compute the identical double
+            "WITH h AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src, "
+            "'s' || CAST(l_suppkey AS VARCHAR) AS dst "
+            "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), "
+            "e AS (SELECT src, dst FROM h UNION SELECT dst, src FROM h), "
+            "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src), "
+            "seed AS (SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node, "
+            "'n' || CAST(s_nationkey % 3 AS VARCHAR) AS label, 1.0 AS s FROM supplier), "
+            "f0 AS (SELECT node, label, CAST(1.0 AS DOUBLE) AS score FROM seed), "
+            + "".join(
+                f"c{i} AS (SELECT e.dst AS node, f.label, "
+                f"sum(f.score / deg.deg) AS c "
+                f"FROM e JOIN f{i-1} f ON e.src = f.node "
+                f"JOIN deg ON e.src = deg.src GROUP BY e.dst, f.label), "
+                f"f{i} AS (SELECT coalesce(c.node, seed.node) AS node, "
+                f"coalesce(c.label, seed.label) AS label, "
+                f"0.8 * coalesce(c.c, 0) + (1 - 0.8) * coalesce(seed.s, 0) AS score "
+                f"FROM c{i} c FULL OUTER JOIN seed "
+                f"ON c.node = seed.node AND c.label = seed.label "
+                f"WHERE 0.8 * coalesce(c.c, 0) + (1 - 0.8) * coalesce(seed.s, 0) > 0), "
+                for i in (1, 2)
+            )
+            + "ranked AS (SELECT node || '|' || label AS k, round(score, 6) AS v "
+            "FROM f2), "
+            "top AS (SELECT k, v, row_number() OVER (ORDER BY v DESC, k) AS rn "
+            "FROM ranked) SELECT k, v FROM top WHERE rn <= 25",
             "k", "v",
         ),
     ]

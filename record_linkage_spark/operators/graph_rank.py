@@ -116,3 +116,97 @@ def top_ranked(
         .filter(F.col("rn") <= k)
         .select("node", F.col("r_round").alias("r"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    num_iters: int = 10,
+    alpha: float = 0.8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Label spreading (Zhu & Ghahramani 2002 / Zhou et al. 2004) over
+    an undirected graph: a few labeled seed nodes propagate soft label
+    scores to their neighborhoods —  in ER terms, a handful of
+    clerically-confirmed matches push their entity labels through the
+    candidate-pair graph. Returns sparse ``(node, label, score)`` rows
+    (absent = 0), ``f_{t+1} = alpha * D^-1 A f_t + (1-alpha) * seed``.
+
+    Scale shape mirrors :func:`pagerank`: per iteration ONE edge-state
+    equality join + ONE map-side-combinable ``groupBy(dst, label)``,
+    then a full-outer merge with the (small) seed table. State is one
+    row per (node, reachable label) — sparse, never nodes x labels.
+    ``localCheckpoint`` every ``checkpoint_every`` rounds bounds
+    lineage. Deterministic arithmetic throughout; consumers rank on
+    rounded scores like :func:`top_ranked`."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    half = edges.select(
+        F.col(src_col).cast("string").alias("src"),
+        F.col(dst_col).cast("string").alias("dst"),
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    e = (
+        half.unionByName(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    seed = (
+        seeds.select(
+            F.col(node_col).cast("string").alias("node"),
+            F.col(label_col).cast("string").alias("label"),
+        )
+        .distinct()
+        .withColumn("s", F.lit(1.0))
+        .localCheckpoint()
+    )
+    f = seed.select("node", "label", F.col("s").alias("score"))
+    for i in range(num_iters):
+        contrib = (
+            e.join(f, e["src"] == f["node"])
+            .join(deg, "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.sum(F.col("score") / F.col("deg")).alias("c"))
+        )
+        f = (
+            contrib.join(seed, ["node", "label"], "full_outer")
+            .select(
+                "node",
+                "label",
+                (
+                    alpha * F.coalesce("c", F.lit(0.0))
+                    + (1.0 - alpha) * F.coalesce("s", F.lit(0.0))
+                ).alias("score"),
+            )
+            .filter(F.col("score") > 0.0)
+        )
+        if (i + 1) % checkpoint_every == 0:
+            f = f.localCheckpoint()
+    return f
+
+
+def dominant_labels(state: DataFrame, round_to: int = 6) -> DataFrame:
+    """Argmax view of :func:`label_propagation` output: one
+    ``(node, label, score)`` row per node, ties broken by label ASC on
+    the ROUNDED score (engine-portable, like :func:`top_ranked`). The
+    rank window partitions by node — no global sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("node").orderBy(
+        F.desc("score_r"), F.col("label")
+    )
+    return (
+        state.select(
+            "node", "label", F.round("score", round_to).alias("score_r")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("node", "label", F.col("score_r").alias("score"))
+    )
