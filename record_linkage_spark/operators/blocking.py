@@ -43,6 +43,12 @@ _KEY_EXPRS = {
     "text_len_bucket": lambda: F.col("text_len_bucket").cast("string"),
     "first3": lambda: F.substring("first_text_norm", 1, 3),
     "last3": lambda: F.substring("last_text_norm", 1, 3),
+    # phonetic key: American Soundex of the first token — classic RL
+    # blocking that survives misspellings sharing the leading sound
+    # (smith/smyth -> S530) where the first3 prefix key splits them
+    "snd1": lambda: F.soundex(
+        F.regexp_extract("first_text_norm", r"^\S+", 0)
+    ),
 }
 
 # (block-equality key names, [(jw_col, threshold)], [exact extra cols])
@@ -59,6 +65,14 @@ STRATEGIES = {
             ("last_text_norm", JW_BLOCK_THRESHOLD_SECONDARY),
         ],
         "exact": ["primary_tool"],
+    },
+    # P1: phonetic variant of B1 — same length bucket and JW verify,
+    # but the string key is the Soundex of the first token, so typo'd
+    # duplicates whose first words SOUND alike still share a block
+    "P1": {
+        "equality": ["text_len_bucket", "snd1"],
+        "jw": [("first_text_norm", JW_BLOCK_THRESHOLD_PRIMARY)],
+        "exact": [],
     },
 }
 
@@ -224,6 +238,11 @@ def _key_pair_cols(name: str, pairs: DataFrame) -> tuple[Column, Column]:
         return (
             F.substring("last_text_norm_A", 1, 3),
             F.substring("last_text_norm_B", 1, 3),
+        )
+    if name == "snd1":
+        return (
+            F.soundex(F.regexp_extract("first_text_norm_A", r"^\S+", 0)),
+            F.soundex(F.regexp_extract("first_text_norm_B", r"^\S+", 0)),
         )
     raise KeyError(name)
 

@@ -217,3 +217,58 @@ def test_salted_join_complete_under_heavy_skew(spark):
     assert cnt == n * (n - 1) // 2
     # and exactly once: distinct == total
     assert out.select("id_A", "id_B").distinct().count() == cnt
+
+
+def test_p1_phonetic_blocks_misspelled_first_token(spark):
+    """P1 (Soundex-of-first-token key): smith/smyth share S530 so the
+    typo'd duplicate pair survives where B1's first-3-chars key splits
+    it; an unrelated first word fails the phonetic key."""
+    same_sound = (
+        "a", "b", 2, 2,
+        "smith visits the records office", "smyth visits the records office",
+        "x", "x", None, None,
+    )
+    diff_sound = (
+        "a", "c", 2, 2,
+        "smith visits the records office", "jones visits the records office",
+        "x", "x", None, None,
+    )
+    df = _pairs(spark, [same_sound, diff_sound])
+    p1 = {(r["id_A"], r["id_B"]) for r in apply_blocking_filter(df, "P1").collect()}
+    b1 = {(r["id_A"], r["id_B"]) for r in apply_blocking_filter(df, "B1").collect()}
+    assert p1 == {("a", "b")}
+    assert ("a", "b") not in b1  # the prefix key misses the typo pair
+
+
+def test_p1_generator_matches_filter_form(spark):
+    """The salted generator and the pair-filter form must agree for P1
+    exactly as they do for B1/B2 (shared machinery, new key only)."""
+    profiles = spark.createDataFrame(
+        [
+            ("a", 2, "smith visits the records office", "x", None),
+            ("b", 2, "smyth visits the records office", "x", None),
+            ("c", 2, "jones visits the records office", "x", None),
+            ("d", 3, "smith visits the records office", "x", None),
+        ],
+        "conv_id string, text_len_bucket int, first_text_norm string, "
+        "last_text_norm string, primary_tool string",
+    )
+    gen = {
+        (r["id_A"], r["id_B"])
+        for r in candidate_pairs(profiles, "P1", salt_target=2).collect()
+    }
+    assert gen == {("a", "b")}
+
+
+def test_p1_phonetic_key_actually_gates(spark):
+    """A pair that would pass the JW verify but whose first tokens code
+    to DIFFERENT Soundex values (smith S530 vs smits S532) must be
+    dropped by the phonetic key itself — this fails if the key
+    expression ever degrades to a constant."""
+    rows = [(
+        "a", "e", 2, 2,
+        "smith visits the records office", "smits visits the records office",
+        "x", "x", None, None,
+    )]
+    assert apply_blocking_filter(_pairs(spark, rows), "P1").count() == 0
+    assert apply_blocking_filter(_pairs(spark, rows), "B1").count() == 1
