@@ -1,0 +1,366 @@
+"""Mergeable sketch operators: HyperLogLog distinct-count registers,
+Misra-Gries heavy hitters, and a distributed Bloom filter.
+
+Why sketches are first-class in a 100 TB engine: exact distinct counts,
+exact per-value frequencies and exact membership sets all shuffle (or
+broadcast) state proportional to the DATA's cardinality; a sketch caps
+the state at a constant chosen up front, and — because every sketch here
+is a *mergeable* DataFrame (union + re-aggregate == sketch of the union)
+— it composes with incremental / streaming epochs: persist the sketch
+table per epoch, merge on read, never rescan old text. This mirrors the
+signature-table discipline of ``streaming/incremental.py``.
+
+Design rules shared by all three:
+
+- **Portable hashing** (``md5_60``): DuckDB reproduces every hash bit,
+  so the register tables and membership flags are value-checkable by the
+  SQL oracle end-to-end (``__spark_entry__`` folds ``chk='hll*'``,
+  ``'hh'``, ``'bloom'``).
+- **Integer-exact state**: register maxima, counter values and filter
+  words are integers; the only floating-point ops are the final O(groups)
+  estimate divisions, computed from an order-free scaled-integer sum so
+  two engines cannot disagree by summation order.
+- **No driver-side data structures beyond the sketch itself**: the HLL
+  register table is ≤ groups × 2^p rows, the Bloom word table is
+  ``ceil(n_bits/62)`` rows, the Misra-Gries summary ≤ capacity rows per
+  partition before the merge.
+
+References (all public): Flajolet et al., "HyperLogLog" (AofA 2007);
+Heule et al., "HyperLogLog in Practice" (EDBT 2013) for the
+linear-counting small-range correction; Misra & Gries, "Finding repeated
+elements" (1982); Metwally et al., "Efficient computation of frequent and
+top-k elements" (ICDT 2005); Bloom (CACM 1970). Reference-repo parity:
+the reference has no sketch layer — these extend the A8/corpus-stats
+surface (``/root/reference/src/features/build_features.py`` computes
+exact corpus stats) to cardinalities where exact is no longer feasible.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable, Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from record_linkage_spark.operators.dedup import md5_60
+
+HASH_BITS = 60  # md5_60 yields a 60-bit non-negative long in both engines
+# Bloom words use 62 of a long's 63 non-sign bits so ``1 << (pos % 62)``
+# can never touch the sign bit in either engine.
+BLOOM_WORD_BITS = 62
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog
+# --------------------------------------------------------------------------
+
+
+def _hll_alpha(m: int) -> float:
+    """Bias-correction constant from the HLL paper (m >= 128 branch)."""
+    if m >= 128:
+        return 0.7213 / (1.0 + 1.079 / m)
+    if m == 64:
+        return 0.709
+    if m == 32:
+        return 0.697
+    return 0.673
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str | Column,
+    group_cols: Sequence[str] = (),
+    p: int = 8,
+) -> DataFrame:
+    """HLL register table: per group, per register index, the maximum
+    rank rho (leading-zero count + 1 of the hash suffix).
+
+    This IS the sketch state — ``(group..., reg int, rho int)``, at most
+    ``2^p`` rows per group — and it is mergeable: ``hll_merge`` of two
+    epochs' tables equals the table of the union. One explode-free
+    groupBy (map-side combinable max), no shuffle beyond it.
+
+    rho uses ``length(bin(w))`` (exact integer bit-length) instead of
+    ``floor(log2(w))`` so no float rounding can flip a register at a
+    power-of-two boundary — the property that makes the DuckDB twin
+    (``length(bin(w))``) bit-identical.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    m = 1 << p
+    suffix_bits = HASH_BITS - p
+    h = md5_60(value_col)
+    # integer quotient via shift (NOT float division: h has 60 bits and a
+    # double would shave the low bits above 2^53). DuckDB twin: ``h // m``.
+    w = F.shiftright(h, p)
+    # bit length of w via the binary-string length; w == 0 -> rho = b + 1
+    rho = F.when(
+        w == 0, F.lit(suffix_bits + 1)
+    ).otherwise(F.lit(suffix_bits + 1) - F.length(F.bin(w)))
+    gb = [F.col(c) for c in group_cols]
+    return (
+        df.select(*gb, F.pmod(h, F.lit(m)).cast("int").alias("reg"), rho.cast("int").alias("_rho"))
+        .groupBy(*gb, "reg")
+        .agg(F.max("_rho").alias("rho"))
+    )
+
+
+def hll_merge(
+    tables: Iterable[DataFrame], group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Merge HLL register tables (e.g. one per ingest epoch): union +
+    per-register max. ``hll_merge([sketch(A), sketch(B)]) ==
+    sketch(A union B)`` exactly — the property pinned by
+    ``test_sketches.py::test_hll_merge_equals_union``."""
+    tabs = list(tables)
+    out = tabs[0]
+    for t in tabs[1:]:
+        out = out.unionByName(t)
+    gb = [F.col(c) for c in group_cols]
+    return out.groupBy(*gb, "reg").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    regs: DataFrame,
+    group_cols: Sequence[str] = (),
+    p: int = 8,
+) -> DataFrame:
+    """Distinct-count estimate per group from a register table.
+
+    The harmonic sum ``sum(2^-rho)`` is computed as an ORDER-FREE scaled
+    integer — ``sum(2^(b+1-rho))`` where ``b+1`` bounds rho — so the only
+    floating-point operations are one division and one multiply per
+    group (plus one ``ln`` on the linear-counting branch). Two engines
+    evaluating this agree bit-for-bit on the raw branch; the oracle fold
+    keeps its estimate row on that branch (see ``__spark_entry__``
+    chk='hll_est').
+
+    Standard error ~= 1.04 / sqrt(2^p) (HLL paper): ~6.5% at p=8.
+    Returns ``(group..., est_distinct double)``.
+    """
+    m = 1 << p
+    rho_max = HASH_BITS - p + 1  # scale exponent: 2^(rho_max - rho) is integral
+    alpha = _hll_alpha(m)
+    gb = [F.col(c) for c in group_cols]
+    agg = regs.groupBy(*gb).agg(
+        # shiftleft's python wrapper only takes a literal shift; the SQL
+        # form accepts a column. 2^(rho_max - rho) stays integral.
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {rho_max} - rho)")).alias("_s"),
+        F.count(F.lit(1)).alias("_present"),
+    )
+    zeros = F.lit(m) - F.col("_present")  # registers never hit (rho = 0 -> 2^0 = 1)
+    scale = float(1 << rho_max)
+    # raw estimate: alpha * m^2 / (zeros + sum_present(2^-rho))
+    denom = zeros.cast("double") + F.col("_s").cast("double") / F.lit(scale)
+    raw = F.lit(alpha * m * m) / denom
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(*gb, est.alias("est_distinct"))
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# --------------------------------------------------------------------------
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    capacity: int = 4096,
+) -> DataFrame:
+    """Frequent values with bounded state: per-partition Misra-Gries
+    summaries (<= ``capacity`` counters each) merged by a per-value sum.
+
+    Guarantees (Misra-Gries 1982 + the standard mergeability result,
+    Agarwal et al. PODS'12): for every value,
+    ``freq - n/(capacity+1) <= est_count <= freq``, and every value with
+    ``freq > n/(capacity+1)`` appears in the output. When each
+    partition's distinct-value count is <= capacity the counts are EXACT
+    — the regime the oracle fold (chk='hh') pins.
+
+    Why not a plain groupBy-count: exact counting shuffles one row per
+    DISTINCT value (unbounded — e.g. all tokens of a 100 TB corpus);
+    this shuffles at most ``capacity`` rows per partition, a constant
+    chosen up front, and the reduce side sums ~capacity-sized groups.
+
+    Returns ``(value string, est_count long, err_bound double)`` where
+    err_bound = n/(capacity+1) is the uniform count underestimate bound.
+    """
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+
+    out_schema = f"`{value_col}` string, est_count long"
+
+    def mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            col = pdf[value_col].dropna().astype(str)
+            for v, c in col.value_counts().items():
+                counts[v] = counts.get(v, 0) + int(c)
+            if len(counts) > capacity:
+                # MG reduction: subtract the (capacity+1)-th largest count
+                # from every counter, drop the non-positive ones. Each unit
+                # subtracted here is matched by >= capacity other units, so
+                # the total underestimate stays <= n_partition/(capacity+1).
+                vals = sorted(counts.values(), reverse=True)
+                thr = vals[capacity]
+                counts = {v: c - thr for v, c in counts.items() if c > thr}
+        if counts:
+            yield pd.DataFrame(
+                {value_col: list(counts.keys()), "est_count": list(counts.values())}
+            )
+
+    summaries = df.select(F.col(value_col).cast("string").alias(value_col)).mapInPandas(
+        mg_partition, schema=out_schema
+    )
+    merged = summaries.groupBy(value_col).agg(F.sum("est_count").alias("est_count"))
+    n_total = df.select(
+        F.count(F.col(value_col)).alias("_n")
+    )  # 1-row attach, not a collect of data
+    return merged.crossJoin(F.broadcast(n_total)).select(
+        value_col,
+        "est_count",
+        (F.col("_n").cast("double") / F.lit(float(capacity + 1))).alias("err_bound"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Distributed Bloom filter
+# --------------------------------------------------------------------------
+
+
+def _bloom_pos(value_col: str | Column, i: int, n_bits: int) -> Column:
+    """Portable position of hash i: md5_60 of the salted value, mod n_bits.
+    The salt is ``str(i) + chr(1)`` so DuckDB replays it verbatim."""
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    return F.pmod(md5_60(F.concat(F.lit(f"{i}\x01"), c)), F.lit(n_bits))
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 2,
+) -> DataFrame:
+    """Build a Bloom filter AS A DATAFRAME: ``(word int, bits long)``
+    with ``ceil(n_bits/62)`` rows — the packed bit array, built by a
+    single groupBy(bit_or) so no executor or the driver ever holds the
+    distinct-value set. Mergeable: union two filters' word tables and
+    ``bit_or`` again (== filter of the union).
+
+    62 bits per word keeps ``1 << (pos % 62)`` off the sign bit in both
+    engines (DuckDB's ``<<`` on BIGINT matches two's complement only
+    below bit 63)."""
+    if n_bits < BLOOM_WORD_BITS:
+        raise ValueError(f"n_bits must be >= {BLOOM_WORD_BITS}")
+    parts = [
+        df.select(_bloom_pos(value_col, i, n_bits).alias("pos"))
+        for i in range(n_hashes)
+    ]
+    pos = parts[0]
+    for extra in parts[1:]:
+        pos = pos.unionByName(extra)
+    return (
+        pos.select(
+            (F.col("pos") / F.lit(BLOOM_WORD_BITS)).cast("int").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_WORD_BITS} AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_merge(filters: Iterable[DataFrame]) -> DataFrame:
+    """OR-merge Bloom word tables (same n_bits/n_hashes assumed)."""
+    tabs = list(filters)
+    out = tabs[0]
+    for t in tabs[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_member_flags(
+    df: DataFrame,
+    value_col: str,
+    bloom: DataFrame,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 2,
+    out_col: str = "bloom_hit",
+) -> DataFrame:
+    """Membership test, pure Catalyst: for each of the ``n_hashes``
+    probe positions, a broadcast hash join against the word table and a
+    codegen ``bits & mask != 0`` check; the row is a hit iff ALL probes
+    hit. No UDF, no collect — the filter stays a DataFrame end to end,
+    and the ``n_hashes`` joins each broadcast ~``n_bits/62`` longs
+    (16 KB at the default), never the probed data.
+
+    Zero false negatives by construction; false-positive rate
+    ~= (1 - e^(-kn/m))^k. Returns ``df`` + ``out_col`` (boolean).
+    """
+    out = df
+    hit = F.lit(True)
+    for i in range(n_hashes):
+        w = bloom.select(
+            F.col("word").alias(f"_bw{i}"), F.col("bits").alias(f"_bb{i}")
+        )
+        out = out.withColumn(f"_bp{i}", _bloom_pos(value_col, i, n_bits))
+        out = out.join(
+            F.broadcast(w),
+            (F.col(f"_bp{i}") / F.lit(BLOOM_WORD_BITS)).cast("int")
+            == F.col(f"_bw{i}"),
+            "left",
+        )
+        mask = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(_bp{i} % {BLOOM_WORD_BITS} AS INT))"
+        )
+        hit = hit & (F.coalesce(F.col(f"_bb{i}"), F.lit(0)).bitwiseAND(mask) != 0)
+    drop = [c for i in range(n_hashes) for c in (f"_bw{i}", f"_bb{i}", f"_bp{i}")]
+    return out.withColumn(out_col, hit).drop(*drop)
+
+
+def decontaminate_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    ngram: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 1 << 20,
+    n_hashes: int = 2,
+    exact_verify: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination with a Bloom prefilter: build the filter
+    over the benchmark's n-grams (state = n_bits regardless of benchmark
+    size — the scale win over ``curation.decontaminate``'s exact-set
+    broadcast, which is O(|benchmark grams|)), flag corpus grams through
+    it (zero false negatives), and — when ``exact_verify`` — confirm the
+    survivors with an equality join against the true gram set, which by
+    then is a tiny fraction of the corpus.
+
+    With ``exact_verify`` the output equals ``curation.decontaminate``
+    exactly — ``(doc_id, n_shared_grams)`` for flagged documents —
+    pinned by ``test_decontaminate_bloom_matches_exact``.
+    """
+    from record_linkage_spark.operators.curation import _grams
+
+    cg = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_grams(F.col(text_col), ngram)).alias("g"),
+    )
+    bg = benchmark.select(
+        F.explode(_grams(F.col(text_col), ngram)).alias("g")
+    ).distinct()
+    filt = bloom_build(bg, "g", n_bits=n_bits, n_hashes=n_hashes)
+    flagged = bloom_member_flags(
+        cg, "g", filt, n_bits=n_bits, n_hashes=n_hashes, out_col="_hit"
+    ).filter(F.col("_hit"))
+    if exact_verify:
+        flagged = flagged.join(bg, "g", "left_semi")
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared_grams")
+    )

@@ -1,0 +1,185 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from record_linkage_spark.operators.sketches import (
+    bloom_build,
+    bloom_member_flags,
+    bloom_merge,
+    decontaminate_bloom,
+    heavy_hitters,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+
+
+def _values_df(spark, n, parts=4, prefix="v"):
+    return (
+        spark.range(n, numPartitions=parts)
+        .select(F.concat(F.lit(prefix), F.col("id").cast("string")).alias("v"))
+    )
+
+
+# ---------------------------------------------------------------- HLL
+
+
+def test_hll_estimate_within_error_bound(spark):
+    n = 5000
+    df = _values_df(spark, n)
+    regs = hll_registers(df, "v", p=8)
+    est = hll_estimate(regs, p=8).first().est_distinct
+    # standard error 1.04/sqrt(256) ~ 6.5%; allow 4 sigma
+    assert abs(est - n) / n < 0.26
+
+
+def test_hll_duplicates_do_not_move_the_estimate(spark):
+    base = _values_df(spark, 2000)
+    dup = base.unionByName(base).unionByName(base)
+    e1 = hll_estimate(hll_registers(base, "v", p=8), p=8).first().est_distinct
+    e2 = hll_estimate(hll_registers(dup, "v", p=8), p=8).first().est_distinct
+    assert e1 == e2  # registers are max-of-rho: duplicates are absorbed
+
+
+def test_hll_merge_equals_union(spark):
+    a = _values_df(spark, 1500, prefix="a")
+    b = _values_df(spark, 1500, prefix="b")
+    merged = hll_merge([hll_registers(a, "v", p=8), hll_registers(b, "v", p=8)])
+    direct = hll_registers(a.unionByName(b), "v", p=8)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
+def test_hll_grouped_registers_and_small_range_branch(spark):
+    # two groups: one tiny (linear-counting branch), one large (raw branch)
+    df = spark.range(3000).select(
+        F.when(F.col("id") < 40, F.lit("small")).otherwise(F.lit("big")).alias("g"),
+        F.col("id").cast("string").alias("v"),
+    )
+    out = {
+        r.g: r.est_distinct
+        for r in hll_estimate(hll_registers(df, "v", ["g"], p=8), ["g"], p=8).collect()
+    }
+    assert abs(out["small"] - 40) / 40 < 0.25
+    assert abs(out["big"] - 2960) / 2960 < 0.26
+
+
+def test_hll_registers_partitioning_invariant(spark):
+    df1 = _values_df(spark, 1000, parts=1)
+    df8 = _values_df(spark, 1000, parts=8)
+    r1 = sorted(hll_registers(df1, "v", p=8).collect())
+    r8 = sorted(hll_registers(df8, "v", p=8).collect())
+    assert r1 == r8
+
+
+# ------------------------------------------------------- heavy hitters
+
+
+def test_heavy_hitters_exact_when_capacity_suffices(spark):
+    df = spark.range(1000, numPartitions=4).select(
+        F.concat(F.lit("k"), F.pmod(F.col("id"), F.lit(10)).cast("string")).alias("v")
+    )
+    got = {r.v: r.est_count for r in heavy_hitters(df, "v", capacity=64).collect()}
+    assert got == {f"k{i}": 100 for i in range(10)}
+
+
+def test_heavy_hitters_guarantee_under_tight_capacity(spark):
+    # skewed stream: one value holds 40% of the mass, long uniform tail
+    n_hot = 4000
+    hot = spark.range(n_hot, numPartitions=4).select(F.lit("HOT").alias("v"))
+    tail = spark.range(6000, numPartitions=4).select(
+        F.concat(F.lit("t"), F.col("id").cast("string")).alias("v")
+    )
+    df = hot.unionByName(tail)
+    cap = 50
+    rows = heavy_hitters(df, "v", capacity=cap).collect()
+    got = {r.v: (r.est_count, r.err_bound) for r in rows}
+    n = 10000
+    assert "HOT" in got  # freq 4000 >> n/(cap+1) ~ 196 -> must surface
+    est, err = got["HOT"]
+    assert est <= n_hot  # never overestimates
+    assert est >= n_hot - n / (cap + 1) - 1e-9  # MG lower bound
+    # every reported count is a valid lower bound
+    assert all(c <= n_hot if v == "HOT" else c <= 1 for v, (c, _) in got.items())
+
+
+def test_heavy_hitters_err_bound_column(spark):
+    df = _values_df(spark, 100)
+    r = heavy_hitters(df, "v", capacity=9).collect()
+    assert all(abs(x.err_bound - 10.0) < 1e-9 for x in r)
+
+
+# ---------------------------------------------------------------- bloom
+
+
+def test_bloom_zero_false_negatives_and_low_fp(spark):
+    members = _values_df(spark, 500, prefix="m")
+    filt = bloom_build(members, "v", n_bits=1 << 14, n_hashes=2)
+    probes = members.unionByName(_values_df(spark, 2000, prefix="x"))
+    flags = bloom_member_flags(probes, "v", filt, n_bits=1 << 14, n_hashes=2)
+    res = flags.groupBy(F.substring("v", 1, 1).alias("kind")).agg(
+        F.sum(F.col("bloom_hit").cast("int")).alias("hits"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    by = {r.kind: (r.hits, r.n) for r in res.collect()}
+    assert by["m"] == (500, 500)  # no false negatives, ever
+    fp_rate = by["x"][0] / by["x"][1]
+    # theory: (1 - e^(-kn/m))^k ~ (1-e^(-1000/16384))^2 ~ 0.0035
+    assert fp_rate < 0.02
+
+
+def test_bloom_merge_equals_union_filter(spark):
+    a = _values_df(spark, 300, prefix="a")
+    b = _values_df(spark, 300, prefix="b")
+    merged = bloom_merge(
+        [bloom_build(a, "v", n_bits=1 << 13), bloom_build(b, "v", n_bits=1 << 13)]
+    )
+    direct = bloom_build(a.unionByName(b), "v", n_bits=1 << 13)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
+def test_bloom_membership_is_pure_catalyst(spark):
+    members = _values_df(spark, 50)
+    filt = bloom_build(members, "v", n_bits=1 << 13)
+    plan = bloom_member_flags(
+        members, "v", filt, n_bits=1 << 13
+    )._jdf.queryExecution().executedPlan().toString()
+    for tok in ("Python", "Arrow", "FlatMapsInPandas", "BatchEvalPython"):
+        assert tok not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_bloom_matches_exact(spark):
+    from record_linkage_spark.operators.curation import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again ok"),
+            (2, "completely unrelated text with no overlap whatsoever in any gram here"),
+            (3, "quick brown fox jumps over the lazy dog again and again more words"),
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog again and again",)],
+        "doc_id int, text string",
+    )
+    exact = {
+        r.doc_id: r.n_shared_grams
+        for r in decontaminate(docs, bench, ngram=8).collect()
+    }
+    via_bloom = {
+        r.doc_id: r.n_shared_grams
+        for r in decontaminate_bloom(docs, bench, ngram=8, n_bits=1 << 14).collect()
+    }
+    assert via_bloom == exact
+    assert 1 in via_bloom and 2 not in via_bloom
+
+
+def test_bloom_build_word_count_bounded(spark):
+    filt = bloom_build(_values_df(spark, 5000), "v", n_bits=1 << 13, n_hashes=2)
+    assert filt.count() <= math.ceil((1 << 13) / 62)
