@@ -217,6 +217,75 @@ def with_split(pairs: DataFrame) -> DataFrame:
     )
 
 
+def entity_safe_split(
+    assignments: DataFrame,
+    train_pct: int = SPLIT_TRAIN_PCT,
+    val_pct: int = SPLIT_VAL_PCT,
+    salt: str = "esplit",
+    entity_col: str = "entity_id",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: the hash bucket is computed on
+    the ENTITY id, so every record of an entity — and therefore every
+    matching / near-duplicate pair — lands in the same split.
+
+    Why record-level splits leak: with X1's per-record (or per-pair)
+    hash, two near-duplicate records of one entity routinely straddle
+    train and test, so a model memorizing train text scores its near-copy
+    in test — the classic contamination failure of both ER benchmarks and
+    LLM training corpora (the cluster-level split is the standard remedy,
+    e.g. Lee et al. "Deduplicating Training Data Makes Language Models
+    Better", ACL 2022, §6). ``split_leakage_audit`` measures exactly that
+    failure for ANY split column.
+
+    Input is an assignment table (record -> entity), e.g. from
+    ``clustering.assign_entities``. The bucket hash is the portable
+    ``md5_60`` so a SQL oracle replays the routing bit-for-bit. Zero
+    extra shuffles: one projection on the assignment table.
+    """
+    from record_linkage_spark.operators.dedup import md5_60
+
+    bucket = F.pmod(
+        md5_60(F.concat(F.lit(salt + "\x01"), F.col(entity_col).cast("string"))),
+        F.lit(100),
+    )
+    return assignments.withColumn(
+        "split",
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
+def split_leakage_audit(
+    splits: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "conv_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Contamination report for a split: of the given related pairs
+    (match edges, near-dup pairs, ...), how many straddle two different
+    splits?  Returns one row per (split_A, split_B) with n_pairs,
+    split_A <= split_B canonicalized — the off-diagonal rows ARE the
+    leakage (an ``entity_safe_split`` over the pairs' own components
+    yields none; a record-hash split yields plenty — both pinned in
+    ``tests/test_sketches.py``-style property tests).
+
+    Scale shape: two equality joins of the pair list against the
+    (record, split) table — the same hydration pattern as J3 — then a
+    tiny groupBy; nothing is collected."""
+    a = splits.select(F.col(id_col).alias("id_A"), F.col(split_col).alias("_sA"))
+    b = splits.select(F.col(id_col).alias("id_B"), F.col(split_col).alias("_sB"))
+    j = pairs.select("id_A", "id_B").join(a, "id_A").join(b, "id_B")
+    return (
+        j.select(
+            F.least("_sA", "_sB").alias("split_A"),
+            F.greatest("_sA", "_sB").alias("split_B"),
+        )
+        .groupBy("split_A", "split_B")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
 def hydrate_pairs(
     pairs: DataFrame, profiles: DataFrame, cols: list[str],
     num_partitions: int | None = None,

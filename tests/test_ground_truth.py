@@ -115,3 +115,81 @@ def test_ground_truth_plan_has_no_driver_topk(spark):
     plan = gt._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" not in plan
     assert "CollectLimit" not in plan
+
+
+def test_entity_safe_split_no_leakage_and_proportions(spark):
+    from record_linkage_spark.operators.clustering import assign_entities
+    from record_linkage_spark.operators.ground_truth import (
+        entity_safe_split,
+        split_leakage_audit,
+    )
+
+    n = 3000
+    ids = spark.range(n).select(F.col("id").cast("string").alias("conv_id"))
+    # chain-link every block of 3 consecutive ids into one entity
+    edges = (
+        spark.range(n)
+        .filter((F.col("id") % 3 != 0))
+        .select(
+            F.col("id").cast("string").alias("src"),
+            (F.col("id") - 1).cast("string").alias("dst"),
+        )
+    )
+    assign = assign_entities(ids, edges)
+    splits = entity_safe_split(assign)
+
+    # every entity lives in exactly one split
+    per_entity = splits.groupBy("entity_id").agg(
+        F.countDistinct("split").alias("k")
+    )
+    assert per_entity.filter(F.col("k") > 1).count() == 0
+
+    # proportions roughly 70/10/20 (entity-level routing, 1000 entities)
+    frac = {
+        r.split: r.n / n
+        for r in splits.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert abs(frac["train"] - 0.7) < 0.08
+    assert abs(frac["test"] - 0.2) < 0.08
+
+    # audit: zero cross-split pairs for the entity-safe split...
+    pairs = edges.select(
+        F.least("src", "dst").alias("id_A"), F.greatest("src", "dst").alias("id_B")
+    )
+    audit = split_leakage_audit(splits, pairs)
+    leaks = audit.filter(F.col("split_A") != F.col("split_B"))
+    assert leaks.count() == 0
+    assert (
+        audit.agg(F.sum("n_pairs")).first()[0] == pairs.count()
+    )  # every pair accounted for
+
+    # ...and plenty for a record-hash split over the same pairs
+    naive = assign.withColumn(
+        "split",
+        F.when(F.pmod(F.xxhash64("conv_id"), F.lit(100)) < 70, "train").otherwise(
+            "test"
+        ),
+    )
+    naive_leaks = (
+        split_leakage_audit(naive, pairs)
+        .filter(F.col("split_A") != F.col("split_B"))
+        .agg(F.coalesce(F.sum("n_pairs"), F.lit(0)))
+        .first()[0]
+    )
+    assert naive_leaks > 100
+
+
+def test_entity_safe_split_deterministic_and_salted(spark):
+    from record_linkage_spark.operators.ground_truth import entity_safe_split
+
+    assign = spark.range(500).select(
+        F.col("id").cast("string").alias("conv_id"),
+        (F.col("id") % 100).cast("string").alias("entity_id"),
+    )
+    s1 = dict(entity_safe_split(assign).select("conv_id", "split").collect())
+    s2 = dict(entity_safe_split(assign).select("conv_id", "split").collect())
+    assert s1 == s2
+    s3 = dict(
+        entity_safe_split(assign, salt="other").select("conv_id", "split").collect()
+    )
+    assert s1 != s3
