@@ -2974,6 +2974,154 @@ def q_schema_match(spark, sf):
     )
 
 
+def q_hll_check(spark, sf):
+    """HyperLogLog fold (``operators/sketches.py``): the full register
+    table (exact integers — max rho per register, portable md5_60 hash,
+    integer bit-length rho so no float can flip a register) per order
+    status over ``o_orderkey``, plus the merged raw-branch distinct
+    estimate over all orders (15k distinct >> 2.5m = 640, so both
+    engines take the bias-corrected branch — one scaled-integer sum and
+    one double division each, order-free). The DuckDB twin replays
+    hash -> register -> max -> estimate bit-for-bit."""
+    from record_linkage_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    o = _t(spark, sf, "orders").select(
+        F.col("o_orderstatus").alias("g"),
+        F.col("o_orderkey").cast("string").alias("v"),
+    )
+    regs = hll_registers(o, "v", ["g"], p=8)
+    reg_rows = regs.select(
+        F.lit("hll").alias("chk"),
+        F.concat("g", F.lit(":"), F.col("reg").cast("string")).alias("k"),
+        F.col("rho").cast("double").alias("v"),
+    )
+    total = hll_estimate(hll_merge([regs.select("reg", "rho")]), p=8)
+    est_rows = total.select(
+        F.lit("hll_est").alias("chk"),
+        F.lit("orders").alias("k"),
+        F.round("est_distinct", 6).alias("v"),
+    )
+    return reg_rows.unionByName(est_rows)
+
+
+def q_hh_check(spark, sf):
+    """Misra-Gries heavy hitters fold (``operators/sketches.py``):
+    capacity 512 over lineitem supplier keys (100 distinct per partition
+    << capacity, so the bounded-state summaries are provably EXACT and
+    the SQL twin is a plain groupBy count) — top-25 by (count desc, key)."""
+    from record_linkage_spark.operators.sketches import heavy_hitters
+
+    li = _t(spark, sf, "lineitem").select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("v")
+    )
+    hh = heavy_hitters(li, "v", capacity=512)
+    w = Window.orderBy(F.desc("est_count"), "v")
+    return (
+        hh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .select(
+            F.lit("hh").alias("chk"),
+            F.col("v").alias("k"),
+            F.col("est_count").cast("double").alias("v"),
+        )
+    )
+
+
+def q_bloom_check(spark, sf):
+    """Bloom-filter fold (``operators/sketches.py``): build the word
+    table over the 100 supplier names (2 hashes, 8192 bits), probe it
+    with 300 customer names (misses modulo deterministic false
+    positives) and every supplier name (must ALL hit — the zero-false-
+    negative contract). The DuckDB twin rebuilds the packed words with
+    bit_or/shift over the same md5 positions and replays both probes."""
+    from record_linkage_spark.operators.sketches import (
+        bloom_build,
+        bloom_member_flags,
+    )
+
+    sup = _t(spark, sf, "supplier")
+    members = sup.select(F.col("s_name").alias("v")).distinct()
+    filt = bloom_build(members, "v", n_bits=8192, n_hashes=2)
+    probes = (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_custkey") <= 300)
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("k"),
+            F.col("c_name").alias("v"),
+        )
+        .unionByName(
+            sup.select(
+                F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("k"),
+                F.col("s_name").alias("v"),
+            )
+        )
+    )
+    out = bloom_member_flags(probes, "v", filt, n_bits=8192, n_hashes=2)
+    return out.select(
+        F.lit("bloom").alias("chk"),
+        "k",
+        F.col("bloom_hit").cast("double").alias("v"),
+    )
+
+
+def q_entity_split(spark, sf):
+    """Leakage-safe split fold (``ground_truth.entity_safe_split`` +
+    ``split_leakage_audit``): entities from the planted CC graph are
+    hash-routed whole, so the audit's off-diagonal (cross-split) pair
+    rows are structurally zero while the diagonal carries the planted
+    edge mass. Emits per-split record/entity counts plus the audit
+    matrix; the DuckDB twin reruns the recursive-CTE components, the
+    md5_60 entity bucket, and both joins."""
+    from record_linkage_spark.operators.ground_truth import (
+        entity_safe_split,
+        split_leakage_audit,
+    )
+
+    splits = entity_safe_split(q_cc_components(spark, sf))
+    recs = splits.groupBy("split").agg(F.count(F.lit(1)).cast("double").alias("v"))
+    ents = splits.groupBy("split").agg(
+        F.countDistinct("entity_id").cast("double").alias("v")
+    )
+    d = _t(spark, sf, "documents").select("doc_id")
+    ids = d.select(F.col("doc_id").alias("dst"))
+    chain = d.filter(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") - 1).alias("dst")
+    )
+    bridge = d.filter(F.col("doc_id") % 11 == 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 3).alias("dst")
+    )
+    edges = chain.unionByName(bridge).join(ids, "dst", "left_semi")
+    pairs = edges.select(
+        F.least("src", "dst").alias("id_A"), F.greatest("src", "dst").alias("id_B")
+    )
+    audit = split_leakage_audit(splits, pairs)
+    return (
+        recs.select(
+            F.lit("esplit").alias("chk"),
+            F.concat("split", F.lit(":recs")).alias("k"),
+            "v",
+        )
+        .unionByName(
+            ents.select(
+                F.lit("esplit").alias("chk"),
+                F.concat("split", F.lit(":ents")).alias("k"),
+                "v",
+            )
+        )
+        .unionByName(
+            audit.select(
+                F.lit("esplit").alias("chk"),
+                F.concat(F.lit("pairs:"), "split_A", F.lit("|"), "split_B").alias("k"),
+                F.col("n_pairs").cast("double").alias("v"),
+            )
+        )
+    )
+
+
 def q_scalar_checks(spark, sf):
     """P1/A1 missing%, P14 prefix-key histogram, J5 semi/anti counts,
     A6 confusion counts, X1 hash-split sizes — one (chk, k, v) frame —
@@ -3011,6 +3159,10 @@ def q_scalar_checks(spark, sf):
         .unionByName(q_pagerank_top(spark, sf))
         .unionByName(q_schema_match(spark, sf))
         .unionByName(q_label_prop_top(spark, sf))
+        .unionByName(q_hll_check(spark, sf))
+        .unionByName(q_hh_check(spark, sf))
+        .unionByName(q_bloom_check(spark, sf))
+        .unionByName(q_entity_split(spark, sf))
     )
 
 
@@ -4098,6 +4250,14 @@ def _composite_oracles(base: dict[str, str]) -> dict[str, str]:
             f"CAST({v} AS DOUBLE) AS v FROM ({sql})"
         )
 
+    # HLL estimate constants — computed with the SAME Python arithmetic
+    # sketches.hll_estimate uses, then embedded as repr'd doubles so both
+    # engines evaluate the identical constant.
+    from record_linkage_spark.operators.sketches import _hll_alpha
+
+    HLL_AMM = _hll_alpha(256) * 256 * 256
+    HLL_SCALE = float(1 << 53)
+
     scalar_parts = [
         tagged(
             "p1_missing_pct",
@@ -4226,6 +4386,102 @@ def _composite_oracles(base: dict[str, str]) -> dict[str, str]:
             "top AS (SELECT k, v, row_number() OVER (ORDER BY v DESC, k) AS rn "
             "FROM ranked) SELECT k, v FROM top WHERE rn <= 25",
             "k", "v",
+        ),
+        # HLL register table + raw-branch estimate (operators/sketches.py):
+        # h // 256 is the exact integer quotient (the Spark side shifts),
+        # rho via integer bit-length (length(bin(w))) so no float can flip
+        # a register; the estimate divides a scaled-integer sum once.
+        (
+            "SELECT chk, k, v FROM ("
+            "WITH hs AS (SELECT o_orderstatus AS g, "
+            "('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h "
+            "FROM orders), "
+            "rr AS (SELECT g, h % 256 AS reg, "
+            "MAX(CASE WHEN h // 256 = 0 THEN 53 "
+            "ELSE 53 - length(bin(h // 256)) END) AS rho "
+            "FROM hs GROUP BY g, h % 256), "
+            "tot AS (SELECT reg, MAX(rho) AS rho FROM rr GROUP BY reg), "
+            "acc AS (SELECT SUM(1::BIGINT << CAST(53 - rho AS INTEGER)) AS s, "
+            "COUNT(*) AS present FROM tot), "
+            "ev AS (SELECT CASE WHEN raw <= 640.0 AND zeros > 0 "
+            "THEN 256.0 * ln(256.0 / zeros) ELSE raw END AS est FROM ("
+            f"SELECT (256 - present) AS zeros, {HLL_AMM!r} / "
+            f"((256 - present) + s / {HLL_SCALE!r}) AS raw FROM acc)) "
+            "SELECT 'hll' AS chk, g || ':' || CAST(reg AS VARCHAR) AS k, "
+            "CAST(rho AS DOUBLE) AS v FROM rr "
+            "UNION ALL SELECT 'hll_est', 'orders', round(est, 6) FROM ev)"
+        ),
+        # Misra-Gries heavy hitters at exactness capacity == plain counts
+        (
+            "SELECT chk, k, v FROM ("
+            "WITH c AS (SELECT 's' || CAST(l_suppkey AS VARCHAR) AS k, "
+            "CAST(COUNT(*) AS DOUBLE) AS v FROM lineitem GROUP BY 1), "
+            "r AS (SELECT k, v, row_number() OVER (ORDER BY v DESC, k) AS rn "
+            "FROM c) SELECT 'hh' AS chk, k, v FROM r WHERE rn <= 25)"
+        ),
+        # Bloom filter: rebuild the packed 62-bit words over supplier
+        # names, probe with customer + supplier names (same salted md5)
+        (
+            "SELECT chk, k, v FROM ("
+            "WITH members AS (SELECT DISTINCT s_name AS v FROM supplier), "
+            "pos AS ("
+            "SELECT ('0x' || substr(md5('0' || chr(1) || v), 1, 15))::BIGINT % 8192 AS p "
+            "FROM members UNION ALL "
+            "SELECT ('0x' || substr(md5('1' || chr(1) || v), 1, 15))::BIGINT % 8192 "
+            "FROM members), "
+            "words AS (SELECT p // 62 AS word, "
+            "bit_or(1::BIGINT << CAST(p % 62 AS INTEGER)) AS bits "
+            "FROM pos GROUP BY p // 62), "
+            "probes AS (SELECT 'c' || CAST(c_custkey AS VARCHAR) AS k, c_name AS v "
+            "FROM customer WHERE c_custkey <= 300 UNION ALL "
+            "SELECT 's' || CAST(s_suppkey AS VARCHAR), s_name FROM supplier), "
+            "pp AS (SELECT k, "
+            "('0x' || substr(md5('0' || chr(1) || v), 1, 15))::BIGINT % 8192 AS p0, "
+            "('0x' || substr(md5('1' || chr(1) || v), 1, 15))::BIGINT % 8192 AS p1 "
+            "FROM probes) "
+            "SELECT 'bloom' AS chk, k, CAST(CASE WHEN "
+            "(coalesce(w0.bits, 0) & (1::BIGINT << CAST(p0 % 62 AS INTEGER))) != 0 "
+            "AND (coalesce(w1.bits, 0) & (1::BIGINT << CAST(p1 % 62 AS INTEGER))) != 0 "
+            "THEN 1 ELSE 0 END AS DOUBLE) AS v "
+            "FROM pp LEFT JOIN words w0 ON p0 // 62 = w0.word "
+            "LEFT JOIN words w1 ON p1 // 62 = w1.word)"
+        ),
+        # entity-safe split + leakage audit over the planted CC graph:
+        # recursive-CTE components -> md5 entity bucket -> 70/10/20 route
+        # -> per-split counts + cross-split pair matrix
+        (
+            "SELECT chk, k, v FROM ("
+            "WITH RECURSIVE edges AS ("
+            "SELECT doc_id AS src, doc_id - 1 AS dst FROM documents "
+            "WHERE doc_id % 7 != 0 "
+            "AND doc_id - 1 IN (SELECT doc_id FROM documents) "
+            "UNION ALL "
+            "SELECT doc_id, doc_id + 3 FROM documents "
+            "WHERE doc_id % 11 = 0 "
+            "AND doc_id + 3 IN (SELECT doc_id FROM documents)), "
+            "und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges), "
+            "reach(id, lbl) AS (SELECT doc_id, doc_id FROM documents "
+            "UNION SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.id), "
+            "asg AS (SELECT id AS conv_id, MIN(lbl) AS entity_id "
+            "FROM reach GROUP BY id), "
+            "spl AS (SELECT conv_id, entity_id, "
+            "CASE WHEN b < 70 THEN 'train' WHEN b < 80 THEN 'val' "
+            "ELSE 'test' END AS split FROM ("
+            "SELECT conv_id, entity_id, ('0x' || substr(md5("
+            "'esplit' || chr(1) || CAST(entity_id AS VARCHAR)), 1, 15))::BIGINT "
+            "% 100 AS b FROM asg)), "
+            "pairs AS (SELECT least(src, dst) AS id_A, greatest(src, dst) AS id_B "
+            "FROM edges), "
+            "aud AS (SELECT least(a.split, b.split) AS s_a, "
+            "greatest(a.split, b.split) AS s_b, COUNT(*) AS n "
+            "FROM pairs JOIN spl a ON pairs.id_A = a.conv_id "
+            "JOIN spl b ON pairs.id_B = b.conv_id GROUP BY 1, 2) "
+            "SELECT 'esplit' AS chk, split || ':recs' AS k, "
+            "CAST(COUNT(*) AS DOUBLE) AS v FROM spl GROUP BY split "
+            "UNION ALL SELECT 'esplit', split || ':ents', "
+            "CAST(COUNT(DISTINCT entity_id) AS DOUBLE) FROM spl GROUP BY split "
+            "UNION ALL SELECT 'esplit', 'pairs:' || s_a || '|' || s_b, "
+            "CAST(n AS DOUBLE) FROM aud)"
         ),
     ]
 
