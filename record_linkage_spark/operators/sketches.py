@@ -303,6 +303,11 @@ def bloom_member_flags(
     Zero false negatives by construction; false-positive rate
     ~= (1 - e^(-kn/m))^k. Returns ``df`` + ``out_col`` (boolean).
     """
+    # The same word table is joined once per hash; without pinning it,
+    # Spark re-runs the whole build aggregation per join (visible as a
+    # duplicated build subtree in the plan). The table is <= n_bits/62
+    # longs, so one eager localCheckpoint is the right trade at any scale.
+    bloom = bloom.coalesce(1).localCheckpoint()
     out = df
     hit = F.lit(True)
     for i in range(n_hashes):

@@ -170,6 +170,34 @@ COMMENTARY = {
         "partial-aggregate map-side before their only shuffle. Zero "
         "Python — the distributed trainer path is pure Catalyst."
     ),
+    "hll_sketch": (
+        "HyperLogLog register table + estimate (operators/sketches.py). "
+        "One partial-aggregated groupBy (map-side max per register) is "
+        "the only data shuffle; the estimate is a second aggregate over "
+        "<= 2^p register rows. Zero Python; the md5/shift/bin expressions "
+        "are all codegen. Mergeable: epochs union + re-max."
+    ),
+    "bloom_membership": (
+        "Bloom filter build + probe (operators/sketches.py). Build: one "
+        "bit_or groupBy packs positions into ceil(n_bits/62) words. "
+        "Probe: the word table is pinned once (localCheckpoint — the build "
+        "aggregation is NOT re-run per hash), then per hash a "
+        "BroadcastHashJoin + codegen bits&mask check — no UDF, no "
+        "cartesian, and the probed data is never broadcast."
+    ),
+    "heavy_hitter_summaries": (
+        "Misra-Gries heavy hitters (operators/sketches.py). The ONLY "
+        "Python node is the bounded-state per-partition summary "
+        "(MapInPandas, <= capacity counters); the merge is a plain "
+        "partial-aggregated sum over <= capacity x partitions rows, and "
+        "the total-count attach is a 1-row broadcast. Shuffle volume is "
+        "capped by capacity, not by the data's distinct-value count."
+    ),
+    "entity_safe_split": (
+        "Leakage-safe split (ground_truth.entity_safe_split): a single "
+        "hash projection over the assignment table — zero exchanges, "
+        "zero Python — so split routing is free at any scale."
+    ),
 }
 
 
@@ -319,7 +347,62 @@ def _q_bpe_pair_counts(spark, sf):
     return bpe_pair_counts(initial_symbols(word_frequencies(docs)))
 
 
+def _q_hll_sketch(spark, sf):
+    from pyspark.sql import functions as F
+
+    from record_linkage_spark.operators.sketches import hll_estimate, hll_registers
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    regs = hll_registers(
+        docs.select("lang", F.col("doc_id").cast("string").alias("v")),
+        "v",
+        ["lang"],
+        p=8,
+    )
+    return hll_estimate(regs, ["lang"], p=8)
+
+
+def _q_bloom_membership(spark, sf):
+    from pyspark.sql import functions as F
+
+    from record_linkage_spark.operators.sketches import (
+        bloom_build,
+        bloom_member_flags,
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    members = docs.filter(F.col("doc_id") < 50).select(F.col("text").alias("v"))
+    filt = bloom_build(members, "v", n_bits=1 << 13)
+    return bloom_member_flags(
+        docs.select("doc_id", F.col("text").alias("v")), "v", filt, n_bits=1 << 13
+    )
+
+
+def _q_heavy_hitters(spark, sf):
+    from record_linkage_spark.operators.sketches import heavy_hitters
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return heavy_hitters(docs, "lang", capacity=64)
+
+
+def _q_entity_safe_split(spark, sf):
+    from pyspark.sql import functions as F
+
+    from record_linkage_spark.operators.ground_truth import entity_safe_split
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    assign = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        (F.col("doc_id") % 100).cast("string").alias("entity_id"),
+    )
+    return entity_safe_split(assign)
+
+
 FALLBACK = {
+    "hll_sketch": _q_hll_sketch,
+    "bloom_membership": _q_bloom_membership,
+    "heavy_hitter_summaries": _q_heavy_hitters,
+    "entity_safe_split": _q_entity_safe_split,
     "transcript_integrity": _q_transcript_integrity,
     "prefix_dups": _q_prefix_dups,
     "turn_boilerplate": _q_turn_boilerplate,

@@ -616,3 +616,55 @@ def test_bpe_plan_shapes(spark):
     assert "ArrowEvalPython" in p2
     assert "BatchEvalPython" not in p2
     assert "Exchange" not in p2
+
+
+def test_sketch_plan_shapes(spark):
+    """Sketches (operators/sketches.py): HLL registers are one partial-agg
+    groupBy with no Python node; Bloom build is one bit_or groupBy; Bloom
+    membership is broadcast equality joins, pure Catalyst; only the
+    Misra-Gries summaries may carry an Arrow (mapInPandas) node."""
+    from record_linkage_spark.operators.sketches import (
+        bloom_build,
+        bloom_member_flags,
+        heavy_hitters,
+        hll_registers,
+    )
+
+    vals = spark.range(200).select(F.col("id").cast("string").alias("v"))
+
+    regs_plan = _plan(hll_registers(vals, "v", p=8))
+    assert "HashAggregate" in regs_plan
+    assert "partial_max" in regs_plan  # map-side combine before the shuffle
+    for tok in ("Python", "Arrow", "InPandas"):
+        assert tok not in regs_plan
+
+    filt = bloom_build(vals, "v", n_bits=1 << 13)
+    build_plan = _plan(filt)
+    assert "partial_bit_or" in build_plan or "bit_or" in build_plan
+    for tok in ("Python", "Arrow", "InPandas", "CartesianProduct"):
+        assert tok not in build_plan
+
+    member_plan = _plan(bloom_member_flags(vals, "v", filt, n_bits=1 << 13))
+    assert "BroadcastHashJoin" in member_plan
+    for tok in ("Python", "Arrow", "InPandas", "CartesianProduct", "SortMergeJoin"):
+        assert tok not in member_plan
+
+    hh_plan = _plan(heavy_hitters(vals, "v", capacity=64))
+    assert "MapInPandas" in hh_plan  # the bounded-state summaries
+    # ...but the merge is a plain aggregate, and the n attach broadcasts
+    assert "BroadcastNestedLoopJoin" in hh_plan or "BroadcastHashJoin" in hh_plan
+
+
+def test_entity_safe_split_plan_is_projection_only(spark):
+    """entity_safe_split must add zero shuffles on top of the assignment
+    table: one hash projection, no exchange, no Python."""
+    from record_linkage_spark.operators.ground_truth import entity_safe_split
+
+    assign = spark.range(100).select(
+        F.col("id").cast("string").alias("conv_id"),
+        (F.col("id") % 10).cast("string").alias("entity_id"),
+    )
+    plan = _plan(entity_safe_split(assign))
+    assert "Exchange" not in plan
+    for tok in ("Python", "Arrow", "InPandas"):
+        assert tok not in plan
