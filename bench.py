@@ -428,6 +428,40 @@ def main() -> None:
         .agg(F.sum("r"), F.count(F.lit(1))).collect()
     )
 
+    # Bloom decontamination: benchmark 8-grams -> packed word table ->
+    # pure-Catalyst membership probe over every corpus gram -> exact
+    # verify of the (tiny) survivor set. The corpus-side cost IS the
+    # stage: one scan + gram explode + two broadcast joins.
+    from record_linkage_spark.operators.sketches import (
+        decontaminate_bloom,
+        heavy_hitters,
+        hll_estimate,
+        hll_registers,
+    )
+
+    bench_docs = docs_txt.filter(F.col("doc_id") < 500)
+    _, queries["bloom_decontam"] = _timed_best2(
+        lambda: decontaminate_bloom(docs_txt, bench_docs, ngram=8)
+        .agg(F.count(F.lit(1)), F.sum("n_shared_grams")).collect()
+    )
+    # sketch profile: per-lang HLL distinct-token registers + estimate
+    # and capacity-bounded token heavy hitters over the full doc corpus
+    # (the constant-state substitute for exact vocabulary aggregation)
+    toks = docs_txt.select(
+        "lang",
+        F.explode(F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+")).alias(
+            "tok"
+        ),
+    ).filter(F.col("tok") != "")
+    _, queries["sketch_profile"] = _timed_best2(
+        lambda: (
+            hll_estimate(hll_registers(toks, "tok", ["lang"], p=12), ["lang"], p=12)
+            .agg(F.sum("est_distinct")).collect(),
+            heavy_hitters(toks, "tok", capacity=4096)
+            .orderBy(F.desc("est_count")).limit(20).collect(),
+        )
+    )
+
     pairs_per_sec = n_deep_scored / score_sec if score_sec > 0 else 0.0
     total = sum(queries.values())
     print(
