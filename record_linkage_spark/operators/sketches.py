@@ -1,5 +1,6 @@
 """Mergeable sketch operators: HyperLogLog distinct-count registers,
-Misra-Gries heavy hitters, and a distributed Bloom filter.
+a CountMin frequency sketch, Misra-Gries heavy hitters, and a
+distributed Bloom filter.
 
 Why sketches are first-class in a 100 TB engine: exact distinct counts,
 exact per-value frequencies and exact membership sets all shuffle (or
@@ -29,7 +30,9 @@ References (all public): Flajolet et al., "HyperLogLog" (AofA 2007);
 Heule et al., "HyperLogLog in Practice" (EDBT 2013) for the
 linear-counting small-range correction; Misra & Gries, "Finding repeated
 elements" (1982); Metwally et al., "Efficient computation of frequent and
-top-k elements" (ICDT 2005); Bloom (CACM 1970). Reference-repo parity:
+top-k elements" (ICDT 2005); Cormode & Muthukrishnan, "An improved data
+stream summary: the count-min sketch" (J. Algorithms 2005); Bloom
+(CACM 1970). Reference-repo parity:
 the reference has no sketch layer — these extend the A8/corpus-stats
 surface (``/root/reference/src/features/build_features.py`` computes
 exact corpus stats) to cardinalities where exact is no longer feasible.
@@ -160,6 +163,112 @@ def hll_estimate(
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(raw)
     return agg.select(*gb, est.alias("est_distinct"))
+
+
+# --------------------------------------------------------------------------
+# CountMin sketch
+# --------------------------------------------------------------------------
+
+
+def _cms_col(value_col: str | Column, row: int, width: int) -> Column:
+    """Portable column index for CMS row ``row``: md5_60 of the salted
+    value, mod width. Same ``str(i) + chr(1)`` salt scheme as the Bloom
+    positions so the DuckDB twin replays it verbatim."""
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    return F.pmod(md5_60(F.concat(F.lit(f"{row}\x01"), c)), F.lit(width))
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1 << 12,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """CountMin sketch AS A DATAFRAME: ``(row int, col int, cnt long)``
+    with at most ``depth * width`` rows — the counter matrix in sparse
+    form, built by one union-of-projections + groupBy(sum), so the state
+    is a constant chosen up front no matter how many distinct values the
+    data has (the scale win over an exact groupBy-count, whose shuffle is
+    one row per DISTINCT value).
+
+    Mergeable: union two sketches' counter tables and sum again ==
+    sketch of the union (``cms_merge``; pinned by
+    ``test_cms_merge_equals_union``). ``weight_col`` turns it into a
+    weighted-frequency sketch (e.g. token counts pre-aggregated per doc).
+
+    Guarantees (Cormode & Muthukrishnan, J.Alg 2005): estimates never
+    undercount; with prob >= 1 - (1/2)^depth the overcount is
+    <= 2N/width where N is the total weight. Integer-exact state — two
+    engines cannot disagree (the oracle fold chk='cms' replays the
+    counter rows AND the point estimates in DuckDB).
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1, width >= 2; got {depth}x{width}")
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    parts = [
+        df.select(
+            F.lit(i).cast("int").alias("row"),
+            _cms_col(value_col, i, width).cast("int").alias("col"),
+            w.alias("_w"),
+        )
+        for i in range(depth)
+    ]
+    pos = parts[0]
+    for extra in parts[1:]:
+        pos = pos.unionByName(extra)
+    # depth projections of the same input scan; partial aggregation
+    # collapses each to <= width rows map-side before the one shuffle.
+    return pos.groupBy("row", "col").agg(F.sum("_w").alias("cnt"))
+
+
+def cms_merge(sketches: Iterable[DataFrame]) -> DataFrame:
+    """Sum-merge CMS counter tables (same depth/width assumed)."""
+    tabs = list(sketches)
+    out = tabs[0]
+    for t in tabs[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    queries: DataFrame,
+    value_col: str,
+    cms: DataFrame,
+    depth: int = 4,
+    width: int = 1 << 12,
+    out_col: str = "est_count",
+) -> DataFrame:
+    """Point-frequency estimates, pure Catalyst: for each CMS row a
+    broadcast hash join against that row's counters and a running
+    ``least`` — the classic min-over-rows readout. The counter table
+    (<= depth*width longs) is what broadcasts, never the probed data.
+
+    A value whose (row, col) cell is absent from the sparse table has
+    exact count contribution 0 there, so the estimate coalesces to 0 —
+    which also makes never-seen values report 0 when ANY of their cells
+    is untouched. Returns ``queries`` + ``out_col`` (long, >= true
+    count always).
+    """
+    cms = cms.coalesce(1).localCheckpoint()
+    out = queries
+    est = None
+    for i in range(depth):
+        ci = cms.filter(F.col("row") == i).select(
+            F.col("col").alias(f"_cc{i}"), F.col("cnt").alias(f"_cv{i}")
+        )
+        out = out.withColumn(f"_cp{i}", _cms_col(value_col, i, width).cast("int"))
+        out = out.join(
+            F.broadcast(ci), F.col(f"_cp{i}") == F.col(f"_cc{i}"), "left"
+        )
+        cell = F.coalesce(F.col(f"_cv{i}"), F.lit(0).cast("long"))
+        est = cell if est is None else F.least(est, cell)
+    drop = [c for i in range(depth) for c in (f"_cc{i}", f"_cv{i}", f"_cp{i}")]
+    return out.withColumn(out_col, est).drop(*drop)
 
 
 # --------------------------------------------------------------------------

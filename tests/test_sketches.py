@@ -183,3 +183,98 @@ def test_decontaminate_bloom_matches_exact(spark):
 def test_bloom_build_word_count_bounded(spark):
     filt = bloom_build(_values_df(spark, 5000), "v", n_bits=1 << 13, n_hashes=2)
     assert filt.count() <= math.ceil((1 << 13) / 62)
+
+
+# ---------------------------------------------------------------- CountMin
+
+
+def _skewed_df(spark, parts=4):
+    # value f"k{i % 50}" with geometric-ish skew: k0 appears most
+    return spark.range(20000, numPartitions=parts).select(
+        F.concat(
+            F.lit("k"), (F.col("id") % (F.col("id") % 97 + 1) % 50).cast("string")
+        ).alias("v")
+    )
+
+
+def test_cms_never_undercounts_and_is_tight_when_wide(spark):
+    from record_linkage_spark.operators.sketches import cms_build, cms_estimate
+
+    df = _skewed_df(spark)
+    truth = {r.v: r.n for r in df.groupBy("v").agg(F.count("*").alias("n")).collect()}
+    cms = cms_build(df, "v", depth=4, width=1 << 12)
+    q = spark.createDataFrame([(k,) for k in truth], "v string")
+    est = {
+        r.v: r.est_count
+        for r in cms_estimate(q, "v", cms, depth=4, width=1 << 12).collect()
+    }
+    n_total = sum(truth.values())
+    for k, t in truth.items():
+        assert est[k] >= t  # CMS one-sided error
+        assert est[k] <= t + 2.0 * n_total / (1 << 12) * 8  # loose 8x bound
+
+
+def test_cms_exact_in_no_collision_regime(spark):
+    from record_linkage_spark.operators.sketches import cms_build, cms_estimate
+
+    # 20 distinct values, width 4096: collisions essentially impossible
+    df = spark.range(2000, numPartitions=3).select(
+        F.concat(F.lit("x"), (F.col("id") % 20).cast("string")).alias("v")
+    )
+    cms = cms_build(df, "v", depth=4, width=1 << 12)
+    q = spark.createDataFrame([(f"x{i}",) for i in range(20)], "v string")
+    est = cms_estimate(q, "v", cms, depth=4, width=1 << 12).collect()
+    assert all(r.est_count == 100 for r in est)
+
+
+def test_cms_merge_equals_union(spark):
+    from record_linkage_spark.operators.sketches import cms_build, cms_merge
+
+    a = _values_df(spark, 1200, prefix="a")
+    b = _values_df(spark, 1200, prefix="b")
+    merged = cms_merge(
+        [cms_build(a, "v", depth=3, width=512), cms_build(b, "v", depth=3, width=512)]
+    )
+    direct = cms_build(a.unionByName(b), "v", depth=3, width=512)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
+def test_cms_weighted_and_absent_values(spark):
+    from record_linkage_spark.operators.sketches import cms_build, cms_estimate
+
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 7), ("b", 1)], "v string, w long"
+    )
+    cms = cms_build(df, "v", depth=4, width=256, weight_col="w")
+    q = spark.createDataFrame([("a",), ("b",), ("zz_never",)], "v string")
+    est = {
+        r.v: r.est_count
+        for r in cms_estimate(q, "v", cms, depth=4, width=256).collect()
+    }
+    assert est["a"] == 12 and est["b"] >= 1
+    # absent value: min over rows is 0 unless ALL its cells collide
+    assert est["zz_never"] <= 1
+
+
+def test_cms_build_partitioning_invariant(spark):
+    from record_linkage_spark.operators.sketches import cms_build
+
+    df1 = _skewed_df(spark, parts=2)
+    df2 = _skewed_df(spark, parts=13)
+    c1 = cms_build(df1, "v", depth=3, width=1024)
+    c2 = cms_build(df2, "v", depth=3, width=1024)
+    assert c1.exceptAll(c2).count() == 0
+    assert c2.exceptAll(c1).count() == 0
+
+
+def test_cms_estimate_is_pure_catalyst(spark):
+    from record_linkage_spark.operators.sketches import cms_build, cms_estimate
+
+    df = _values_df(spark, 500)
+    cms = cms_build(df, "v", depth=2, width=128)
+    out = cms_estimate(df.limit(50), "v", cms, depth=2, width=128)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas"):
+        assert marker not in plan
