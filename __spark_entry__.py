@@ -2865,7 +2865,67 @@ def q_web_filters(spark, sf):
         zd.alias("f5"),
         F.col("keep").cast("int").alias("keep"),
     )
-    return c4.unionByName(go).unionByName(lm).unionByName(ds).unionByName(bl)
+    url = _q_url_rows(spark, sf, zi, zd)
+    return (
+        c4.unionByName(go).unionByName(lm).unionByName(ds).unionByName(bl)
+        .unionByName(url)
+    )
+
+
+def _messy_url(d):
+    """Deterministic messy URL per doc_id — upper-case scheme/host, www
+    and :80 variants, duplicate-slash paths, tracking params, fragments,
+    and a malformed leg (doc_id % 13 == 0) — built identically by the
+    DuckDB twin so the canonicalizer itself is what's value-checked."""
+    well = F.concat(
+        F.lit("HTTP://"),
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"), (d % 37).cast("string"), F.lit(".Example.COM"),
+        F.when(d % 5 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/p"), (d % 11).cast("string"),
+        F.when(d % 4 == 0, F.lit("//x/"))
+        .when(d % 4 == 1, F.lit("/x"))
+        .otherwise(F.lit("")),
+        F.lit("?utm_source=t&b="), (d % 2).cast("string"), F.lit("&a=1"),
+        F.when(d % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return F.when(d % 13 == 0, F.concat(F.lit("not a url "), d.cast("string"))).otherwise(well)
+
+
+def _q_url_rows(spark, sf, zi, zd):
+    """URL canonicalization + dedup legs of the web_filters composite
+    (``functions/urls.py``): kind='url' carries every doc's canonical
+    form (keep = parsed), kind='urldedup' the survivors of
+    one-per-canonical dedup under the (raw, doc_id) total order plus
+    all malformed rows."""
+    from record_linkage_spark.functions.urls import canonicalize_url, url_dedup
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", _messy_url(F.col("doc_id")).alias("raw_url")
+    )
+    canon = d.withColumn("c", canonicalize_url("raw_url"))
+    url = canon.select(
+        F.lit("url").alias("kind"),
+        "doc_id",
+        F.coalesce("c", F.lit("")).alias("sval"),
+        F.coalesce(F.length("c"), F.lit(0)).cast("int").alias("i1"),
+        zi.alias("i2"),
+        zi.alias("i3"),
+        zd.alias("f1"), zd.alias("f2"), zd.alias("f3"), zd.alias("f4"), zd.alias("f5"),
+        F.col("c").isNotNull().cast("int").alias("keep"),
+    )
+    kept = url_dedup(
+        d, "raw_url", order_by=[F.col("raw_url").asc(), F.col("doc_id").asc()]
+    )
+    dd = kept.select(
+        F.lit("urldedup").alias("kind"),
+        "doc_id",
+        F.coalesce("canonical_url", F.lit("")).alias("sval"),
+        zi.alias("i1"), zi.alias("i2"), zi.alias("i3"),
+        zd.alias("f1"), zd.alias("f2"), zd.alias("f3"), zd.alias("f4"), zd.alias("f5"),
+        F.lit(1).cast("int").alias("keep"),
+    )
+    return url.unionByName(dd)
 
 
 def q_bpe_pairs(spark, sf):
@@ -3068,6 +3128,69 @@ def q_bloom_check(spark, sf):
     )
 
 
+def q_cms_check(spark, sf):
+    """CountMin-sketch fold (``operators/sketches.py``): a 3x64 sketch
+    over order priorities — the full counter table (integer-exact sums
+    over the salted portable md5_60 positions) plus the min-over-rows
+    point estimate for every distinct priority. The DuckDB twin rebuilds
+    the counters with the same salted hashes and replays the
+    least-of-three readout."""
+    from record_linkage_spark.operators.sketches import cms_build, cms_estimate
+
+    o = _t(spark, sf, "orders").select(F.col("o_orderpriority").alias("v"))
+    cms = cms_build(o, "v", depth=3, width=64)
+    counters = cms.select(
+        F.lit("cms").alias("chk"),
+        F.concat(F.col("row").cast("string"), F.lit(":"), F.col("col").cast("string")).alias("k"),
+        F.col("cnt").cast("double").alias("v"),
+    )
+    ests = cms_estimate(o.distinct(), "v", cms, depth=3, width=64).select(
+        F.lit("cms_est").alias("chk"),
+        F.concat(F.lit("est:"), "v").alias("k"),
+        F.col("est_count").cast("double").alias("v"),
+    )
+    return counters.unionByName(ests)
+
+
+def q_ftq_check(spark, sf):
+    """Quality-classifier fold (``operators/quality_classifier.py``):
+    hashed unigram+bigram features (dim 256, portable md5_60 hashing),
+    the closed-form NB log-odds trainer with lang='en' as the positive
+    class, and the full train-then-score pass — emits the intercept
+    weight plus every document's 6-decimal-rounded margin. The DuckDB
+    twin replays tokenize -> hash -> L1 normalize -> class masses ->
+    log-odds -> join-sum margin end to end, so the WHOLE train+score
+    pipeline is value-checked, not just the scorer."""
+    from record_linkage_spark.operators.quality_classifier import (
+        INTERCEPT_FEAT,
+        hashed_ngram_features,
+        nb_quality_weights,
+        score_quality,
+    )
+
+    d = _t(spark, sf, "documents").filter(
+        F.col("text").isNotNull()
+        & F.col("lang").isNotNull()
+        & (F.trim("text") != "")
+    )
+    feats = hashed_ngram_features(d, dim=256)
+    labels = d.select(
+        F.col("doc_id").alias("id"), (F.col("lang") == "en").cast("int").alias("y")
+    )
+    w = nb_quality_weights(feats, labels, dim=256)
+    icpt = w.filter(F.col("feat") == INTERCEPT_FEAT).select(
+        F.lit("ftq").alias("chk"),
+        F.lit("icpt").alias("k"),
+        F.round("w", 6).alias("v"),
+    )
+    m = score_quality(feats, w).select(
+        F.lit("ftq").alias("chk"),
+        F.col("id").cast("string").alias("k"),
+        F.round("margin", 6).alias("v"),
+    )
+    return icpt.unionByName(m)
+
+
 def q_entity_split(spark, sf):
     """Leakage-safe split fold (``ground_truth.entity_safe_split`` +
     ``split_leakage_audit``): entities from the planted CC graph are
@@ -3163,6 +3286,8 @@ def q_scalar_checks(spark, sf):
         .unionByName(q_hh_check(spark, sf))
         .unionByName(q_bloom_check(spark, sf))
         .unionByName(q_entity_split(spark, sf))
+        .unionByName(q_cms_check(spark, sf))
+        .unionByName(q_ftq_check(spark, sf))
     )
 
 
@@ -4483,6 +4608,66 @@ def _composite_oracles(base: dict[str, str]) -> dict[str, str]:
             "UNION ALL SELECT 'esplit', 'pairs:' || s_a || '|' || s_b, "
             "CAST(n AS DOUBLE) FROM aud)"
         ),
+        # CountMin sketch (operators/sketches.py): rebuild the 3x64
+        # counter table over order priorities with the same salted md5_60
+        # positions, then the min-over-rows point estimates
+        (
+            "SELECT chk, k, v FROM ("
+            "WITH p AS (SELECT o_orderpriority AS v FROM orders), "
+            "pos AS ("
+            "SELECT 0 AS r, ('0x' || substr(md5('0' || chr(1) || v), 1, 15))::BIGINT % 64 AS c FROM p "
+            "UNION ALL SELECT 1, ('0x' || substr(md5('1' || chr(1) || v), 1, 15))::BIGINT % 64 FROM p "
+            "UNION ALL SELECT 2, ('0x' || substr(md5('2' || chr(1) || v), 1, 15))::BIGINT % 64 FROM p), "
+            "cnts AS (SELECT r, c, COUNT(*) AS cnt FROM pos GROUP BY 1, 2), "
+            "q AS (SELECT DISTINCT v FROM p), "
+            "qp AS (SELECT v, "
+            "('0x' || substr(md5('0' || chr(1) || v), 1, 15))::BIGINT % 64 AS p0, "
+            "('0x' || substr(md5('1' || chr(1) || v), 1, 15))::BIGINT % 64 AS p1, "
+            "('0x' || substr(md5('2' || chr(1) || v), 1, 15))::BIGINT % 64 AS p2 FROM q), "
+            "est AS (SELECT v, least(coalesce(c0.cnt, 0), coalesce(c1.cnt, 0), "
+            "coalesce(c2.cnt, 0)) AS e FROM qp "
+            "LEFT JOIN cnts c0 ON c0.r = 0 AND c0.c = qp.p0 "
+            "LEFT JOIN cnts c1 ON c1.r = 1 AND c1.c = qp.p1 "
+            "LEFT JOIN cnts c2 ON c2.r = 2 AND c2.c = qp.p2) "
+            "SELECT 'cms' AS chk, CAST(r AS VARCHAR) || ':' || CAST(c AS VARCHAR) AS k, "
+            "CAST(cnt AS DOUBLE) AS v FROM cnts "
+            "UNION ALL SELECT 'cms_est', 'est:' || v, CAST(e AS DOUBLE) FROM est)"
+        ),
+        # fastText-style quality classifier (operators/quality_classifier.py):
+        # replay hashed unigram+bigram features (dim 256), the NB log-odds
+        # trainer (lang='en' positive) and the join-sum margin of every doc
+        (
+            "SELECT chk, k, v FROM ("
+            "WITH d AS (SELECT doc_id, "
+            "list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+            "x -> x != '') AS t, "
+            "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y "
+            "FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL "
+            "AND trim(text) != ''), "
+            "uni AS (SELECT doc_id, y, unnest(t) AS g FROM d), "
+            "bi AS (SELECT doc_id, y, t[i] || chr(2) || t[i + 1] AS g "
+            "FROM d, unnest(generate_series(1, len(t) - 1)) AS u(i)), "
+            "grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi), "
+            "f AS (SELECT doc_id, y, "
+            "('0x' || substr(md5(g), 1, 15))::BIGINT % 256 AS feat, "
+            "COUNT(*) AS cf FROM grams GROUP BY 1, 2, 3), "
+            "tt AS (SELECT doc_id, SUM(cf) AS n FROM f GROUP BY 1), "
+            "x AS (SELECT f.doc_id, y, feat, CAST(cf AS DOUBLE) / n AS x "
+            "FROM f JOIN tt USING (doc_id)), "
+            "cls AS (SELECT CAST(SUM(y) AS DOUBLE) AS np, "
+            "CAST(SUM(1 - y) AS DOUBLE) AS nn FROM d), "
+            "pf AS (SELECT feat, "
+            "SUM(CASE WHEN y = 1 THEN x ELSE 0 END) AS pm, "
+            "SUM(CASE WHEN y = 0 THEN x ELSE 0 END) AS nm FROM x GROUP BY 1), "
+            "w AS (SELECT feat, ln((pm + 1.0) / (np + 256.0)) "
+            "- ln((nm + 1.0) / (nn + 256.0)) AS w FROM pf, cls), "
+            "icpt AS (SELECT ln((np + 1.0) / (nn + 1.0)) AS w FROM cls), "
+            "marg AS (SELECT x.doc_id, "
+            "SUM(x.x * coalesce(w.w, 0)) + (SELECT w FROM icpt) AS m "
+            "FROM x LEFT JOIN w USING (feat) GROUP BY x.doc_id) "
+            "SELECT 'ftq' AS chk, 'icpt' AS k, round(w, 6) AS v FROM icpt "
+            "UNION ALL SELECT 'ftq', CAST(doc_id AS VARCHAR), round(m, 6) FROM marg)"
+        ),
     ]
 
     norm = NORM_SQL
@@ -4676,6 +4861,52 @@ def _composite_oracles(base: dict[str, str]) -> dict[str, str]:
         f"UNION ALL SELECT * FROM ({mix_sql})"
     )
 
+    # messy-URL construction + canonicalization ladder shared by the two
+    # URL legs of web_filters (must mirror _messy_url / canonicalize_url)
+    url_raw_sql = (
+        "SELECT doc_id, CASE WHEN doc_id % 13 = 0 "
+        "THEN 'not a url ' || CAST(doc_id AS VARCHAR) "
+        "ELSE 'HTTP://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END "
+        "|| 'Site' || CAST(doc_id % 37 AS VARCHAR) || '.Example.COM' "
+        "|| CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END "
+        "|| '/p' || CAST(doc_id % 11 AS VARCHAR) "
+        "|| CASE WHEN doc_id % 4 = 0 THEN '//x/' "
+        "WHEN doc_id % 4 = 1 THEN '/x' ELSE '' END "
+        "|| '?utm_source=t&b=' || CAST(doc_id % 2 AS VARCHAR) || '&a=1' "
+        "|| CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END "
+        "END AS raw_url FROM documents"
+    )
+    _u = "trim(raw_url)"
+    _scheme = f"lower(regexp_extract({_u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    _auth = f"regexp_extract({_u}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)"
+    _host = (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        f"lower({_auth}), '^[^@]*@', ''), ':[0-9]*$', ''), "
+        "'^www\\.', ''), '\\.$', '')"
+    )
+    _port = f"regexp_extract({_auth}, ':([0-9]+)$', 1)"
+    _path0 = f"regexp_extract({_u}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)"
+    _path1 = f"regexp_replace(regexp_replace({_path0}, '/{{2,}}', '/'), '(.)/$', '\\1')"
+    _path = f"CASE WHEN {_path1} = '' THEN '/' ELSE {_path1} END"
+    _q0 = f"regexp_extract({_u}, '\\?([^#]*)', 1)"
+    _kept = (
+        f"list_sort(list_filter(string_split({_q0}, '&'), "
+        "x -> x != '' AND NOT regexp_matches(x, "
+        "'^(utm_[a-z0-9_]*|gclid|fbclid|mc_cid|mc_eid|ref)=')))"
+    )
+    # DuckDB: array_to_string([]) is NULL where Spark's array_join is ''
+    _qs = f"coalesce(array_to_string({_kept}, '&'), '')"
+    _dflt = (
+        f"(({_scheme} = 'http' AND {_port} = '80') "
+        f"OR ({_scheme} = 'https' AND {_port} = '443'))"
+    )
+    _pp = f"CASE WHEN {_port} = '' OR {_dflt} THEN '' ELSE ':' || {_port} END"
+    url_canon_sql = (
+        f"CASE WHEN {_scheme} = '' OR {_host} = '' THEN NULL ELSE "
+        f"{_scheme} || '://' || {_host} || {_pp} || {_path} || "
+        f"CASE WHEN {_qs} = '' THEN '' ELSE '?' || {_qs} END END"
+    )
+
     web_filters_sql = (
         "SELECT 'c4' AS kind, doc_id, kept_md5 AS sval, "
         "CAST(n_lines AS INTEGER) AS i1, CAST(n_kept_lines AS INTEGER) AS i2, "
@@ -4703,7 +4934,24 @@ def _composite_oracles(base: dict[str, str]) -> dict[str, str]:
         "SELECT doc_id, CASE WHEN text IS NULL THEN NULL ELSE "
         "len(list_filter(list_distinct(regexp_split_to_array(lower(text), '\\s+')), "
         "x -> list_contains(['lorem', 'ipsum', 'the', 'click'], x))) END AS hits "
-        "FROM documents)"
+        "FROM documents) "
+        # URL canonicalization (functions/urls.py): build the same messy
+        # URL per doc, replay the full RFC-3986 ladder (lower scheme/host,
+        # strip userinfo/www/default port/fragment, collapse path slashes,
+        # drop tracking params, byte-sort the rest), then the
+        # keep-one-per-canonical dedup under the (raw, doc_id) order
+        "UNION ALL SELECT 'url', doc_id, coalesce(c, ''), "
+        "CAST(coalesce(length(c), 0) AS INTEGER), CAST(0 AS INTEGER), "
+        "CAST(0 AS INTEGER), 0.0, 0.0, 0.0, 0.0, 0.0, "
+        "CAST(c IS NOT NULL AS INTEGER) FROM ("
+        f"SELECT doc_id, {url_canon_sql} AS c FROM ({url_raw_sql})) "
+        "UNION ALL SELECT 'urldedup', doc_id, coalesce(c, ''), "
+        "CAST(0 AS INTEGER), CAST(0 AS INTEGER), CAST(0 AS INTEGER), "
+        "0.0, 0.0, 0.0, 0.0, 0.0, CAST(1 AS INTEGER) FROM ("
+        "SELECT doc_id, c, row_number() OVER ("
+        "PARTITION BY c ORDER BY raw_url, doc_id) AS rn FROM ("
+        f"SELECT doc_id, raw_url, {url_canon_sql} AS c FROM ({url_raw_sql}))"
+        ") WHERE c IS NULL OR rn = 1"
     )
 
     transcript_checks_sql = (
