@@ -198,6 +198,29 @@ COMMENTARY = {
         "hash projection over the assignment table — zero exchanges, "
         "zero Python — so split routing is free at any scale."
     ),
+    "cms_sketch": (
+        "CountMin sketch build + point estimates (operators/sketches.py). "
+        "Build: one partial-aggregated groupBy collapses the corpus to "
+        "<= depth x width counter rows. Estimate: per depth row a "
+        "BroadcastHashJoin of the query keys against the tiny counter "
+        "table, then a codegen least(). Zero Python; mergeable by "
+        "union + re-sum."
+    ),
+    "url_canonical_dedup": (
+        "URL canonicalization + keep-one dedup (functions/urls.py). The "
+        "whole RFC-3986 ladder is a codegen projection fused into the "
+        "scan (zero exchanges until the dedup); the keep-one winner is a "
+        "single min_by-style aggregate on the canonical key — the only "
+        "shuffle, keyed by full URL so domain skew never concentrates."
+    ),
+    "quality_scorer": (
+        "fastText-style quality scorer (operators/quality_classifier.py). "
+        "Features partial-aggregate map-side (explode -> (id, feat) "
+        "counts); the weight table (<= dim rows) attaches via "
+        "BroadcastHashJoin; the margin is one more partial-aggregated "
+        "sum per doc. Zero Python end to end — tokenize/hash/normalize "
+        "are all codegen expressions."
+    ),
 }
 
 
@@ -385,6 +408,57 @@ def _q_heavy_hitters(spark, sf):
     return heavy_hitters(docs, "lang", capacity=64)
 
 
+def _q_cms_sketch(spark, sf):
+    from pyspark.sql import functions as F
+
+    from record_linkage_spark.operators.sketches import cms_build, cms_estimate
+
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        F.col("o_orderpriority").alias("v")
+    )
+    return cms_estimate(o.distinct(), "v", cms_build(o, "v"), depth=4, width=256)
+
+
+def _q_url_canonical_dedup(spark, sf):
+    from pyspark.sql import functions as F
+
+    from record_linkage_spark.functions.urls import url_dedup
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    d = F.col("doc_id")
+    rows = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://WWW.Site"), (d % 37).cast("string"),
+            F.lit(".Example.COM:80/p"), (d % 11).cast("string"),
+            F.lit("?utm_source=t&a=1"),
+        ).alias("raw_url"),
+    )
+    return url_dedup(
+        rows, "raw_url", order_by=[F.col("raw_url").asc(), F.col("doc_id").asc()]
+    )
+
+
+def _q_quality_scorer(spark, sf):
+    from pyspark.sql import functions as F
+
+    from record_linkage_spark.operators.quality_classifier import (
+        hashed_ngram_features,
+        nb_quality_weights,
+        score_quality,
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+        & (F.trim("text") != "")
+    )
+    feats = hashed_ngram_features(docs, dim=256)
+    labels = docs.select(
+        F.col("doc_id").alias("id"), (F.col("lang") == "en").cast("int").alias("y")
+    )
+    return score_quality(feats, nb_quality_weights(feats, labels, dim=256))
+
+
 def _q_entity_safe_split(spark, sf):
     from pyspark.sql import functions as F
 
@@ -413,6 +487,9 @@ FALLBACK = {
     "pagerank_iteration": _q_pagerank_iter,
     "schema_value_overlap": _q_schema_overlap,
     "bpe_pair_counts": _q_bpe_pair_counts,
+    "cms_sketch": _q_cms_sketch,
+    "url_canonical_dedup": _q_url_canonical_dedup,
+    "quality_scorer": _q_quality_scorer,
 }
 
 
