@@ -3191,6 +3191,62 @@ def q_ftq_check(spark, sf):
     return icpt.unionByName(m)
 
 
+def q_calib_check(spark, sf):
+    """Calibration-report fold (``operators/calibration.py``): the
+    reliability diagram (per-bin n / mean predicted / observed rate)
+    and the ECE scalar over a deterministically miscalibrated scored
+    set — score = portable md5-uniform per order key, label drawn by a
+    second md5-uniform against score² (so the scores are provably
+    overconfident and every gap row is non-trivial). The DuckDB twin
+    replays hash → label → binning → report → ECE end to end. The
+    PAV/Platt fitters consume exactly this bin statistic and are pinned
+    by ``tests/test_calibration.py`` (driver-side iterative, no SQL)."""
+    from record_linkage_spark.operators.calibration import (
+        expected_calibration_error,
+        reliability_report,
+    )
+
+    key = F.col("o_orderkey").cast("string")
+    denom = F.lit(float(1 << 48))
+    s = F.conv(F.substring(F.md5(key), 1, 12), 16, 10).cast("double") / denom
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("y"), key)), 1, 12), 16, 10)
+        .cast("double") / denom
+    )
+    scored = _t(spark, sf, "orders").select(
+        s.alias("score"), (u < s * s).cast("int").alias("label")
+    )
+    rep = reliability_report(scored, n_bins=10).localCheckpoint()
+    bin_k = F.col("bin").cast("string")
+    rows = (
+        rep.select(
+            F.lit("reliab").alias("chk"),
+            F.concat(bin_k, F.lit(":n")).alias("k"),
+            F.col("n").cast("double").alias("v"),
+        )
+        .unionByName(
+            rep.select(
+                F.lit("reliab").alias("chk"),
+                F.concat(bin_k, F.lit(":mp")).alias("k"),
+                F.round("mean_p", 6).alias("v"),
+            )
+        )
+        .unionByName(
+            rep.select(
+                F.lit("reliab").alias("chk"),
+                F.concat(bin_k, F.lit(":fp")).alias("k"),
+                F.round("frac_pos", 6).alias("v"),
+            )
+        )
+    )
+    ece = expected_calibration_error(rep).select(
+        F.lit("ece").alias("chk"),
+        F.lit("ece").alias("k"),
+        F.round("ece", 6).alias("v"),
+    )
+    return rows.unionByName(ece)
+
+
 def q_entity_split(spark, sf):
     """Leakage-safe split fold (``ground_truth.entity_safe_split`` +
     ``split_leakage_audit``): entities from the planted CC graph are
@@ -3288,6 +3344,7 @@ def q_scalar_checks(spark, sf):
         .unionByName(q_entity_split(spark, sf))
         .unionByName(q_cms_check(spark, sf))
         .unionByName(q_ftq_check(spark, sf))
+        .unionByName(q_calib_check(spark, sf))
     )
 
 
@@ -4667,6 +4724,31 @@ def _composite_oracles(base: dict[str, str]) -> dict[str, str]:
             "FROM x LEFT JOIN w USING (feat) GROUP BY x.doc_id) "
             "SELECT 'ftq' AS chk, 'icpt' AS k, round(w, 6) AS v FROM icpt "
             "UNION ALL SELECT 'ftq', CAST(doc_id AS VARCHAR), round(m, 6) FROM marg)"
+        ),
+        # calibration report (operators/calibration.py): md5-uniform
+        # scores, labels drawn against score^2 by a second md5-uniform,
+        # then the 10-bin reliability diagram and the ECE scalar
+        (
+            "SELECT chk, k, v FROM ("
+            "WITH r AS (SELECT "
+            "('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12))::BIGINT "
+            "/ 281474976710656.0 AS score, "
+            "('0x' || substr(md5('y' || CAST(o_orderkey AS VARCHAR)), 1, 12))::BIGINT "
+            "/ 281474976710656.0 AS u FROM orders), "
+            "sc AS (SELECT score, "
+            "CASE WHEN u < score * score THEN 1 ELSE 0 END AS y FROM r), "
+            "b AS (SELECT least(greatest(CAST(floor(score * 10) AS INT), 0), 9) "
+            "AS bin, count(*) AS n, avg(score) AS mean_p, avg(CAST(y AS DOUBLE)) "
+            "AS frac_pos FROM sc GROUP BY 1), "
+            "g AS (SELECT bin, n, mean_p, frac_pos, "
+            "abs(mean_p - frac_pos) AS gap FROM b) "
+            "SELECT 'reliab' AS chk, CAST(bin AS VARCHAR) || ':n' AS k, "
+            "CAST(n AS DOUBLE) AS v FROM g "
+            "UNION ALL SELECT 'reliab', CAST(bin AS VARCHAR) || ':mp', "
+            "round(mean_p, 6) FROM g "
+            "UNION ALL SELECT 'reliab', CAST(bin AS VARCHAR) || ':fp', "
+            "round(frac_pos, 6) FROM g "
+            "UNION ALL SELECT 'ece', 'ece', round(sum(n * gap) / sum(n), 6) FROM g)"
         ),
     ]
 

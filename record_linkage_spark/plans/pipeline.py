@@ -429,6 +429,38 @@ class LinkagePipeline:
                 .first()
             )
             auc_val, ap_val = rank_row.auc, rank_row.ap
+            # post-hoc probability calibration over the same labeled
+            # pairs: fit isotonic + Platt on the <= n_bins sufficient
+            # statistic and report ECE before/after, so the score column
+            # is usable as a match PROBABILITY (review routing, expected
+            # error budgets), not just a thresholdable rank
+            from record_linkage_spark.operators.calibration import (
+                apply_isotonic,
+                expected_calibration_error,
+                isotonic_calibrate,
+                platt_calibrate,
+                reliability_report,
+            )
+
+            ranked_ck = ranked.localCheckpoint()
+            cal_map = isotonic_calibrate(ranked_ck, n_bins=50)
+            calibrated = apply_isotonic(ranked_ck, cal_map, n_bins=50)
+            ece_raw = expected_calibration_error(
+                reliability_report(ranked_ck, "score", "label")
+            ).first()
+            ece_iso = expected_calibration_error(
+                reliability_report(calibrated, "p_cal", "label")
+            ).first()
+            platt_a, platt_b = platt_calibrate(ranked_ck)
+            calibration = {
+                "ece_raw": round(float(ece_raw.ece), 6) if ece_raw.ece is not None else None,
+                "ece_isotonic": round(float(ece_iso.ece), 6) if ece_iso.ece is not None else None,
+                "platt_a": round(platt_a, 6),
+                "platt_b": round(platt_b, 6),
+                "n_bins": 50,
+            }
+        else:
+            calibration = None
         # transcript QA: the structural checks that justify trusting
         # turn_idx as the rollup's stable turn order, plus the
         # agent-log pathologies (stuck loops, cross-conv boilerplate)
@@ -487,6 +519,7 @@ class LinkagePipeline:
             "global": gm,
             "auc_labeled_pairs": auc_val,
             "ap_labeled_pairs": ap_val,
+            "calibration": calibration,
             "bcubed": bc,
             "pair_counting": pc,
             "v_measure": vm,
