@@ -3247,6 +3247,37 @@ def q_calib_check(spark, sf):
     return rows.unionByName(ece)
 
 
+def q_hist_check(spark, sf):
+    """Quantile-histogram fold (``operators/sketches.py``): the full
+    HDR bucket table (precision 6, pure bit math — ``length(bin(v))``
+    + shifts, the HLL no-float discipline) over floor(o_totalprice),
+    plus the lower-bound quantile readout at five ranks. The DuckDB
+    twin replays bucketing, the window cumsum, the ceil-rank selection
+    and the exact lower-bound reconstruction end to end."""
+    from record_linkage_spark.operators.sketches import (
+        histogram_quantiles,
+        int_histogram,
+    )
+
+    v = _t(spark, sf, "orders").select(
+        F.floor("o_totalprice").cast("long").alias("v")
+    )
+    hist = int_histogram(v, "v", precision=6).localCheckpoint()
+    rows = hist.select(
+        F.lit("hist").alias("chk"),
+        F.col("bucket").cast("string").alias("k"),
+        F.col("n").cast("double").alias("v"),
+    )
+    qs = histogram_quantiles(
+        hist, [0.25, 0.5, 0.75, 0.9, 0.99], precision=6
+    ).select(
+        F.lit("histq").alias("chk"),
+        F.col("q").cast("string").alias("k"),
+        F.col("v_est").cast("double").alias("v"),
+    )
+    return rows.unionByName(qs)
+
+
 def q_entity_split(spark, sf):
     """Leakage-safe split fold (``ground_truth.entity_safe_split`` +
     ``split_leakage_audit``): entities from the planted CC graph are
@@ -3345,6 +3376,7 @@ def q_scalar_checks(spark, sf):
         .unionByName(q_cms_check(spark, sf))
         .unionByName(q_ftq_check(spark, sf))
         .unionByName(q_calib_check(spark, sf))
+        .unionByName(q_hist_check(spark, sf))
     )
 
 
@@ -4749,6 +4781,30 @@ def _composite_oracles(base: dict[str, str]) -> dict[str, str]:
             "UNION ALL SELECT 'reliab', CAST(bin AS VARCHAR) || ':fp', "
             "round(frac_pos, 6) FROM g "
             "UNION ALL SELECT 'ece', 'ece', round(sum(n * gap) / sum(n), 6) FROM g)"
+        ),
+        # HDR quantile histogram (operators/sketches.py): precision-6
+        # bucket table over floor(o_totalprice) via exact bit math, then
+        # the ceil-rank lower-bound quantile readout at five ranks
+        (
+            "SELECT chk, k, v FROM ("
+            "WITH vals AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS v "
+            "FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice >= 0), "
+            "b AS (SELECT CAST(greatest(length(bin(v)) - 7, 0) AS BIGINT) * 64 "
+            "+ (v >> CAST(greatest(length(bin(v)) - 7, 0) AS INT)) AS bucket "
+            "FROM vals), "
+            "h AS (SELECT bucket, COUNT(*) AS n FROM b GROUP BY 1), "
+            "c AS (SELECT bucket, n, SUM(n) OVER (ORDER BY bucket) AS cum, "
+            "SUM(n) OVER () AS total FROM h), "
+            "q(q) AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99])), "
+            "sel AS (SELECT q, min(bucket) AS bucket FROM c, q "
+            "WHERE cum >= ceil(q * total) GROUP BY q), "
+            "lo AS (SELECT q, ((bucket - CAST(greatest(CAST((bucket >> 6) AS INT) "
+            "- 1, 0) AS BIGINT) * 64) << greatest(CAST((bucket >> 6) AS INT) - 1, 0)) "
+            "AS v_est FROM sel) "
+            "SELECT 'hist' AS chk, CAST(bucket AS VARCHAR) AS k, "
+            "CAST(n AS DOUBLE) AS v FROM h "
+            "UNION ALL SELECT 'histq', CAST(CAST(q AS DOUBLE) AS VARCHAR), "
+            "CAST(v_est AS DOUBLE) FROM lo)"
         ),
     ]
 

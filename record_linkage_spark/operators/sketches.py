@@ -478,3 +478,129 @@ def decontaminate_bloom(
     return flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_shared_grams")
     )
+
+
+# --------------------------------------------------------------------------
+# HDR-style quantile histogram (Gray & Tene's HdrHistogram bucketing):
+# the quantile member of the mergeable-sketch family (HLL = distinct,
+# CMS = frequency, Misra-Gries = heavy hitters, Bloom = membership).
+# Unlike approx_percentile's opaque internal sketch, the state here IS a
+# DataFrame — (group..., bucket, n) — so epochs/streams merge by a plain
+# summed union and the DuckDB oracle can replay every step with integer
+# arithmetic. Bucketing is pure bit math (length(bin(v)) + shifts, the
+# same no-float discipline as the HLL rho), giving relative value error
+# <= 2^-precision with at most (64 - precision) * 2^precision buckets
+# per group regardless of data volume.
+# --------------------------------------------------------------------------
+
+
+def _hist_bucket(col_name: str, precision: int) -> Column:
+    """HDR bucket index for a non-negative BIGINT column: values below
+    2^(precision+1) map to themselves (exact region); above, the top
+    ``precision + 1`` significant bits with the scale folded in:
+    ``shift * 2^p + (v >> shift)`` where ``shift = bitlen(v) - 1 - p``.
+    Monotone in v, so bucket order == value order. SQL-expr-based
+    because pyspark's ``F.shiftright`` only takes literal shifts."""
+    p = precision
+    sh = f"greatest(length(bin({col_name})) - {1 + p}, 0)"
+    return F.expr(
+        f"CAST({sh} AS BIGINT) * {1 << p} + shiftright({col_name}, {sh})"
+    ).alias("bucket")
+
+
+def _hist_lower(col_name: str, precision: int) -> Column:
+    """Exact lower bound of a bucket's value range (integer math over
+    the named bucket column)."""
+    p = precision
+    sh = f"greatest(CAST(shiftright({col_name}, {p}) AS INT) - 1, 0)"
+    return F.expr(
+        f"shiftleft({col_name} - CAST({sh} AS BIGINT) * {1 << p}, {sh})"
+    )
+
+
+def int_histogram(
+    df: DataFrame,
+    value_col: str | Column,
+    group_cols: Sequence[str] = (),
+    precision: int = 7,
+) -> DataFrame:
+    """Mergeable quantile-histogram state ``(group..., bucket long,
+    n long)`` over a non-negative integer metric (token counts, ms
+    latencies, byte sizes — cast fractional metrics to a fixed-point
+    integer first). One map-side-combined groupBy; null and negative
+    values are dropped (they have no place on the value axis). At most
+    ``(64 - precision) * 2^precision`` buckets exist per group, so the
+    state is a constructor constant regardless of row count."""
+    if not 1 <= precision <= 14:
+        raise ValueError(f"precision must be in [1, 14], got {precision}")
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    v = v.cast("long")
+    gb = [F.col(c) for c in group_cols]
+    return (
+        df.select(*gb, v.alias("_v"))
+        .filter(F.col("_v").isNotNull() & (F.col("_v") >= 0))
+        .select(*gb, _hist_bucket("_v", precision))
+        .groupBy(*gb, "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def histogram_merge(
+    tables: Iterable[DataFrame], group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Merge histogram states (one per epoch/stream/partition of the
+    corpus): union + per-bucket sum. ``histogram_merge([hist(A),
+    hist(B)]) == hist(A union B)`` exactly."""
+    tabs = list(tables)
+    out = tabs[0]
+    for t in tabs[1:]:
+        out = out.unionByName(t)
+    gb = [F.col(c) for c in group_cols]
+    return out.groupBy(*gb, "bucket").agg(F.sum("n").alias("n"))
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    qs: Sequence[float],
+    group_cols: Sequence[str] = (),
+    precision: int = 7,
+) -> DataFrame:
+    """Quantile readout from a histogram state: per group and per
+    ``q``, the lower bound of the first bucket whose cumulative count
+    reaches ``ceil(q * N)`` — a deterministic lower-bound estimate
+    within ``2^-precision`` relative error of the true q-quantile
+    (exact in the sub-2^(precision+1) region).
+
+    One window cumsum over the <= bucket-bound state plus an equality
+    join against the exploded q list — nothing here touches the
+    original data, so readout cost is independent of corpus size.
+    """
+    from pyspark.sql import Window
+
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantiles must be in (0, 1], got {q}")
+    gb = [F.col(c) for c in group_cols]
+    w = (
+        Window.partitionBy(*gb).orderBy("bucket")
+        if group_cols
+        else Window.partitionBy(F.lit(1)).orderBy("bucket")
+    )
+    cum = hist.select(
+        *gb, "bucket", F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("total"),
+    )
+    qcol = F.explode(
+        F.array(*[F.lit(float(q)) for q in qs])
+    ).alias("q")
+    hit = cum.select(*gb, "bucket", "cum", "total", qcol).filter(
+        F.col("cum") >= F.ceil(F.col("q") * F.col("total"))
+    )
+    first = hit.groupBy(*gb, "q").agg(F.min("bucket").alias("bucket"))
+    return first.select(
+        *gb, "q", _hist_lower("bucket", precision).alias("v_est")
+    )

@@ -668,3 +668,27 @@ def test_entity_safe_split_plan_is_projection_only(spark):
     assert "Exchange" not in plan
     for tok in ("Python", "Arrow", "InPandas"):
         assert tok not in plan
+
+
+def test_histogram_plan_shapes(spark):
+    """HDR quantile histogram: the build is one partial-agg groupBy with
+    zero Python (bucket math is codegen bit arithmetic); the readout
+    touches only the bucket-bound state (one window cumsum), never the
+    data."""
+    from record_linkage_spark.operators.sketches import (
+        histogram_quantiles,
+        int_histogram,
+    )
+
+    vals = spark.range(5000).select((F.col("id") * 13 % 100000).alias("v"))
+    hist = int_histogram(vals, "v", precision=6)
+    build_plan = _plan(hist)
+    assert "HashAggregate" in build_plan
+    assert "partial_count" in build_plan
+    for tok in ("Python", "Arrow", "InPandas", "CartesianProduct"):
+        assert tok not in build_plan
+
+    read_plan = _plan(histogram_quantiles(hist, [0.5, 0.9], precision=6))
+    assert "Window" in read_plan
+    for tok in ("Python", "Arrow", "InPandas", "CartesianProduct"):
+        assert tok not in read_plan

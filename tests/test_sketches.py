@@ -278,3 +278,119 @@ def test_cms_estimate_is_pure_catalyst(spark):
     assert "BroadcastHashJoin" in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas"):
         assert marker not in plan
+
+
+# ---------------------------------------------------------------- histogram
+
+
+def _hist_ref_quantile(values, q):
+    """Reference for the readout's definition: smallest value whose rank
+    reaches ceil(q * N) in the sorted order."""
+    import math as _m
+
+    s = sorted(values)
+    return s[max(_m.ceil(q * len(s)), 1) - 1]
+
+
+def test_histogram_exact_region(spark):
+    from record_linkage_spark.operators.sketches import (
+        histogram_quantiles,
+        int_histogram,
+    )
+
+    vals = [(i * 37) % 250 for i in range(2000)]  # all < 2^(7+1) = 256
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    hist = int_histogram(df, "v", precision=7)
+    got = {
+        r.q: r.v_est
+        for r in histogram_quantiles(hist, [0.1, 0.5, 0.9, 1.0], precision=7).collect()
+    }
+    for q in (0.1, 0.5, 0.9, 1.0):
+        assert got[q] == _hist_ref_quantile(vals, q)
+
+
+def test_histogram_relative_error_bound(spark):
+    import hashlib
+
+    from record_linkage_spark.operators.sketches import (
+        histogram_quantiles,
+        int_histogram,
+    )
+
+    p = 7
+    vals = [
+        1 + int(hashlib.md5(f"h:{i}".encode()).hexdigest()[:12], 16) % (10**9)
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    hist = int_histogram(df, "v", precision=p)
+    for r in histogram_quantiles(hist, [0.01, 0.25, 0.5, 0.75, 0.99], precision=p).collect():
+        ref = _hist_ref_quantile(vals, r.q)
+        assert r.v_est <= ref
+        assert ref - r.v_est <= max(1, r.v_est >> p)
+
+
+def test_histogram_bucket_monotone_and_bounded(spark):
+    from pyspark.sql import functions as F
+
+    from record_linkage_spark.operators.sketches import _hist_bucket, _hist_lower
+
+    df = spark.range(0, 200000, 17).select(
+        F.col("id").alias("v"), _hist_bucket("id", 7)
+    )
+    rows = df.select("v", "bucket", _hist_lower("bucket", 7).alias("lo")).collect()
+    by_v = sorted((r.v, r.bucket) for r in rows)
+    assert all(b2 >= b1 for (_, b1), (_, b2) in zip(by_v, by_v[1:]))
+    for r in rows:
+        assert r.lo <= r.v
+        assert r.v - r.lo <= max(1, r.lo >> 7)
+
+
+def test_histogram_merge_equals_union(spark):
+    from record_linkage_spark.operators.sketches import histogram_merge, int_histogram
+
+    a = spark.range(0, 5000).selectExpr("id * id % 100000 AS v")
+    b = spark.range(5000, 9000).selectExpr("id * 3 AS v")
+    merged = histogram_merge(
+        [int_histogram(a, "v", precision=6), int_histogram(b, "v", precision=6)]
+    )
+    whole = int_histogram(a.unionByName(b), "v", precision=6)
+    assert sorted((r.bucket, r.n) for r in merged.collect()) == sorted(
+        (r.bucket, r.n) for r in whole.collect()
+    )
+
+
+def test_histogram_grouped_and_invariance(spark):
+    from pyspark.sql import functions as F
+
+    from record_linkage_spark.operators.sketches import (
+        histogram_quantiles,
+        int_histogram,
+    )
+
+    df = spark.range(0, 6000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 31 % 4096).alias("v"),
+    )
+    h1 = int_histogram(df, "v", ["g"], precision=9)
+    h2 = int_histogram(df.repartition(13), "v", ["g"], precision=9)
+    assert sorted(map(tuple, h1.collect())) == sorted(map(tuple, h2.collect()))
+    out = histogram_quantiles(h1, [0.5], ["g"], precision=9).collect()
+    assert len(out) == 3
+    grouped = {}
+    for r in df.collect():
+        grouped.setdefault(r.g, []).append(r.v)
+    for r in out:
+        ref = _hist_ref_quantile(grouped[r.g], 0.5)
+        assert r.v_est <= ref
+        assert ref - r.v_est <= max(1, r.v_est >> 9)
+
+
+def test_histogram_drops_null_and_negative(spark):
+    from record_linkage_spark.operators.sketches import int_histogram
+
+    df = spark.createDataFrame(
+        [(None,), (-5,), (3,), (3,)], "v long"
+    )
+    rows = int_histogram(df, "v", precision=7).collect()
+    assert [(r.bucket, r.n) for r in rows] == [(3, 2)]
