@@ -3149,7 +3149,21 @@ def q_cms_check(spark, sf):
         F.concat(F.lit("est:"), "v").alias("k"),
         F.col("est_count").cast("double").alias("v"),
     )
-    return counters.unionByName(ests)
+    # join-cardinality estimate (the shuffle-planning primitive): inner
+    # product of this sketch against the sketch of a filtered subset
+    from record_linkage_spark.operators.sketches import cms_join_cardinality
+
+    o3 = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderpriority").alias("v")
+    )
+    jc = cms_join_cardinality(
+        cms, cms_build(o3, "v", depth=3, width=64), depth=3
+    ).select(
+        F.lit("cms_join").alias("chk"),
+        F.lit("est").alias("k"),
+        F.col("est_join_rows").cast("double").alias("v"),
+    )
+    return counters.unionByName(ests).unionByName(jc)
 
 
 def q_ftq_check(spark, sf):
@@ -4720,7 +4734,18 @@ def _composite_oracles(base: dict[str, str]) -> dict[str, str]:
             "LEFT JOIN cnts c2 ON c2.r = 2 AND c2.c = qp.p2) "
             "SELECT 'cms' AS chk, CAST(r AS VARCHAR) || ':' || CAST(c AS VARCHAR) AS k, "
             "CAST(cnt AS DOUBLE) AS v FROM cnts "
-            "UNION ALL SELECT 'cms_est', 'est:' || v, CAST(e AS DOUBLE) FROM est)"
+            "UNION ALL SELECT 'cms_est', 'est:' || v, CAST(e AS DOUBLE) FROM est "
+            "UNION ALL SELECT 'cms_join', 'est', CAST(jv AS DOUBLE) FROM ("
+            "WITH p3 AS (SELECT o_orderpriority AS v FROM orders "
+            "WHERE o_orderkey % 3 = 0), "
+            "pos3 AS ("
+            "SELECT 0 AS r, ('0x' || substr(md5('0' || chr(1) || v), 1, 15))::BIGINT % 64 AS c FROM p3 "
+            "UNION ALL SELECT 1, ('0x' || substr(md5('1' || chr(1) || v), 1, 15))::BIGINT % 64 FROM p3 "
+            "UNION ALL SELECT 2, ('0x' || substr(md5('2' || chr(1) || v), 1, 15))::BIGINT % 64 FROM p3), "
+            "cnts3 AS (SELECT r, c, COUNT(*) AS cnt FROM pos3 GROUP BY 1, 2), "
+            "ip AS (SELECT a.r, SUM(a.cnt * b.cnt) AS s FROM cnts a "
+            "JOIN cnts3 b ON a.r = b.r AND a.c = b.c GROUP BY a.r) "
+            "SELECT CASE WHEN COUNT(*) < 3 THEN 0 ELSE MIN(s) END AS jv FROM ip))"
         ),
         # fastText-style quality classifier (operators/quality_classifier.py):
         # replay hashed unigram+bigram features (dim 256), the NB log-odds

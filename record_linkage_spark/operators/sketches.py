@@ -271,6 +271,42 @@ def cms_estimate(
     return out.withColumn(out_col, est).drop(*drop)
 
 
+def cms_join_cardinality(
+    cms_a: DataFrame,
+    cms_b: DataFrame,
+    depth: int = 4,
+) -> DataFrame:
+    """Equi-join output-size estimate from two CMS tables built with the
+    SAME (depth, width) geometry over the two join keys: the CountMin
+    inner-product estimate ``min over rows of sum_col(cntA * cntB)``
+    (Cormode & Muthukrishnan 2005, §4.2) — an upper bound on
+    ``|A JOIN B ON key|`` that is exact when no hash cell collides.
+
+    This is the shuffle-planning primitive: estimate the pair blow-up
+    of a candidate blocking key (or the skew contribution of a hot key
+    via ``cms_estimate``) BEFORE paying the join, from two
+    constant-size counter tables. One equality join on (row, col) +
+    one depth-row aggregate + a min — never touches the data.
+
+    Returns a 1-row ``(est_join_rows long)`` frame.
+    """
+    a = cms_a.select("row", "col", F.col("cnt").alias("_ca"))
+    b = cms_b.select("row", "col", F.col("cnt").alias("_cb"))
+    per_row = (
+        a.join(b, ["row", "col"])
+        .groupBy("row")
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_ip"))
+    )
+    # a CMS row whose cells never overlap estimates inner product 0;
+    # rows absent from per_row therefore clamp the min to 0 — guard by
+    # counting the rows present
+    return per_row.agg(
+        F.when(F.count(F.lit(1)) < depth, F.lit(0).cast("long"))
+        .otherwise(F.min("_ip"))
+        .alias("est_join_rows")
+    )
+
+
 # --------------------------------------------------------------------------
 # Misra-Gries heavy hitters
 # --------------------------------------------------------------------------

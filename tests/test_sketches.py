@@ -394,3 +394,64 @@ def test_histogram_drops_null_and_negative(spark):
     )
     rows = int_histogram(df, "v", precision=7).collect()
     assert [(r.bucket, r.n) for r in rows] == [(3, 2)]
+
+
+def test_cms_join_cardinality(spark):
+    from pyspark.sql import functions as F
+
+    from record_linkage_spark.operators.sketches import (
+        cms_build,
+        cms_join_cardinality,
+    )
+
+    # keys with known multiplicities: true join size = sum over shared
+    # keys of cntA * cntB
+    a = spark.createDataFrame(
+        [(f"k{i % 7}",) for i in range(140)] + [("hot",)] * 60, "v string"
+    )
+    b = spark.createDataFrame(
+        [(f"k{i % 5}",) for i in range(50)] + [("hot",)] * 30, "v string"
+    )
+    true_size = a.join(b, "v").count()
+    ca = cms_build(a, "v", depth=4, width=1 << 10)
+    cb = cms_build(b, "v", depth=4, width=1 << 10)
+    est = cms_join_cardinality(ca, cb, depth=4).collect()[0].est_join_rows
+    # upper bound always; exact here (width >> distinct keys, no collisions)
+    assert est >= true_size
+    assert est == true_size
+
+    # disjoint key sets -> estimate collapses to 0 even when rows are
+    # absent from the joined counter table
+    c = spark.createDataFrame([("zzz1",), ("zzz2",)], "v string")
+    cc = cms_build(c, "v", depth=4, width=1 << 10)
+    d = spark.createDataFrame([("qqq1",)], "v string")
+    cd = cms_build(d, "v", depth=4, width=1 << 10)
+    est0 = cms_join_cardinality(cc, cd, depth=4).collect()[0].est_join_rows
+    assert est0 in (0, 1)  # 0 unless every row's cells collide
+
+
+def test_cms_join_cardinality_never_underestimates(spark):
+    import hashlib
+
+    from record_linkage_spark.operators.sketches import (
+        cms_build,
+        cms_join_cardinality,
+    )
+
+    def h(i, s):
+        return int(hashlib.md5(f"{s}:{i}".encode()).hexdigest()[:8], 16)
+
+    # tight width forces collisions: estimate must stay an upper bound
+    a = spark.createDataFrame(
+        [(f"a{h(i, 'x') % 40}",) for i in range(300)], "v string"
+    )
+    b = spark.createDataFrame(
+        [(f"a{h(i, 'z') % 55}",) for i in range(200)], "v string"
+    )
+    true_size = a.join(b, "v").count()
+    est = cms_join_cardinality(
+        cms_build(a, "v", depth=3, width=16),
+        cms_build(b, "v", depth=3, width=16),
+        depth=3,
+    ).collect()[0].est_join_rows
+    assert est >= true_size
