@@ -453,12 +453,25 @@ def main() -> None:
             "tok"
         ),
     ).filter(F.col("tok") != "")
+    from record_linkage_spark.operators.sketches import (
+        histogram_quantiles,
+        int_histogram,
+    )
+    from record_linkage_spark.operators.text_analysis import token_count_ws
+
+    doc_lens = docs_txt.select(
+        "lang", token_count_ws("text").cast("long").alias("n_tok")
+    )
     _, queries["sketch_profile"] = _timed_best2(
         lambda: (
             hll_estimate(hll_registers(toks, "tok", ["lang"], p=12), ["lang"], p=12)
             .agg(F.sum("est_distinct")).collect(),
             heavy_hitters(toks, "tok", capacity=4096)
             .orderBy(F.desc("est_count")).limit(20).collect(),
+            histogram_quantiles(
+                int_histogram(doc_lens, "n_tok", ["lang"], precision=7),
+                [0.5, 0.9, 0.99], ["lang"], precision=7,
+            ).collect(),
         )
     )
 

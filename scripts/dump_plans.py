@@ -213,6 +213,13 @@ COMMENTARY = {
         "single min_by-style aggregate on the canonical key — the only "
         "shuffle, keyed by full URL so domain skew never concentrates."
     ),
+    "quantile_histogram": (
+        "HDR quantile histogram build + readout (operators/sketches.py). "
+        "Build: one partial-aggregated groupBy to the bucket-bound state "
+        "(bit-arithmetic bucketing is codegen, zero Python). Readout: a "
+        "window cumsum + ceil-rank selection over the state only — the "
+        "data is never touched again. Mergeable by summed union."
+    ),
     "quality_scorer": (
         "fastText-style quality scorer (operators/quality_classifier.py). "
         "Features partial-aggregate map-side (explode -> (id, feat) "
@@ -439,6 +446,24 @@ def _q_url_canonical_dedup(spark, sf):
     )
 
 
+def _q_quantile_histogram(spark, sf):
+    from pyspark.sql import functions as F
+
+    from record_linkage_spark.operators.sketches import (
+        histogram_quantiles,
+        int_histogram,
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    hist = int_histogram(
+        docs.select("lang", F.col("n_chars").cast("long").alias("v")),
+        "v",
+        ["lang"],
+        precision=7,
+    )
+    return histogram_quantiles(hist, [0.5, 0.99], ["lang"], precision=7)
+
+
 def _q_quality_scorer(spark, sf):
     from pyspark.sql import functions as F
 
@@ -488,6 +513,7 @@ FALLBACK = {
     "schema_value_overlap": _q_schema_overlap,
     "bpe_pair_counts": _q_bpe_pair_counts,
     "cms_sketch": _q_cms_sketch,
+    "quantile_histogram": _q_quantile_histogram,
     "url_canonical_dedup": _q_url_canonical_dedup,
     "quality_scorer": _q_quality_scorer,
 }
