@@ -630,3 +630,66 @@ def stream_entities(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_histograms(
+    spark: SparkSession,
+    input_dir: str,
+    hist_dir: str,
+    checkpoint_dir: str,
+    value_expr: str = "length(text)",
+    group_cols: tuple[str, ...] = ("role",),
+    precision: int = 7,
+):
+    """Streaming corpus profiling via the mergeable quantile-histogram
+    sketch: each micro-batch writes ITS OWN bucket table under
+    ``hist_dir/epoch=N`` (state = bucket-bound rows, independent of
+    batch size), and readers merge on read with
+    :func:`merged_histogram` — the exact composition property
+    ``histogram_merge(epochs) == int_histogram(union)`` pinned by
+    ``test_sketches.py::test_histogram_merge_equals_union``, applied to
+    the streaming epoch layout. Old batches' raw turns are never
+    re-read (the signature-table discipline of :func:`stream_dedup`,
+    here for the metric distribution instead of the dedup state).
+
+    Epoch-keyed overwrite makes retried batches exactly-once, like
+    every other sink in this module. Returns the StreamingQuery.
+    """
+    from record_linkage_spark.operators.sketches import int_histogram
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+    def write_hist(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        rows = batch_df.select(
+            *group_cols, F.expr(value_expr).cast("long").alias("_metric")
+        )
+        hist = int_histogram(rows, "_metric", list(group_cols), precision)
+        out = os.path.join(hist_dir, f"epoch={epoch_id}")
+        hist.write.mode("overwrite").parquet(out)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(write_hist)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def merged_histogram(
+    spark: SparkSession, hist_dir: str, group_cols: tuple[str, ...] = ("role",)
+) -> DataFrame:
+    """Merge all persisted epoch histograms (summed union — the
+    mergeability property makes this EQUAL the batch histogram over
+    every turn ever streamed, without re-reading any turn)."""
+    from record_linkage_spark.operators.sketches import histogram_merge
+
+    return histogram_merge(
+        [spark.read.parquet(hist_dir).drop("epoch")], list(group_cols)
+    )

@@ -122,3 +122,52 @@ def test_stream_dedup_never_rereads_corpus_text(spark, tmp_path):
     # and the duplicate never entered the signature table
     sig_ids = {r.doc_id for r in spark.read.parquet(corpus + "_sigs").collect()}
     assert "z1" not in sig_ids and "a1" in sig_ids
+
+
+def test_stream_histograms_merge_equals_batch(spark, tmp_path):
+    """Per-epoch histogram sketches composed across two streamed waves
+    equal the batch histogram over all turns — and the second wave's
+    query never needs the first wave's raw turns (mergeable-state
+    discipline for metric distributions)."""
+    from pyspark.sql import functions as F
+
+    from record_linkage_spark.operators.sketches import (
+        histogram_quantiles,
+        int_histogram,
+    )
+    from record_linkage_spark.streaming.incremental import (
+        merged_histogram,
+        stream_histograms,
+    )
+    from record_linkage_spark.synth.transcripts import (
+        generate_transcripts,
+        transcripts_table,
+    )
+
+    raw = transcripts_table(
+        generate_transcripts(spark, n_entities=30, dup_rate=1.5)
+    ).localCheckpoint()
+    wave = F.substring("conv_id", 1, 8).cast("int") >= 20
+    in_dir, hist_dir, ck = (
+        str(tmp_path / "in"), str(tmp_path / "hist"), str(tmp_path / "ck")
+    )
+    args = (spark, in_dir, hist_dir, ck)
+
+    raw.filter(~wave).write.mode("append").parquet(in_dir)
+    stream_histograms(*args).awaitTermination()
+    raw.filter(wave).write.mode("append").parquet(in_dir)
+    stream_histograms(*args).awaitTermination()
+
+    merged = merged_histogram(spark, hist_dir)
+    batch = int_histogram(
+        raw.select("role", F.expr("length(text)").cast("long").alias("_metric")),
+        "_metric",
+        ["role"],
+        7,
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    # readout works on the merged state
+    qs = histogram_quantiles(merged, [0.5, 0.99], ["role"], precision=7)
+    assert qs.count() == raw.select("role").distinct().count() * 2
