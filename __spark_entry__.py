@@ -3292,6 +3292,48 @@ def q_hist_check(spark, sf):
     return rows.unionByName(qs)
 
 
+def q_privacy_check(spark, sf):
+    """Release-gate fold (``operators/privacy.py``): per-class sizes and
+    distinct-sensitive counts over a (segment, nation-bucket) QI with
+    account-balance sign as the sensitive value, the k_min gate scalar,
+    and the record count surviving ``suppress_below_k(k=200)``. The
+    DuckDB twin replays class build, diversity counts, the floor and
+    the suppression sum."""
+    from record_linkage_spark.operators.privacy import (
+        k_anonymity_report,
+        l_diversity_report,
+        suppress_below_k,
+    )
+
+    d = _t(spark, sf, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("c_custkey") % 5).cast("string").alias("nb"),
+        (F.col("c_acctbal") > 0).alias("pos"),
+    )
+    classes = l_diversity_report(d, ["seg", "nb"], "pos").localCheckpoint()
+    key = F.concat("seg", F.lit(":"), "nb")
+    rows = classes.select(
+        F.lit("kanon").alias("chk"), key.alias("k"),
+        F.col("n").cast("double").alias("v"),
+    ).unionByName(
+        classes.select(
+            F.lit("ldiv").alias("chk"), key.alias("k"),
+            F.col("l").cast("double").alias("v"),
+        )
+    )
+    gate = k_anonymity_report(d, ["seg", "nb"]).select(
+        F.lit("kanon").alias("chk"), F.lit("_gate:k_min").alias("k"),
+        F.col("k_min").cast("double").alias("v"),
+    )
+    supp = suppress_below_k(d, ["seg", "nb"], 200).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        F.lit("kanon").alias("chk"), F.lit("_gate:supp200").alias("k"),
+        F.col("n").cast("double").alias("v"),
+    )
+    return rows.unionByName(gate).unionByName(supp)
+
+
 def q_entity_split(spark, sf):
     """Leakage-safe split fold (``ground_truth.entity_safe_split`` +
     ``split_leakage_audit``): entities from the planted CC graph are
@@ -3391,6 +3433,7 @@ def q_scalar_checks(spark, sf):
         .unionByName(q_ftq_check(spark, sf))
         .unionByName(q_calib_check(spark, sf))
         .unionByName(q_hist_check(spark, sf))
+        .unionByName(q_privacy_check(spark, sf))
     )
 
 
@@ -4830,6 +4873,22 @@ def _composite_oracles(base: dict[str, str]) -> dict[str, str]:
             "CAST(n AS DOUBLE) AS v FROM h "
             "UNION ALL SELECT 'histq', CAST(CAST(q AS DOUBLE) AS VARCHAR), "
             "CAST(v_est AS DOUBLE) FROM lo)"
+        ),
+        # k-anonymity / l-diversity release gate (operators/privacy.py):
+        # class sizes + distinct-sensitive counts + floor + suppression
+        (
+            "SELECT chk, k, v FROM ("
+            "WITH d AS (SELECT c_mktsegment AS seg, "
+            "CAST(c_custkey % 5 AS VARCHAR) AS nb, "
+            "(c_acctbal > 0) AS pos FROM customer), "
+            "g AS (SELECT seg, nb, COUNT(*) AS n, COUNT(DISTINCT pos) AS l "
+            "FROM d GROUP BY 1, 2) "
+            "SELECT 'kanon' AS chk, seg || ':' || nb AS k, "
+            "CAST(n AS DOUBLE) AS v FROM g "
+            "UNION ALL SELECT 'ldiv', seg || ':' || nb, CAST(l AS DOUBLE) FROM g "
+            "UNION ALL SELECT 'kanon', '_gate:k_min', CAST(min(n) AS DOUBLE) FROM g "
+            "UNION ALL SELECT 'kanon', '_gate:supp200', "
+            "(SELECT CAST(coalesce(sum(n), 0) AS DOUBLE) FROM g WHERE n >= 200))"
         ),
     ]
 
