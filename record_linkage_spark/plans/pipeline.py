@@ -76,6 +76,8 @@ class LinkagePipeline:
         qa_boilerplate_min_convs: int = 25,
         relations_df: DataFrame | None = None,
         collective_alpha: float = 0.6,
+        release_qi: tuple[str, ...] = (),
+        release_k: int = 5,
     ):
         if clusterer not in ("cc", "pivot", "star", "hac", "collective"):
             raise KeyError(
@@ -93,6 +95,8 @@ class LinkagePipeline:
         self.qa_boilerplate_min_convs = qa_boilerplate_min_convs
         self._relations_df = relations_df
         self.collective_alpha = collective_alpha
+        self.release_qi = tuple(release_qi)
+        self.release_k = release_k
         self._collective_rounds: list[dict] | None = None
         self._transcripts_df = transcripts_df
         self._keys_df = keys_df
@@ -317,7 +321,7 @@ class LinkagePipeline:
         # user-facing table)
         from record_linkage_spark.operators.survivorship import golden_records
 
-        wh.run_stage(
+        golden = wh.run_stage(
             "golden_records",
             lambda: golden_records(
                 profiles.select(
@@ -338,6 +342,32 @@ class LinkagePipeline:
             inputs=["clusters", "profiles"],
             resume=resume,
         )
+
+        # optional release gate: k-anonymity audit of the golden table
+        # (the artifact that leaves the pipeline) over caller-named
+        # quasi-identifier columns, with the suppression cost at k
+        release_gate = None
+        if self.release_qi:
+            from record_linkage_spark.operators.privacy import (
+                k_anonymity_report,
+                suppress_below_k,
+            )
+
+            gr = k_anonymity_report(golden, self.release_qi).first()
+            n_released = suppress_below_k(
+                golden, self.release_qi, self.release_k
+            ).count()
+            release_gate = {
+                "qi": list(self.release_qi),
+                "k": self.release_k,
+                "k_min": int(gr.k_min or 0),
+                "n_classes": int(gr.n_classes or 0),
+                "n_records": int(gr.n_records or 0),
+                "n_singleton_classes": int(gr.n_singleton_classes or 0),
+                "n_released_at_k": int(n_released),
+                "n_suppressed_at_k": int((gr.n_records or 0) - n_released),
+                "passes_at_k": bool((gr.k_min or 0) >= self.release_k),
+            }
 
         # evaluation report (E3 analogue)
         gt_scored = scored.join(
@@ -520,6 +550,7 @@ class LinkagePipeline:
             "auc_labeled_pairs": auc_val,
             "ap_labeled_pairs": ap_val,
             "calibration": calibration,
+            "release_gate": release_gate,
             "bcubed": bc,
             "pair_counting": pc,
             "v_measure": vm,
@@ -600,6 +631,20 @@ def main() -> None:
         "vs neighborhood Jaccard (1.0 degenerates to cc)",
     )
     ap.add_argument(
+        "--release-qi",
+        default=None,
+        metavar="COL[,COL...]",
+        help="audit the golden table for k-anonymity over these quasi-"
+        "identifier columns and report the release gate (k_min, "
+        "suppression cost at --release-k)",
+    )
+    ap.add_argument(
+        "--release-k",
+        type=int,
+        default=5,
+        help="anonymity floor for the --release-qi gate (default 5)",
+    )
+    ap.add_argument(
         "--compare",
         action="store_true",
         help="after the pipeline, emit the (strategy x model) comparison "
@@ -634,6 +679,12 @@ def main() -> None:
         one_to_one=args.one_to_one,
         clusterer=args.clusterer,
         collective_alpha=args.collective_alpha,
+        release_qi=tuple(
+            c.strip() for c in args.release_qi.split(",") if c.strip()
+        )
+        if args.release_qi
+        else (),
+        release_k=args.release_k,
     )
     report = pipe.run(resume=not args.no_resume)
     if args.compare:
