@@ -47,26 +47,16 @@ _INGEST_SCHEMA = T.StructType(
 INT32_MAX = (1 << 31) - 1
 
 
-def read_jsonl_transcripts(
-    spark: SparkSession, path: str
-) -> tuple[DataFrame, DataFrame]:
-    """Parse a JSONL transcript feed into ``(clean, quarantine)``.
-
-    ``clean`` carries the engine's transcript contract columns
-    (conv_id, turn_idx int, role, text, tool, ts timestamp) — every row
-    syntactically valid JSON AND semantically admissible. ``quarantine``
-    carries ``(raw string, reason string)`` — the evidence table an
-    ingest SLO monitors and an operator replays after a fix.
+def split_parsed_transcripts(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a PERMISSIVE-parsed frame (``_INGEST_SCHEMA`` shape) into
+    ``(clean, quarantine)`` — the shared validator behind the batch and
+    streaming readers.
 
     Semantic rejects (checked in this order, first failure wins):
     ``no_conv_id``, ``bad_turn_idx`` (null, negative, or > int32),
     ``bad_ts`` (present but unparseable as a timestamp). ``ts`` null
     stays clean — the rollup tolerates missing timestamps.
     """
-    raw = spark.read.schema(_INGEST_SCHEMA).option("mode", "PERMISSIVE").option(
-        "columnNameOfCorruptRecord", "_corrupt_record"
-    ).json(path)
-
     ts_parsed = F.try_to_timestamp(F.col("ts"))
     reason = (
         F.when(F.col("_corrupt_record").isNotNull(), F.lit("bad_json"))
@@ -100,6 +90,71 @@ def read_jsonl_transcripts(
         F.col("_reason").alias("reason"),
     )
     return clean, quarantine
+
+
+def read_jsonl_transcripts(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Parse a JSONL transcript feed into ``(clean, quarantine)``.
+
+    ``clean`` carries the engine's transcript contract columns
+    (conv_id, turn_idx int, role, text, tool, ts timestamp) — every row
+    syntactically valid JSON AND semantically admissible. ``quarantine``
+    carries ``(raw string, reason string)`` — the evidence table an
+    ingest SLO monitors and an operator replays after a fix.
+    """
+    raw = spark.read.schema(_INGEST_SCHEMA).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(path)
+    return split_parsed_transcripts(raw)
+
+
+def stream_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    clean_dir: str,
+    quarantine_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming JSONL ingest: each micro-batch splits through the same
+    validator and lands as parquet under ``clean_dir/epoch=N`` /
+    ``quarantine_dir/epoch=N`` (epoch-keyed overwrite — retried batches
+    are exactly-once, the discipline every sink in
+    ``streaming/incremental.py`` follows). The clean side is exactly
+    the transcript contract, so ``stream_profiles`` / ``stream_link``
+    consume ``clean_dir`` unchanged: a malformed line can never fail or
+    poison the linkage stream, only land in quarantine with a reason.
+
+    Returns the StreamingQuery (availableNow trigger; caller awaits).
+    """
+    import os
+
+    stream = (
+        spark.readStream.schema(_INGEST_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("maxFilesPerTrigger", 8)
+        .json(input_dir)
+    )
+
+    def split_and_write(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        clean, quarantine = split_parsed_transcripts(batch_df)
+        clean.write.mode("overwrite").parquet(
+            os.path.join(clean_dir, f"epoch={epoch_id}")
+        )
+        quarantine.write.mode("overwrite").parquet(
+            os.path.join(quarantine_dir, f"epoch={epoch_id}")
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(split_and_write)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def ingest_report(quarantine: DataFrame) -> DataFrame:

@@ -87,3 +87,36 @@ def test_parse_is_jvm_side(spark, tmp_path):
         plan = df._jdf.queryExecution().executedPlan().toString()
         for marker in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
             assert marker not in plan
+
+
+def test_stream_ingest_two_waves_feed_linkage_stream(spark, tmp_path):
+    """Streaming JSONL ingest: two waves with planted bad lines split
+    into epoch-keyed clean parquet (== the batch reader over all input)
+    and a quarantine that never loses a reject; the clean dir is
+    directly consumable by the profile rollup."""
+    from record_linkage_spark.operators.rollup import rollup_conversations
+    from record_linkage_spark.sources.ingest import stream_ingest
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    dirs = [str(tmp_path / n) for n in ("clean", "quar", "ck")]
+
+    (in_dir / "w1.jsonl").write_text(
+        "\n".join([json.dumps(g) for g in GOOD[:2]] + [BAD[0][0], BAD[3][0]]) + "\n"
+    )
+    stream_ingest(spark, str(in_dir), *dirs).awaitTermination()
+    (in_dir / "w2.jsonl").write_text(
+        "\n".join([json.dumps(GOOD[2])] + [BAD[6][0]]) + "\n"
+    )
+    stream_ingest(spark, str(in_dir), *dirs).awaitTermination()
+
+    clean = spark.read.parquet(dirs[0])
+    quar = spark.read.parquet(dirs[1])
+    assert {(r.conv_id, r.turn_idx) for r in clean.collect()} == {
+        ("c1", 0), ("c1", 1), ("c2", 0)
+    }
+    assert sorted(r.reason for r in quar.collect()) == [
+        "bad_json", "bad_ts", "bad_turn_idx"
+    ]
+    # contract-compatible: the linkage stream's first consumer runs as-is
+    assert rollup_conversations(clean.drop("epoch")).count() == 2
