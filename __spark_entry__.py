@@ -3388,6 +3388,57 @@ def q_entity_split(spark, sf):
     )
 
 
+def q_drift_check(spark, sf):
+    """Corpus-drift fold (``operators/drift.py``): snapshot A (even doc
+    ids) vs snapshot B (ids not divisible by 3) over a fixed n_chars bin
+    grid and a lang category whitelist — the full per-bin count/fraction
+    table plus the per-feature PSI / Jensen-Shannon / total-variation
+    scalars. The DuckDB twin replays the binning CASEs, the per-feature
+    window totals, the full-outer bin join and all three divergence
+    formulas (same eps clamp and 0*ln(0/m)=0 convention)."""
+    from record_linkage_spark.operators.drift import (
+        CatSpec,
+        HistSpec,
+        drift_report,
+        drift_scalars,
+    )
+
+    d = _t(spark, sf, "documents")
+    specs = [
+        HistSpec("n_chars", "n_chars", (50, 100, 200, 400, 800)),
+        CatSpec("lang", "lang", ("en", "de", "fr")),
+    ]
+    rep = drift_report(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 3 != 0),
+        specs,
+    ).localCheckpoint()
+    key = F.concat("feature", F.lit(":"), "bin")
+    bins = None
+    for m, c in [
+        ("na", F.col("n_a").cast("double")),
+        ("nb", F.col("n_b").cast("double")),
+        ("fa", F.col("frac_a")),
+        ("fb", F.col("frac_b")),
+    ]:
+        leg = rep.select(
+            F.lit("drift_bin").alias("chk"),
+            F.concat(key, F.lit(":" + m)).alias("k"),
+            c.alias("v"),
+        )
+        bins = leg if bins is None else bins.unionByName(leg)
+    scal = drift_scalars(rep)
+    for m in ("psi", "jsd", "tv"):
+        bins = bins.unionByName(
+            scal.select(
+                F.lit("drift").alias("chk"),
+                F.concat("feature", F.lit(":" + m)).alias("k"),
+                F.col(m).alias("v"),
+            )
+        )
+    return bins
+
+
 def q_scalar_checks(spark, sf):
     """P1/A1 missing%, P14 prefix-key histogram, J5 semi/anti counts,
     A6 confusion counts, X1 hash-split sizes — one (chk, k, v) frame —
@@ -3434,6 +3485,7 @@ def q_scalar_checks(spark, sf):
         .unionByName(q_calib_check(spark, sf))
         .unionByName(q_hist_check(spark, sf))
         .unionByName(q_privacy_check(spark, sf))
+        .unionByName(q_drift_check(spark, sf))
     )
 
 
@@ -4889,6 +4941,60 @@ def _composite_oracles(base: dict[str, str]) -> dict[str, str]:
             "UNION ALL SELECT 'kanon', '_gate:k_min', CAST(min(n) AS DOUBLE) FROM g "
             "UNION ALL SELECT 'kanon', '_gate:supp200', "
             "(SELECT CAST(coalesce(sum(n), 0) AS DOUBLE) FROM g WHERE n >= 200))"
+        ),
+        # corpus drift report (operators/drift.py): snapshot A (even ids)
+        # vs B (ids not divisible by 3), fixed n_chars bin grid + lang
+        # whitelist; per-bin counts/fracs + PSI / JSD / TV scalars
+        (
+            "SELECT chk, k, v FROM ("
+            "WITH sa AS (SELECT n_chars, lang FROM documents WHERE doc_id % 2 = 0), "
+            "sb AS (SELECT n_chars, lang FROM documents WHERE doc_id % 3 <> 0), "
+            "ba AS (SELECT 'n_chars' AS feature, "
+            "CASE WHEN n_chars < 50 THEN 'b0' WHEN n_chars < 100 THEN 'b1' "
+            "WHEN n_chars < 200 THEN 'b2' WHEN n_chars < 400 THEN 'b3' "
+            "WHEN n_chars < 800 THEN 'b4' ELSE 'b5' END AS bin "
+            "FROM sa WHERE n_chars IS NOT NULL "
+            "UNION ALL SELECT 'lang', CASE WHEN lang IN ('en', 'de', 'fr') "
+            "THEN lang ELSE '__other__' END FROM sa), "
+            "bb AS (SELECT 'n_chars' AS feature, "
+            "CASE WHEN n_chars < 50 THEN 'b0' WHEN n_chars < 100 THEN 'b1' "
+            "WHEN n_chars < 200 THEN 'b2' WHEN n_chars < 400 THEN 'b3' "
+            "WHEN n_chars < 800 THEN 'b4' ELSE 'b5' END AS bin "
+            "FROM sb WHERE n_chars IS NOT NULL "
+            "UNION ALL SELECT 'lang', CASE WHEN lang IN ('en', 'de', 'fr') "
+            "THEN lang ELSE '__other__' END FROM sb), "
+            "fa AS (SELECT feature, bin, COUNT(*) AS n, "
+            "COUNT(*) / SUM(COUNT(*)) OVER (PARTITION BY feature) AS frac "
+            "FROM ba GROUP BY 1, 2), "
+            "fb AS (SELECT feature, bin, COUNT(*) AS n, "
+            "COUNT(*) / SUM(COUNT(*)) OVER (PARTITION BY feature) AS frac "
+            "FROM bb GROUP BY 1, 2), "
+            "j AS (SELECT coalesce(fa.feature, fb.feature) AS feature, "
+            "coalesce(fa.bin, fb.bin) AS bin, "
+            "coalesce(fa.n, 0) AS n_a, coalesce(fb.n, 0) AS n_b, "
+            "coalesce(fa.frac, 0) AS pa, coalesce(fb.frac, 0) AS pb "
+            "FROM fa FULL OUTER JOIN fb "
+            "ON fa.feature = fb.feature AND fa.bin = fb.bin), "
+            "t AS (SELECT feature, bin, n_a, n_b, pa, pb, "
+            "(greatest(pa, 1e-6) - greatest(pb, 1e-6)) "
+            "* ln(greatest(pa, 1e-6) / greatest(pb, 1e-6)) AS psi_term, "
+            "(CASE WHEN pa > 0 THEN pa * ln(pa / ((pa + pb) / 2)) ELSE 0 END) / 2 "
+            "+ (CASE WHEN pb > 0 THEN pb * ln(pb / ((pa + pb) / 2)) ELSE 0 END) / 2 "
+            "AS jsd_term, abs(pa - pb) / 2 AS tv_term FROM j) "
+            "SELECT 'drift_bin' AS chk, feature || ':' || bin || ':na' AS k, "
+            "CAST(n_a AS DOUBLE) AS v FROM t "
+            "UNION ALL SELECT 'drift_bin', feature || ':' || bin || ':nb', "
+            "CAST(n_b AS DOUBLE) FROM t "
+            "UNION ALL SELECT 'drift_bin', feature || ':' || bin || ':fa', "
+            "round(pa, 6) FROM t "
+            "UNION ALL SELECT 'drift_bin', feature || ':' || bin || ':fb', "
+            "round(pb, 6) FROM t "
+            "UNION ALL SELECT 'drift', feature || ':psi', "
+            "round(sum(psi_term), 6) FROM t GROUP BY feature "
+            "UNION ALL SELECT 'drift', feature || ':jsd', "
+            "round(sum(jsd_term), 6) FROM t GROUP BY feature "
+            "UNION ALL SELECT 'drift', feature || ':tv', "
+            "round(sum(tv_term), 6) FROM t GROUP BY feature)"
         ),
     ]
 
