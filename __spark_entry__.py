@@ -3439,6 +3439,61 @@ def q_drift_check(spark, sf):
     return bins
 
 
+def q_zorder_check(spark, sf):
+    """Z-order layout fold (``operators/layout.py``): bucket customer
+    (nation, balance) into 4-bit ranges, interleave into the Morton
+    code, assign 8 equal-depth files in z order, and emit the z-values
+    (first 40 keys), the per-file min/max stats, and the
+    skipping-fraction readouts for both dimensions under the z layout
+    AND a sort-by-nation linear layout (the control that shows why
+    interleaving matters). Every number is integer bit math or an exact
+    ntile — the DuckDB twin replays the bucketing, the 8-term bit
+    interleave, the window file assignment and the overlap test."""
+    from record_linkage_spark.operators.layout import (
+        file_stats,
+        range_bucket,
+        skipping_fraction,
+        zvalue,
+    )
+
+    c = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id"),
+        range_bucket("c_nationkey", 0.0, 25.0, 4).alias("bn"),
+        range_bucket("c_acctbal", -1000.0, 10000.0, 4).alias("bb"),
+    )
+    z = c.withColumn("zval", zvalue([F.col("bn"), F.col("bb")], bits=4))
+    lin = c.withColumn("zval", F.col("bn").cast("long"))
+    zv_rows = z.filter(F.col("id") <= 40).select(
+        F.lit("zorder").alias("chk"),
+        F.concat(F.lit("zv:"), F.col("id").cast("string")).alias("k"),
+        F.col("zval").cast("double").alias("v"),
+    )
+    sz = file_stats(z, "id", ["bn", "bb"], n_files=8).localCheckpoint()
+    sl = file_stats(lin, "id", ["bn", "bb"], n_files=8).localCheckpoint()
+    stat_rows = None
+    for col in ("bn", "bb"):
+        for m in ("min", "max"):
+            leg = sz.select(
+                F.lit("zorder").alias("chk"),
+                F.concat(
+                    F.lit("f:"), F.col("file_id").cast("string"),
+                    F.lit(f":{col}:{m}"),
+                ).alias("k"),
+                F.col(f"{col}_{m}").cast("double").alias("v"),
+            )
+            stat_rows = leg if stat_rows is None else stat_rows.unionByName(leg)
+    skips = None
+    for name, stats in (("z", sz), ("lin", sl)):
+        for col in ("bn", "bb"):
+            leg = skipping_fraction(stats, col, 4, 7).select(
+                F.lit("zorder").alias("chk"),
+                F.lit(f"skip:{name}:{col}").alias("k"),
+                F.col("skip_frac").alias("v"),
+            )
+            skips = leg if skips is None else skips.unionByName(leg)
+    return zv_rows.unionByName(stat_rows).unionByName(skips)
+
+
 def q_scalar_checks(spark, sf):
     """P1/A1 missing%, P14 prefix-key histogram, J5 semi/anti counts,
     A6 confusion counts, X1 hash-split sizes — one (chk, k, v) frame —
@@ -3486,6 +3541,7 @@ def q_scalar_checks(spark, sf):
         .unionByName(q_hist_check(spark, sf))
         .unionByName(q_privacy_check(spark, sf))
         .unionByName(q_drift_check(spark, sf))
+        .unionByName(q_zorder_check(spark, sf))
     )
 
 
@@ -4995,6 +5051,52 @@ def _composite_oracles(base: dict[str, str]) -> dict[str, str]:
             "round(sum(jsd_term), 6) FROM t GROUP BY feature "
             "UNION ALL SELECT 'drift', feature || ':tv', "
             "round(sum(tv_term), 6) FROM t GROUP BY feature)"
+        ),
+        # z-order layout audit (operators/layout.py): 4-bit range
+        # buckets, Morton interleave, exact-ntile file stats, and the
+        # skipping fractions for z vs sort-by-nation layouts
+        (
+            "SELECT chk, k, v FROM ("
+            "WITH c AS (SELECT c_custkey AS id, "
+            "least(greatest(CAST(floor((CAST(c_nationkey AS DOUBLE) - 0.0) "
+            "/ 25.0 * 16) AS BIGINT), 0), 15) AS bn, "
+            "least(greatest(CAST(floor((CAST(c_acctbal AS DOUBLE) - -1000.0) "
+            "/ 11000.0 * 16) AS BIGINT), 0), 15) AS bb FROM customer), "
+            "z AS (SELECT id, bn, bb, "
+            "(((bn >> 0) & 1) << 0) | (((bb >> 0) & 1) << 1) "
+            "| (((bn >> 1) & 1) << 2) | (((bb >> 1) & 1) << 3) "
+            "| (((bn >> 2) & 1) << 4) | (((bb >> 2) & 1) << 5) "
+            "| (((bn >> 3) & 1) << 6) | (((bb >> 3) & 1) << 7) AS zval FROM c), "
+            "zf AS (SELECT *, ntile(8) OVER (ORDER BY zval, id) - 1 "
+            "AS file_id FROM z), "
+            "lf AS (SELECT *, ntile(8) OVER (ORDER BY bn, id) - 1 "
+            "AS file_id FROM c), "
+            "zs AS (SELECT file_id, min(bn) AS bn_min, max(bn) AS bn_max, "
+            "min(bb) AS bb_min, max(bb) AS bb_max FROM zf GROUP BY 1), "
+            "ls AS (SELECT file_id, min(bn) AS bn_min, max(bn) AS bn_max, "
+            "min(bb) AS bb_min, max(bb) AS bb_max FROM lf GROUP BY 1) "
+            "SELECT 'zorder' AS chk, 'zv:' || CAST(id AS VARCHAR) AS k, "
+            "CAST(zval AS DOUBLE) AS v FROM z WHERE id <= 40 "
+            "UNION ALL SELECT 'zorder', 'f:' || CAST(file_id AS VARCHAR) "
+            "|| ':bn:min', CAST(bn_min AS DOUBLE) FROM zs "
+            "UNION ALL SELECT 'zorder', 'f:' || CAST(file_id AS VARCHAR) "
+            "|| ':bn:max', CAST(bn_max AS DOUBLE) FROM zs "
+            "UNION ALL SELECT 'zorder', 'f:' || CAST(file_id AS VARCHAR) "
+            "|| ':bb:min', CAST(bb_min AS DOUBLE) FROM zs "
+            "UNION ALL SELECT 'zorder', 'f:' || CAST(file_id AS VARCHAR) "
+            "|| ':bb:max', CAST(bb_max AS DOUBLE) FROM zs "
+            "UNION ALL SELECT 'zorder', 'skip:z:bn', "
+            "round(avg(CASE WHEN bn_max >= 4 AND bn_min <= 7 THEN 0.0 "
+            "ELSE 1.0 END), 6) FROM zs "
+            "UNION ALL SELECT 'zorder', 'skip:z:bb', "
+            "round(avg(CASE WHEN bb_max >= 4 AND bb_min <= 7 THEN 0.0 "
+            "ELSE 1.0 END), 6) FROM zs "
+            "UNION ALL SELECT 'zorder', 'skip:lin:bn', "
+            "round(avg(CASE WHEN bn_max >= 4 AND bn_min <= 7 THEN 0.0 "
+            "ELSE 1.0 END), 6) FROM ls "
+            "UNION ALL SELECT 'zorder', 'skip:lin:bb', "
+            "round(avg(CASE WHEN bb_max >= 4 AND bb_min <= 7 THEN 0.0 "
+            "ELSE 1.0 END), 6) FROM ls)"
         ),
     ]
 
