@@ -3439,6 +3439,51 @@ def q_drift_check(spark, sf):
     return bins
 
 
+def q_kmv_check(spark, sf):
+    """KMV / theta-sketch fold (``operators/sketches.py``): k=64
+    sketches over two overlapping order-key sets (even keys vs keys
+    divisible by 3), the full union-sketch hash table (exact 60-bit
+    integers), and the set-operation report (distinct estimates for
+    A / B / A∪B, the union-sample overlap count rho, the Jaccard
+    estimate and the intersection estimate). The DuckDB twin replays
+    the md5_60 k-mins, the sketch union, the semi-join rho and every
+    estimator division."""
+    from record_linkage_spark.operators.sketches import (
+        kmv_merge,
+        kmv_set_report,
+        kmv_sketch,
+    )
+
+    o = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderkey") <= 6000)
+        .select(
+            F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("v"),
+            "o_orderkey",
+        )
+        .coalesce(4)
+    )
+    a = kmv_sketch(o.filter(F.col("o_orderkey") % 2 == 0), "v", k=64).localCheckpoint()
+    b = kmv_sketch(o.filter(F.col("o_orderkey") % 3 == 0), "v", k=64).localCheckpoint()
+    u = kmv_merge([a, b], 64)
+    urows = (
+        u.withColumn(
+            "rk", F.row_number().over(Window.partitionBy(F.lit(1)).orderBy("h"))
+        )
+        .select(
+            F.lit("kmv").alias("chk"),
+            F.concat(F.lit("u:"), F.col("rk").cast("string")).alias("k"),
+            F.col("h").cast("double").alias("v"),
+        )
+    )
+    rep = kmv_set_report(a, b, 64).selectExpr(
+        "stack(6, 'r:est_a', est_a, 'r:est_b', est_b, 'r:est_union', est_union, "
+        "'r:rho', CAST(rho AS DOUBLE), 'r:jac', jaccard_est, "
+        "'r:inter', est_intersection) AS (k, v)"
+    ).select(F.lit("kmv").alias("chk"), "k", "v")
+    return urows.unionByName(rep)
+
+
 def q_zorder_check(spark, sf):
     """Z-order layout fold (``operators/layout.py``): bucket customer
     (nation, balance) into 4-bit ranges, interleave into the Morton
@@ -3542,6 +3587,7 @@ def q_scalar_checks(spark, sf):
         .unionByName(q_privacy_check(spark, sf))
         .unionByName(q_drift_check(spark, sf))
         .unionByName(q_zorder_check(spark, sf))
+        .unionByName(q_kmv_check(spark, sf))
     )
 
 
@@ -5097,6 +5143,45 @@ def _composite_oracles(base: dict[str, str]) -> dict[str, str]:
             "UNION ALL SELECT 'zorder', 'skip:lin:bb', "
             "round(avg(CASE WHEN bb_max >= 4 AND bb_min <= 7 THEN 0.0 "
             "ELSE 1.0 END), 6) FROM ls)"
+        ),
+        # KMV / theta sketch (operators/sketches.py): k=64 k-min
+        # sketches over even keys vs keys % 3 == 0, union sketch, and
+        # the set-operation estimate report
+        (
+            "SELECT chk, k, v FROM ("
+            "WITH ha AS (SELECT DISTINCT ('0x' || substr(md5('o' || "
+            "CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h "
+            "FROM orders WHERE o_orderkey <= 6000 AND o_orderkey % 2 = 0), "
+            "sa AS (SELECT h FROM ha ORDER BY h LIMIT 64), "
+            "hb AS (SELECT DISTINCT ('0x' || substr(md5('o' || "
+            "CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h "
+            "FROM orders WHERE o_orderkey <= 6000 AND o_orderkey % 3 = 0), "
+            "sb AS (SELECT h FROM hb ORDER BY h LIMIT 64), "
+            "su AS (SELECT DISTINCT h FROM (SELECT h FROM sa "
+            "UNION ALL SELECT h FROM sb) ORDER BY h LIMIT 64), "
+            "ea AS (SELECT count(*) AS n, max(h) AS hm FROM sa), "
+            "eb AS (SELECT count(*) AS n, max(h) AS hm FROM sb), "
+            "eu AS (SELECT count(*) AS n, max(h) AS hm FROM su), "
+            "rr AS (SELECT count(*) AS rho FROM su WHERE "
+            "h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)), "
+            "est AS (SELECT "
+            "round(CASE WHEN ea.n < 64 THEN CAST(ea.n AS DOUBLE) ELSE "
+            "63.0 / (CAST(ea.hm AS DOUBLE) / 1152921504606846976.0) END, 6) AS est_a, "
+            "round(CASE WHEN eb.n < 64 THEN CAST(eb.n AS DOUBLE) ELSE "
+            "63.0 / (CAST(eb.hm AS DOUBLE) / 1152921504606846976.0) END, 6) AS est_b, "
+            "round(CASE WHEN eu.n < 64 THEN CAST(eu.n AS DOUBLE) ELSE "
+            "63.0 / (CAST(eu.hm AS DOUBLE) / 1152921504606846976.0) END, 6) AS est_u, "
+            "eu.n AS nu, rr.rho AS rho FROM ea, eb, eu, rr) "
+            "SELECT 'kmv' AS chk, 'u:' || CAST(row_number() OVER "
+            "(ORDER BY h) AS VARCHAR) AS k, CAST(h AS DOUBLE) AS v FROM su "
+            "UNION ALL SELECT 'kmv', 'r:est_a', est_a FROM est "
+            "UNION ALL SELECT 'kmv', 'r:est_b', est_b FROM est "
+            "UNION ALL SELECT 'kmv', 'r:est_union', est_u FROM est "
+            "UNION ALL SELECT 'kmv', 'r:rho', CAST(rho AS DOUBLE) FROM est "
+            "UNION ALL SELECT 'kmv', 'r:jac', "
+            "round(CAST(rho AS DOUBLE) / nu, 6) FROM est "
+            "UNION ALL SELECT 'kmv', 'r:inter', "
+            "round(CAST(rho AS DOUBLE) / nu * est_u, 6) FROM est)"
         ),
     ]
 

@@ -44,7 +44,7 @@ import math
 from typing import Iterable, Iterator, Sequence
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from record_linkage_spark.operators.dedup import md5_60
@@ -639,4 +639,156 @@ def histogram_quantiles(
     first = hit.groupBy(*gb, "q").agg(F.min("bucket").alias("bucket"))
     return first.select(
         *gb, "q", _hist_lower("bucket", precision).alias("v_est")
+    )
+
+
+# --------------------------------------------------------------------------
+# KMV / theta sketch: distinct counts UNDER SET OPERATIONS
+# --------------------------------------------------------------------------
+# The gap the other sketches leave: HLL unions losslessly but cannot
+# intersect (inclusion-exclusion error explodes for small overlaps), and
+# Bloom answers membership, not cardinality. The k-minimum-values sketch
+# (Beyer et al. SIGMOD'07; the theta-sketch framing of Dasgupta et al.
+# 2016) keeps the k smallest distinct hash values; because the k-min of
+# A ∪ B is contained in (k-min of A) ∪ (k-min of B), union composes
+# exactly, and the union sketch doubles as a uniform sample of A ∪ B —
+# so |A ∩ B| / |A ∪ B| is estimated by the fraction of union-sketch
+# values present in both sides (the corpus-overlap / cross-corpus
+# contamination question dedup planning actually asks).
+
+KMV_HASH_SPACE = float(1 << HASH_BITS)  # 2^60, exactly representable
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    k: int = 256,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """The k smallest DISTINCT portable hash values per group:
+    ``(group..., h)`` rows, <= k per group.
+
+    Bounded state end to end: a per-partition mapInPandas pass keeps at
+    most k distinct hashes per (partition, group) — the heavy_hitters
+    discipline — so the shuffle carries <= k x partitions x groups rows
+    no matter how many distinct values the data holds; the final k-min
+    is a window over that bounded union. Hashes are ``md5_60`` so the
+    SQL oracle replays every retained value bit-for-bit (chk='kmv').
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    gcols = list(group_cols)
+    hashed = df.filter(F.col(value_col).isNotNull()).select(
+        *gcols, md5_60(F.col(value_col).cast("string")).alias("h")
+    )
+    schema = ", ".join(
+        [f"`{g}` string" for g in gcols] + ["h long"]
+    )
+    cast_g = hashed.select(
+        *[F.col(g).cast("string").alias(g) for g in gcols], "h"
+    )
+
+    def kmin_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: pd.DataFrame | None = None
+        for pdf in batches:
+            cur = pdf if acc is None else pd.concat([acc, pdf])
+            cur = cur.drop_duplicates()
+            if gcols:
+                acc = (
+                    cur.sort_values([*gcols, "h"], kind="mergesort")
+                    .groupby(gcols, sort=False)
+                    .head(k)
+                )
+            else:
+                acc = cur.nsmallest(k, "h")
+        if acc is not None and len(acc):
+            yield acc
+
+    summaries = cast_g.mapInPandas(kmin_partition, schema=schema).distinct()
+    w = (
+        Window.partitionBy(*gcols).orderBy("h")
+        if gcols
+        else Window.partitionBy(F.lit(1)).orderBy("h")
+    )
+    return (
+        summaries.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def kmv_merge(
+    sketches: Iterable[DataFrame], k: int, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Union + distinct + re-k-min == the sketch of the union (exact
+    mergeability — the k smallest of A ∪ B all appear in one side's
+    sketch). Epoch / streaming composition like the other sketches."""
+    it = iter(sketches)
+    out = next(it)
+    for s in it:
+        out = out.unionByName(s)
+    gcols = list(group_cols)
+    w = (
+        Window.partitionBy(*gcols).orderBy("h")
+        if gcols
+        else Window.partitionBy(F.lit(1)).orderBy("h")
+    )
+    return (
+        out.distinct()
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame, k: int, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """(group..., n_vals, est_distinct): exact when the sketch holds
+    fewer than k values (every distinct value was seen), else the
+    unbiased KMV estimator (k-1)/theta with theta = max(h)/2^60."""
+    gcols = list(group_cols)
+    agg = sketch.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_vals"), F.max("h").alias("_hmax")
+    )
+    theta = F.col("_hmax").cast("double") / F.lit(KMV_HASH_SPACE)
+    est = F.when(
+        F.col("n_vals") < k, F.col("n_vals").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / theta)
+    return agg.select(*gcols, "n_vals", F.round(est, 6).alias("est_distinct"))
+
+
+def kmv_set_report(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
+    """One row of set-operation estimates from two ungrouped sketches:
+    ``(est_a, est_b, est_union, rho, jaccard_est, est_intersection)``.
+
+    The union sketch is a k-element uniform sample of A ∪ B, so
+    ``rho`` — how many of its values lie in BOTH input sketches — gives
+    ``jaccard_est = rho / |union sketch|`` and
+    ``est_intersection = jaccard_est * est_union`` (Beyer et al. 2007).
+    Every frame here is <= k rows; the joins are semi-joins between
+    sketches, never against data.
+    """
+    u = kmv_merge([a, b], k).localCheckpoint()
+    in_both = (
+        u.join(a.select(F.col("h")), "h", "left_semi")
+        .join(b.select(F.col("h")), "h", "left_semi")
+    )
+    ests = (
+        kmv_estimate(a, k).select(F.col("est_distinct").alias("est_a"))
+        .crossJoin(kmv_estimate(b, k).select(F.col("est_distinct").alias("est_b")))
+        .crossJoin(
+            kmv_estimate(u, k).select(F.col("est_distinct").alias("est_union"))
+        )
+        .crossJoin(u.agg(F.count(F.lit(1)).alias("_nu")))
+        .crossJoin(in_both.agg(F.count(F.lit(1)).alias("rho")))
+    )
+    jac = F.col("rho").cast("double") / F.col("_nu")
+    return ests.select(
+        "est_a",
+        "est_b",
+        "est_union",
+        "rho",
+        F.round(jac, 6).alias("jaccard_est"),
+        F.round(jac * F.col("est_union"), 6).alias("est_intersection"),
     )

@@ -455,3 +455,111 @@ def test_cms_join_cardinality_never_underestimates(spark):
         depth=3,
     ).collect()[0].est_join_rows
     assert est >= true_size
+
+
+# ---------------------------------------------------------------- KMV
+
+
+def _kmv_mod(spark):
+    from record_linkage_spark.operators.sketches import kmv_sketch
+
+    return kmv_sketch
+
+
+def test_kmv_exact_below_k(spark):
+    from record_linkage_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+    df = _values_df(spark, 40)
+    sk = kmv_sketch(df, "v", k=64)
+    assert sk.count() == 40
+    est = kmv_estimate(sk, k=64).first()
+    assert est.n_vals == 40
+    assert est.est_distinct == 40.0
+
+
+def test_kmv_estimate_error_bound(spark):
+    from record_linkage_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+    n = 20000
+    sk = kmv_sketch(_values_df(spark, n), "v", k=256)
+    assert sk.count() == 256
+    est = kmv_estimate(sk, k=256).first().est_distinct
+    # relative std err ~ 1/sqrt(k-1) ~ 6.3%; allow 4 sigma
+    assert abs(est - n) / n < 0.25
+
+
+def test_kmv_duplicates_do_not_move_the_sketch(spark):
+    from record_linkage_spark.operators.sketches import kmv_sketch
+
+    base = _values_df(spark, 3000)
+    dup = base.union(base).union(base)
+    a = sorted(r.h for r in kmv_sketch(base, "v", k=128).collect())
+    b = sorted(r.h for r in kmv_sketch(dup, "v", k=128).collect())
+    assert a == b
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    from record_linkage_spark.operators.sketches import kmv_merge, kmv_sketch
+
+    a = _values_df(spark, 2000, prefix="a")
+    b = _values_df(spark, 2000, prefix="b")
+    merged = sorted(
+        r.h
+        for r in kmv_merge(
+            [kmv_sketch(a, "v", k=128), kmv_sketch(b, "v", k=128)], k=128
+        ).collect()
+    )
+    direct = sorted(r.h for r in kmv_sketch(a.union(b), "v", k=128).collect())
+    assert merged == direct
+
+
+def test_kmv_set_report_recovers_planted_overlap(spark):
+    from record_linkage_spark.operators.sketches import kmv_set_report, kmv_sketch
+
+    # A = 0..11999, B = 8000..19999 -> |A∩B| = 4000, |A∪B| = 20000, J = 0.2
+    ids = _values_df(spark, 20000)
+    a = ids.limit(0).union(ids.filter(F.substring("v", 2, 10).cast("long") < 12000))
+    b = ids.filter(F.substring("v", 2, 10).cast("long") >= 8000)
+    rep = kmv_set_report(
+        kmv_sketch(a, "v", k=512), kmv_sketch(b, "v", k=512), k=512
+    ).first()
+    assert abs(rep.est_union - 20000) / 20000 < 0.2
+    assert abs(rep.jaccard_est - 0.2) < 0.08
+    assert abs(rep.est_intersection - 4000) / 4000 < 0.45
+
+
+def test_kmv_disjoint_sets_report_zero_overlap(spark):
+    from record_linkage_spark.operators.sketches import kmv_set_report, kmv_sketch
+
+    a = kmv_sketch(_values_df(spark, 2000, prefix="x"), "v", k=128)
+    b = kmv_sketch(_values_df(spark, 2000, prefix="y"), "v", k=128)
+    rep = kmv_set_report(a, b, k=128).first()
+    assert rep.rho == 0
+    assert rep.jaccard_est == 0.0
+    assert rep.est_intersection == 0.0
+
+
+def test_kmv_grouped_and_partitioning_invariant(spark):
+    from record_linkage_spark.operators.sketches import kmv_sketch
+
+    df = spark.range(3000, numPartitions=6).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("v"),
+    )
+    a = sorted((r.g, r.h) for r in kmv_sketch(df, "v", k=32, group_cols=["g"]).collect())
+    b = sorted(
+        (r.g, r.h)
+        for r in kmv_sketch(df.repartition(11), "v", k=32, group_cols=["g"]).collect()
+    )
+    assert a == b
+    per_g = {}
+    for g, _ in a:
+        per_g[g] = per_g.get(g, 0) + 1
+    assert all(c == 32 for c in per_g.values())
+
+
+def test_kmv_validation(spark):
+    from record_linkage_spark.operators.sketches import kmv_sketch
+
+    with pytest.raises(ValueError):
+        kmv_sketch(_values_df(spark, 10), "v", k=1)
