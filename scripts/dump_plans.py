@@ -228,6 +228,31 @@ COMMENTARY = {
         "sum per doc. Zero Python end to end — tokenize/hash/normalize "
         "are all codegen expressions."
     ),
+    "drift_report": (
+        "Corpus snapshot drift (operators/drift.py). Each snapshot "
+        "reduces in ONE pass: the per-row (feature, bin) struct array "
+        "explodes and partial-aggregates map-side, so the shuffle "
+        "carries <= features x bins rows per partition; the window "
+        "total and the full-outer comparison join run over bins-sized "
+        "frames only. Zero Python; PSI/JSD/TV terms are codegen."
+    ),
+    "zorder_audit": (
+        "Z-order layout audit (operators/layout.py). The Morton code "
+        "is a codegen projection fused into the scan (zero exchanges); "
+        "the audit's exact-ntile file assignment is the single "
+        "global-order window (a report tool over samples/footer stats, "
+        "never the data path); per-file min/max collapse via one "
+        "partial-aggregated groupBy. The production write path "
+        "(zorder_layout) adds exactly one range-partition exchange."
+    ),
+    "kmv_set_report": (
+        "KMV / theta sketch set-operation report "
+        "(operators/sketches.py). The only Python is the bounded "
+        "per-partition k-min pre-prune (MapInPandas, <= k hashes per "
+        "partition); everything downstream — the k-min window, the "
+        "union, the semi-join rho, the estimator divisions — runs over "
+        "<= k-row frames, so set-overlap questions never rescan data."
+    ),
 }
 
 
@@ -497,6 +522,61 @@ def _q_entity_safe_split(spark, sf):
     return entity_safe_split(assign)
 
 
+def _q_drift_report(spark, sf):
+    from pyspark.sql import functions as F
+
+    from record_linkage_spark.operators.drift import (
+        CatSpec,
+        HistSpec,
+        drift_report,
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    specs = [
+        HistSpec("n_chars", "n_chars", (50, 100, 200, 400, 800)),
+        CatSpec("lang", "lang", ("en", "de", "fr")),
+    ]
+    return drift_report(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 3 != 0),
+        specs,
+    )
+
+
+def _q_zorder_audit(spark, sf):
+    from pyspark.sql import functions as F
+
+    from record_linkage_spark.operators.layout import (
+        file_stats,
+        range_bucket,
+        zvalue,
+    )
+
+    c = spark.read.parquet(f"{sf}/customer.parquet").select(
+        F.col("c_custkey").alias("id"),
+        range_bucket("c_nationkey", 0.0, 25.0, 4).alias("bn"),
+        range_bucket("c_acctbal", -1000.0, 10000.0, 4).alias("bb"),
+    )
+    z = c.withColumn("zval", zvalue([F.col("bn"), F.col("bb")], bits=4))
+    return file_stats(z, "id", ["bn", "bb"], n_files=8)
+
+
+def _q_kmv_set_report(spark, sf):
+    from pyspark.sql import functions as F
+
+    from record_linkage_spark.operators.sketches import (
+        kmv_set_report,
+        kmv_sketch,
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        F.col("doc_id"), F.col("doc_id").cast("string").alias("v")
+    )
+    a = kmv_sketch(docs.filter(F.col("doc_id") % 2 == 0), "v", k=64)
+    b = kmv_sketch(docs.filter(F.col("doc_id") % 3 == 0), "v", k=64)
+    return kmv_set_report(a, b, k=64)
+
+
 FALLBACK = {
     "hll_sketch": _q_hll_sketch,
     "bloom_membership": _q_bloom_membership,
@@ -516,6 +596,9 @@ FALLBACK = {
     "quantile_histogram": _q_quantile_histogram,
     "url_canonical_dedup": _q_url_canonical_dedup,
     "quality_scorer": _q_quality_scorer,
+    "drift_report": _q_drift_report,
+    "zorder_audit": _q_zorder_audit,
+    "kmv_set_report": _q_kmv_set_report,
 }
 
 

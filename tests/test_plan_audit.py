@@ -692,3 +692,76 @@ def test_histogram_plan_shapes(spark):
     assert "Window" in read_plan
     for tok in ("Python", "Arrow", "InPandas", "CartesianProduct"):
         assert tok not in read_plan
+
+
+def test_drift_plan_is_pure_catalyst_partial_agg(spark):
+    """Drift (operators/drift.py): each snapshot reduces via ONE
+    map-side-combined groupBy (explode of the per-row (feature, bin)
+    struct array), the comparison is a join of two bins-sized frames,
+    and no Python node appears anywhere."""
+    from record_linkage_spark.operators.drift import (
+        CatSpec,
+        HistSpec,
+        drift_report,
+        snapshot_fractions,
+    )
+
+    df = spark.range(500).select(
+        (F.col("id") % 97).alias("n"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("de").alias("lang"),
+    )
+    specs = [HistSpec("len", "n", (10, 40)), CatSpec("lang", "lang", ("en",))]
+    frac_plan = _plan(snapshot_fractions(df, specs))
+    assert "HashAggregate" in frac_plan
+    assert "partial_count" in frac_plan  # map-side combine before the shuffle
+    for tok in ("Python", "Arrow", "InPandas", "CartesianProduct"):
+        assert tok not in frac_plan
+
+    rep_plan = _plan(drift_report(df, df.filter(F.col("id") % 2 == 0), specs))
+    for tok in ("Python", "Arrow", "InPandas", "CartesianProduct"):
+        assert tok not in rep_plan
+
+
+def test_zvalue_is_codegen_projection_no_shuffle(spark):
+    """Z-order (operators/layout.py): the Morton code is a pure codegen
+    projection riding the scan — zero Exchange, zero Python; the layout
+    adds exactly the one range-partition exchange any sorted write pays."""
+    from record_linkage_spark.operators.layout import (
+        range_bucket,
+        zorder_layout,
+        zvalue,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        range_bucket((F.col("id") % 100).cast("double"), 0.0, 100.0, 4).alias("bx"),
+        range_bucket((F.col("id") % 7).cast("double"), 0.0, 7.0, 4).alias("by"),
+    )
+    z = df.withColumn("zval", zvalue([F.col("bx"), F.col("by")], bits=4))
+    zplan = _plan(z)
+    assert "Exchange" not in zplan
+    for tok in ("Python", "Arrow", "InPandas"):
+        assert tok not in zplan
+
+    lay_plan = _plan(zorder_layout(z, n_partitions=4))
+    assert lay_plan.count("Exchange") == 1
+    assert "rangepartitioning" in lay_plan.lower()
+    for tok in ("Python", "Arrow", "InPandas"):
+        assert tok not in lay_plan
+
+
+def test_kmv_plan_bounded_state_then_window(spark):
+    """KMV (operators/sketches.py): the only Python is the bounded
+    per-partition k-min pre-prune (mapInPandas); the merge/estimate side
+    is plain aggregates with no cartesian products."""
+    from record_linkage_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+    vals = spark.range(2000).select(F.col("id").cast("string").alias("v"))
+    sk = kmv_sketch(vals, "v", k=32)
+    sk_plan = _plan(sk)
+    assert "MapInPandas" in sk_plan  # the bounded-state pre-prune
+    assert "Window" in sk_plan
+    assert "CartesianProduct" not in sk_plan
+
+    est_plan = _plan(kmv_estimate(sk, k=32))
+    assert "HashAggregate" in est_plan
