@@ -450,6 +450,30 @@ class CurationPipeline:
             for r in length_quantiles(scrubbed, exact=False).collect()
         }
 
+        # input-vs-output distribution drift: did curation shift the
+        # corpus beyond the intended removals? One bins-bounded pass over
+        # each of the two stage tables (operators/drift.py) — the report
+        # cost is features x bins rows regardless of corpus size
+        from record_linkage_spark.operators.drift import (
+            HistSpec,
+            drift_report,
+            drift_scalars,
+        )
+
+        drift_specs = [
+            HistSpec("n_chars", "n_chars", (50, 100, 200, 400, 800))
+        ]
+        drift = {
+            r.feature: {"psi": r.psi, "jsd": r.jsd, "tv": r.tv}
+            for r in drift_scalars(
+                drift_report(
+                    docs.withColumn("n_chars", F.length("text")),
+                    sampled.withColumn("n_chars", F.length("text")),
+                    drift_specs,
+                )
+            ).collect()
+        }
+
         # funnel report from lineage row counts — zero extra Spark jobs
         stages = list(STAGES)
         if self.rule_filters:
@@ -479,6 +503,7 @@ class CurationPipeline:
                 "sampling": _delta(counts, "decontaminated", "sampled"),
             },
             "kept_frac": round(counts.get("sampled", 0) / n0, 6) if n0 else None,
+            "drift_vs_input": drift,
             # ceil(total_tokens / budget): a doc straddling the last cut
             # still opens the next bin
             "n_bins": (

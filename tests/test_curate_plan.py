@@ -282,3 +282,14 @@ def test_zratio_rule_filter_drops_repetition(
     assert kept == {1}
     assert r["removed"]["rule_filters"] == 1
     assert r["config"]["rule_filters"] == ["zratio"]
+
+
+def test_report_carries_input_vs_output_drift(report_and_wh):
+    report = report_and_wh[0]
+    drift = report["drift_vs_input"]
+    assert set(drift) == {"n_chars"}
+    d = drift["n_chars"]
+    # curation changes the corpus, so drift is defined and bounded
+    assert d["psi"] >= 0.0
+    assert 0.0 <= d["jsd"] <= 0.6932
+    assert 0.0 <= d["tv"] <= 1.0
