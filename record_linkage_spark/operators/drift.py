@@ -210,3 +210,49 @@ def corpus_drift(
         CatSpec("lang", "lang", tuple(langs)),
     ]
     return drift_scalars(drift_report(a, b, specs))
+
+
+def histogram_drift(
+    a: DataFrame, b: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Per-group PSI / JSD / TV directly from two mergeable histogram
+    states (``sketches.int_histogram`` frames: ``(group..., bucket,
+    n)``) — the drift report WITHOUT rescanning any data. This is how
+    drift composes with the streaming profile sink: per-epoch bucket
+    tables persist (``streaming.stream_histograms``), and comparing any
+    two epochs — or any two merged epoch ranges — costs a join of two
+    bucket-bound frames. Returns ``(group..., psi, jsd, tv, n_bins)``
+    with the same conventions as :func:`drift_scalars`."""
+    gcols = list(group_cols)
+    wa = Window.partitionBy(*gcols) if gcols else Window.partitionBy(F.lit(1))
+    fa = a.select(
+        *gcols, "bucket",
+        (F.col("n") / F.sum("n").over(wa)).alias("frac_a"),
+    )
+    fb = b.select(
+        *gcols, "bucket",
+        (F.col("n") / F.sum("n").over(wa)).alias("frac_b"),
+    )
+    j = fa.join(fb, [*gcols, "bucket"], "full_outer").fillna(
+        {"frac_a": 0.0, "frac_b": 0.0}
+    )
+    pa, pb = F.col("frac_a"), F.col("frac_b")
+    pa_c = F.greatest(pa, F.lit(PSI_EPS))
+    pb_c = F.greatest(pb, F.lit(PSI_EPS))
+    m = (pa + pb) / F.lit(2.0)
+    jsd_term = (
+        F.when(pa > 0, pa * F.log(pa / m)).otherwise(F.lit(0.0)) / 2.0
+        + F.when(pb > 0, pb * F.log(pb / m)).otherwise(F.lit(0.0)) / 2.0
+    )
+    terms = j.select(
+        *gcols,
+        ((pa_c - pb_c) * F.log(pa_c / pb_c)).alias("psi_term"),
+        jsd_term.alias("jsd_term"),
+        (F.abs(pa - pb) / 2.0).alias("tv_term"),
+    )
+    return terms.groupBy(*gcols).agg(
+        F.round(F.sum("psi_term"), 6).alias("psi"),
+        F.round(F.sum("jsd_term"), 6).alias("jsd"),
+        F.round(F.sum("tv_term"), 6).alias("tv"),
+        F.count("*").alias("n_bins"),
+    )

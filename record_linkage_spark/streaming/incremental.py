@@ -693,3 +693,32 @@ def merged_histogram(
     return histogram_merge(
         [spark.read.parquet(hist_dir).drop("epoch")], list(group_cols)
     )
+
+
+def epoch_drift(
+    spark: SparkSession,
+    hist_dir: str,
+    epochs_a,
+    epochs_b,
+    group_cols: tuple[str, ...] = ("role",),
+) -> DataFrame:
+    """Distribution drift between two sets of streamed epochs, computed
+    ENTIRELY from the persisted per-epoch bucket tables — no raw turn
+    is ever re-read. ``epochs_a`` / ``epochs_b`` are iterables of epoch
+    ids (e.g. yesterday's vs today's); each side merges by summed union
+    (the mergeability property) and the comparison is a join of two
+    bucket-bound frames (``operators.drift.histogram_drift``). The
+    streaming answer to "did the feed change?" at sketch cost."""
+    from record_linkage_spark.operators.drift import histogram_drift
+    from record_linkage_spark.operators.sketches import histogram_merge
+
+    def _side(epochs) -> DataFrame:
+        ids = [int(e) for e in epochs]
+        if not ids:
+            raise ValueError("each side needs at least one epoch id")
+        side = spark.read.parquet(hist_dir).filter(
+            F.col("epoch").isin(ids)
+        ).drop("epoch")
+        return histogram_merge([side], list(group_cols))
+
+    return histogram_drift(_side(epochs_a), _side(epochs_b), list(group_cols))

@@ -122,3 +122,79 @@ def test_empty_spec_list_raises(spark):
     df = _snap(spark, [(5, "en")])
     with pytest.raises(ValueError):
         snapshot_fractions(df, [])
+
+
+# ------------------------------------------------------- histogram drift
+
+
+def _hist(spark, vals, group="g"):
+    from record_linkage_spark.operators.sketches import int_histogram
+
+    df = spark.createDataFrame([(group, v) for v in vals], "g string, v long")
+    return int_histogram(df, "v", ["g"], precision=4)
+
+
+def test_histogram_drift_zero_on_identical_states(spark):
+    from record_linkage_spark.operators.drift import histogram_drift
+
+    h = _hist(spark, [3, 9, 27, 81, 243, 729])
+    out = histogram_drift(h, h, ["g"]).first()
+    assert out.psi == 0.0 and out.jsd == 0.0 and out.tv == 0.0
+
+
+def test_histogram_drift_detects_shifted_distribution(spark):
+    import math
+
+    from record_linkage_spark.operators.drift import histogram_drift
+
+    a = _hist(spark, [10 + i for i in range(50)])
+    b = _hist(spark, [10000 + 7 * i for i in range(50)])
+    out = histogram_drift(a, b, ["g"]).first()
+    assert out.psi > 0.25  # "action" territory on disjoint ranges
+    assert out.jsd == pytest.approx(math.log(2.0), abs=1e-6)
+    assert out.tv == pytest.approx(1.0, abs=1e-6)
+
+
+def test_histogram_drift_matches_drift_report_scalars(spark):
+    """histogram_drift over int_histogram states == drift_scalars over
+    the equivalent explicit bucket binning: same math, two entry
+    points."""
+    from record_linkage_spark.operators.drift import histogram_drift
+
+    a_vals = [5, 6, 7, 40, 41, 300]
+    b_vals = [5, 6, 40, 300, 301, 302]
+    a, b = _hist(spark, a_vals), _hist(spark, b_vals)
+    out = histogram_drift(a, b, ["g"]).first()
+    # independent python replay over the same bucket ids
+    from record_linkage_spark.operators.sketches import _hist_bucket  # noqa
+
+    def buckets(vals):
+        rows = (
+            spark.createDataFrame([(v,) for v in vals], "v long")
+            .select(_hist_bucket("v", 4).alias("b"))
+            .collect()
+        )
+        from collections import Counter
+
+        return Counter(r.b for r in rows)
+
+    import math
+
+    ca, cb = buckets(a_vals), buckets(b_vals)
+    na, nb = sum(ca.values()), sum(cb.values())
+    keys = set(ca) | set(cb)
+    psi = jsd = tv = 0.0
+    for k in keys:
+        pa, pb = ca.get(k, 0) / na, cb.get(k, 0) / nb
+        pac, pbc = max(pa, 1e-6), max(pb, 1e-6)
+        psi += (pac - pbc) * math.log(pac / pbc)
+        m = (pa + pb) / 2
+        if pa > 0:
+            jsd += pa * math.log(pa / m) / 2
+        if pb > 0:
+            jsd += pb * math.log(pb / m) / 2
+        tv += abs(pa - pb) / 2
+    assert out.psi == pytest.approx(psi, abs=1e-6)
+    assert out.jsd == pytest.approx(jsd, abs=1e-6)
+    assert out.tv == pytest.approx(tv, abs=1e-6)
+    assert out.n_bins == len(keys)

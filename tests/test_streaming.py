@@ -171,3 +171,60 @@ def test_stream_histograms_merge_equals_batch(spark, tmp_path):
     # readout works on the merged state
     qs = histogram_quantiles(merged, [0.5, 0.99], ["role"], precision=7)
     assert qs.count() == raw.select("role").distinct().count() * 2
+
+
+def test_epoch_drift_from_persisted_sketches_only(spark, tmp_path):
+    """epoch_drift answers "did the feed change?" from the per-epoch
+    bucket tables alone: drift(wave1, wave1-rerun) == 0 while
+    drift(wave1, shifted-wave2) fires — and the raw turns can be
+    DELETED before the comparison (state-only discipline)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from record_linkage_spark.streaming.incremental import (
+        epoch_drift,
+        stream_histograms,
+    )
+    from record_linkage_spark.synth.transcripts import (
+        generate_transcripts,
+        transcripts_table,
+    )
+
+    raw = transcripts_table(
+        generate_transcripts(spark, n_entities=30, dup_rate=1.5)
+    ).localCheckpoint()
+    wave = F.substring("conv_id", 1, 8).cast("int") >= 20
+    in_dir, hist_dir, ck = (
+        str(tmp_path / "in"), str(tmp_path / "hist"), str(tmp_path / "ck")
+    )
+    args = (spark, in_dir, hist_dir, ck)
+
+    raw.filter(~wave).write.mode("append").parquet(in_dir)
+    stream_histograms(*args).awaitTermination()
+    # wave 2: same conversations but text lengths shifted 10x
+    raw.filter(wave).withColumn(
+        "text", F.concat_ws("", F.array_repeat(F.col("text"), 10))
+    ).write.mode("append").parquet(in_dir)
+    stream_histograms(*args).awaitTermination()
+
+    epochs = sorted(
+        int(str(p.name).split("=")[1])
+        for p in (tmp_path / "hist").iterdir()
+        if "epoch=" in str(p.name)
+    )
+    assert len(epochs) >= 2
+    # the raw turns are gone; only the sketch state remains
+    shutil.rmtree(in_dir)
+
+    same = epoch_drift(spark, hist_dir, [epochs[0]], [epochs[0]])
+    assert all(r.psi == 0.0 and r.tv == 0.0 for r in same.collect())
+
+    moved = epoch_drift(spark, hist_dir, [epochs[0]], epochs[1:])
+    by_role = {r.role: r for r in moved.collect()}
+    assert any(r.psi > 0.25 for r in by_role.values())
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        epoch_drift(spark, hist_dir, [], [epochs[0]])
