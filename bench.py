@@ -534,6 +534,74 @@ def main() -> None:
 
     _, queries["quality_train_score"] = _timed_best2(_quality_pass)
 
+    # snapshot drift + epoch-state drift: two one-pass bins-bounded
+    # reductions of the corpus + a sketch-state comparison — the cheap
+    # upstream-change tripwire (operators/drift.py)
+    from record_linkage_spark.operators.drift import (
+        CatSpec,
+        HistSpec,
+        corpus_drift,
+        histogram_drift,
+    )
+
+    drift_a = docs_txt.filter(F.col("doc_id") % 2 == 0)
+    drift_b = docs_txt.filter(F.col("doc_id") % 3 != 0)
+    _, queries["drift_report"] = _timed_best2(
+        lambda: (
+            corpus_drift(drift_a, drift_b).collect(),
+            histogram_drift(
+                int_histogram(
+                    drift_a.select("lang", F.col("n_chars").cast("long").alias("v")),
+                    "v", ["lang"], precision=7,
+                ),
+                int_histogram(
+                    drift_b.select("lang", F.col("n_chars").cast("long").alias("v")),
+                    "v", ["lang"], precision=7,
+                ),
+                ["lang"],
+            ).collect(),
+        )
+    )
+
+    # z-order layout: Morton projection + the range-partition write
+    # shuffle + the file-stats audit (operators/layout.py)
+    from record_linkage_spark.operators.layout import (
+        file_stats,
+        range_bucket,
+        skipping_fraction,
+        zorder_layout,
+        zvalue,
+    )
+
+    zin = docs_txt.select(
+        "doc_id",
+        range_bucket(F.col("n_chars").cast("double"), 0.0, 2000.0, 8).alias("bl"),
+        range_bucket(
+            F.pmod(F.xxhash64("lang"), 64).cast("double"), 0.0, 64.0, 6
+        ).alias("bg"),
+    ).withColumn("zval", zvalue([F.col("bl"), F.col("bg")], bits=6))
+    def _zorder_pass():
+        laid = zorder_layout(zin, n_partitions=cpus)
+        laid.agg(F.count(F.lit(1)), F.sum("zval")).collect()
+        stats = file_stats(zin, "doc_id", ["bl", "bg"], n_files=64)
+        return skipping_fraction(stats, "bg", 8, 15).collect()
+
+    _, queries["zorder_layout"] = _timed_best2(_zorder_pass)
+
+    # KMV overlap report: bounded-state sketches of two overlapping
+    # corpus slices + the set-operation estimates (operators/sketches.py)
+    from record_linkage_spark.operators.sketches import kmv_set_report, kmv_sketch
+
+    kmv_in = docs_txt.select(
+        "doc_id", F.col("doc_id").cast("string").alias("v")
+    )
+    def _kmv_pass():
+        a = kmv_sketch(kmv_in.filter(F.col("doc_id") % 2 == 0), "v", k=1024)
+        b = kmv_sketch(kmv_in.filter(F.col("doc_id") % 3 == 0), "v", k=1024)
+        return kmv_set_report(a, b, k=1024).collect()
+
+    _, queries["kmv_overlap"] = _timed_best2(_kmv_pass)
+
     pairs_per_sec = n_deep_scored / score_sec if score_sec > 0 else 0.0
     total = sum(queries.values())
     print(
