@@ -3439,6 +3439,49 @@ def q_drift_check(spark, sf):
     return bins
 
 
+def q_skew_check(spark, sf):
+    """Skew-diagnosis fold (``operators/skew.py``): exact key counts
+    over order priorities, the per-key share / skew-factor / salt plan
+    at 8 partitions, the one-row gate, and the simulated hash-partition
+    loads + imbalance under the portable md5_60 hash. The DuckDB twin
+    replays counts, every division/ceil, the modular partition
+    assignment and the imbalance ratio."""
+    from record_linkage_spark.operators.skew import (
+        key_frequencies,
+        load_imbalance,
+        partition_loads,
+        skew_report,
+        skew_scalars,
+    )
+
+    counts = key_frequencies(
+        _t(spark, sf, "orders"), ["o_orderpriority"]
+    ).localCheckpoint()
+    rep = skew_report(counts, 8).localCheckpoint()
+    key_rows = rep.selectExpr(
+        "stack(4, key || ':n', CAST(n AS DOUBLE), key || ':share', share, "
+        "key || ':sf', skew_factor, key || ':salt', CAST(salt AS DOUBLE)) "
+        "AS (k, v)"
+    ).select(F.lit("skew").alias("chk"), "k", "v")
+    scal = skew_scalars(rep).selectExpr(
+        "stack(5, 'sc:total', CAST(total AS DOUBLE), "
+        "'sc:n_keys', CAST(n_keys AS DOUBLE), 'sc:max_share', max_share, "
+        "'sc:max_sf', max_skew_factor, 'sc:hot', CAST(n_hot_keys AS DOUBLE)) "
+        "AS (k, v)"
+    ).select(F.lit("skew").alias("chk"), "k", "v")
+    loads = partition_loads(counts, 8).localCheckpoint()
+    load_rows = loads.select(
+        F.lit("skew").alias("chk"),
+        F.concat(F.lit("p:"), F.col("part").cast("string")).alias("k"),
+        F.col("load").cast("double").alias("v"),
+    )
+    imb = load_imbalance(loads).selectExpr(
+        "stack(2, 'imb:max', CAST(max_load AS DOUBLE), 'imb:ratio', imbalance) "
+        "AS (k, v)"
+    ).select(F.lit("skew").alias("chk"), "k", "v")
+    return key_rows.unionByName(scal).unionByName(load_rows).unionByName(imb)
+
+
 def q_kmv_check(spark, sf):
     """KMV / theta-sketch fold (``operators/sketches.py``): k=64
     sketches over two overlapping order-key sets (even keys vs keys
@@ -3588,6 +3631,7 @@ def q_scalar_checks(spark, sf):
         .unionByName(q_drift_check(spark, sf))
         .unionByName(q_zorder_check(spark, sf))
         .unionByName(q_kmv_check(spark, sf))
+        .unionByName(q_skew_check(spark, sf))
     )
 
 
@@ -5182,6 +5226,38 @@ def _composite_oracles(base: dict[str, str]) -> dict[str, str]:
             "round(CAST(rho AS DOUBLE) / nu, 6) FROM est "
             "UNION ALL SELECT 'kmv', 'r:inter', "
             "round(CAST(rho AS DOUBLE) / nu * est_u, 6) FROM est)"
+        ),
+        # skew diagnosis (operators/skew.py): exact priority counts,
+        # share / skew-factor / salt plan at 8 partitions, md5_60
+        # hash-partition loads + imbalance
+        (
+            "SELECT chk, k, v FROM ("
+            "WITH c AS (SELECT o_orderpriority AS key, count(*) AS n "
+            "FROM orders GROUP BY 1), "
+            "t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c), "
+            "r AS (SELECT key, n, "
+            "round(CAST(n AS DOUBLE) / tot, 6) AS share, "
+            "round(CAST(n AS DOUBLE) / (tot / 8), 6) AS sf, "
+            "greatest(CAST(ceil(CAST(n AS DOUBLE) / tot * 8) AS BIGINT), 1) "
+            "AS salt FROM c, t), "
+            "pl AS (SELECT ('0x' || substr(md5(key), 1, 15))::BIGINT % 8 "
+            "AS part, CAST(sum(n) AS BIGINT) AS load FROM c GROUP BY 1) "
+            "SELECT 'skew' AS chk, key || ':n' AS k, CAST(n AS DOUBLE) AS v "
+            "FROM r "
+            "UNION ALL SELECT 'skew', key || ':share', share FROM r "
+            "UNION ALL SELECT 'skew', key || ':sf', sf FROM r "
+            "UNION ALL SELECT 'skew', key || ':salt', CAST(salt AS DOUBLE) FROM r "
+            "UNION ALL SELECT 'skew', 'sc:total', CAST(sum(n) AS DOUBLE) FROM r "
+            "UNION ALL SELECT 'skew', 'sc:n_keys', CAST(count(*) AS DOUBLE) FROM r "
+            "UNION ALL SELECT 'skew', 'sc:max_share', max(share) FROM r "
+            "UNION ALL SELECT 'skew', 'sc:max_sf', max(sf) FROM r "
+            "UNION ALL SELECT 'skew', 'sc:hot', CAST(sum(CASE WHEN salt > 1 "
+            "THEN 1 ELSE 0 END) AS DOUBLE) FROM r "
+            "UNION ALL SELECT 'skew', 'p:' || CAST(part AS VARCHAR), "
+            "CAST(load AS DOUBLE) FROM pl "
+            "UNION ALL SELECT 'skew', 'imb:max', CAST(max(load) AS DOUBLE) FROM pl "
+            "UNION ALL SELECT 'skew', 'imb:ratio', "
+            "round(CAST(max(load) AS DOUBLE) / avg(load), 6) FROM pl)"
         ),
     ]
 

@@ -765,3 +765,27 @@ def test_kmv_plan_bounded_state_then_window(spark):
 
     est_plan = _plan(kmv_estimate(sk, k=32))
     assert "HashAggregate" in est_plan
+
+
+def test_skew_report_is_pure_catalyst_over_counts(spark):
+    """Skew diagnosis (operators/skew.py): every report aggregates the
+    counts table only — partial-agg groupBys, a 1-row broadcast attach,
+    zero Python, no cartesian beyond the single-row crossJoin."""
+    from record_linkage_spark.operators.skew import (
+        key_frequencies,
+        load_imbalance,
+        partition_loads,
+        skew_report,
+    )
+
+    df = spark.range(500).select((F.col("id") % 17).cast("string").alias("k"))
+    counts = key_frequencies(df, ["k"])
+    cplan = _plan(counts)
+    assert "partial_count" in cplan
+    rplan = _plan(skew_report(counts, 8))
+    assert "BroadcastNestedLoopJoin" in rplan or "BroadcastHashJoin" in rplan
+    for tok in ("Python", "Arrow", "InPandas", "CartesianProduct"):
+        assert tok not in rplan
+    lplan = _plan(load_imbalance(partition_loads(counts, 8)))
+    for tok in ("Python", "Arrow", "InPandas", "CartesianProduct"):
+        assert tok not in lplan
