@@ -538,8 +538,6 @@ def main() -> None:
     # reductions of the corpus + a sketch-state comparison — the cheap
     # upstream-change tripwire (operators/drift.py)
     from record_linkage_spark.operators.drift import (
-        CatSpec,
-        HistSpec,
         corpus_drift,
         histogram_drift,
     )
@@ -575,7 +573,7 @@ def main() -> None:
 
     zin = docs_txt.select(
         "doc_id",
-        range_bucket(F.col("n_chars").cast("double"), 0.0, 2000.0, 8).alias("bl"),
+        range_bucket(F.col("n_chars").cast("double"), 0.0, 2000.0, 6).alias("bl"),
         range_bucket(
             F.pmod(F.xxhash64("lang"), 64).cast("double"), 0.0, 64.0, 6
         ).alias("bg"),

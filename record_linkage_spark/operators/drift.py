@@ -133,6 +133,30 @@ def snapshot_fractions(df: DataFrame, specs: Sequence[Spec]) -> DataFrame:
     )
 
 
+def _divergence_terms(pa: Column, pb: Column) -> tuple[Column, Column, Column]:
+    """(psi_term, jsd_term, tv_term) for one bin — the oracle-pinned
+    conventions (eps clamp for PSI; 0*ln(0/m)=0 for JSD, Lin 1991)
+    shared by :func:`drift_report` and :func:`histogram_drift` so the
+    two entry points cannot desynchronize."""
+    pa_c = F.greatest(pa, F.lit(PSI_EPS))
+    pb_c = F.greatest(pb, F.lit(PSI_EPS))
+    m = (pa + pb) / F.lit(2.0)
+    jsd = (
+        F.when(pa > 0, pa * F.log(pa / m)).otherwise(F.lit(0.0)) / 2.0
+        + F.when(pb > 0, pb * F.log(pb / m)).otherwise(F.lit(0.0)) / 2.0
+    )
+    return (pa_c - pb_c) * F.log(pa_c / pb_c), jsd, F.abs(pa - pb) / 2.0
+
+
+def _scalar_aggs() -> list[Column]:
+    return [
+        F.round(F.sum("psi_term"), 6).alias("psi"),
+        F.round(F.sum("jsd_term"), 6).alias("jsd"),
+        F.round(F.sum("tv_term"), 6).alias("tv"),
+        F.count("*").alias("n_bins"),
+    ]
+
+
 def drift_report(
     a: DataFrame, b: DataFrame, specs: Sequence[Spec]
 ) -> DataFrame:
@@ -154,15 +178,9 @@ def drift_report(
         .fillna({"n_a": 0, "n_b": 0, "frac_a": 0.0, "frac_b": 0.0})
     )
     pa, pb = F.col("frac_a"), F.col("frac_b")
-    pa_c = F.greatest(pa, F.lit(PSI_EPS))
-    pb_c = F.greatest(pb, F.lit(PSI_EPS))
-    m = (pa + pb) / F.lit(2.0)
-    # 0 * ln(0/m) == 0 by convention (Lin 1991); m > 0 whenever either
-    # side is, and rows where both are 0 never exist after the join
-    jsd_term = (
-        F.when(pa > 0, pa * F.log(pa / m)).otherwise(F.lit(0.0)) / 2.0
-        + F.when(pb > 0, pb * F.log(pb / m)).otherwise(F.lit(0.0)) / 2.0
-    )
+    # rows where both sides are 0 never exist after the join, so every
+    # JSD mix m is positive where it is used
+    psi_t, jsd_t, tv_t = _divergence_terms(pa, pb)
     return j.select(
         "feature",
         "bin",
@@ -170,9 +188,9 @@ def drift_report(
         "n_b",
         F.round(pa, 6).alias("frac_a"),
         F.round(pb, 6).alias("frac_b"),
-        ((pa_c - pb_c) * F.log(pa_c / pb_c)).alias("psi_term"),
-        jsd_term.alias("jsd_term"),
-        (F.abs(pa - pb) / 2.0).alias("tv_term"),
+        psi_t.alias("psi_term"),
+        jsd_t.alias("jsd_term"),
+        tv_t.alias("tv_term"),
     )
 
 
@@ -188,12 +206,7 @@ def drift_scalars(report: DataFrame) -> DataFrame:
     """
     return (
         report.groupBy("feature")
-        .agg(
-            F.round(F.sum("psi_term"), 6).alias("psi"),
-            F.round(F.sum("jsd_term"), 6).alias("jsd"),
-            F.round(F.sum("tv_term"), 6).alias("tv"),
-            F.count("*").alias("n_bins"),
-        )
+        .agg(*_scalar_aggs())
     )
 
 
@@ -236,23 +249,11 @@ def histogram_drift(
     j = fa.join(fb, [*gcols, "bucket"], "full_outer").fillna(
         {"frac_a": 0.0, "frac_b": 0.0}
     )
-    pa, pb = F.col("frac_a"), F.col("frac_b")
-    pa_c = F.greatest(pa, F.lit(PSI_EPS))
-    pb_c = F.greatest(pb, F.lit(PSI_EPS))
-    m = (pa + pb) / F.lit(2.0)
-    jsd_term = (
-        F.when(pa > 0, pa * F.log(pa / m)).otherwise(F.lit(0.0)) / 2.0
-        + F.when(pb > 0, pb * F.log(pb / m)).otherwise(F.lit(0.0)) / 2.0
-    )
+    psi_t, jsd_t, tv_t = _divergence_terms(F.col("frac_a"), F.col("frac_b"))
     terms = j.select(
         *gcols,
-        ((pa_c - pb_c) * F.log(pa_c / pb_c)).alias("psi_term"),
-        jsd_term.alias("jsd_term"),
-        (F.abs(pa - pb) / 2.0).alias("tv_term"),
+        psi_t.alias("psi_term"),
+        jsd_t.alias("jsd_term"),
+        tv_t.alias("tv_term"),
     )
-    return terms.groupBy(*gcols).agg(
-        F.round(F.sum("psi_term"), 6).alias("psi"),
-        F.round(F.sum("jsd_term"), 6).alias("jsd"),
-        F.round(F.sum("tv_term"), 6).alias("tv"),
-        F.count("*").alias("n_bins"),
-    )
+    return terms.groupBy(*gcols).agg(*_scalar_aggs())

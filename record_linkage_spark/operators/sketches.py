@@ -674,6 +674,10 @@ def kmv_sketch(
     no matter how many distinct values the data holds; the final k-min
     is a window over that bounded union. Hashes are ``md5_60`` so the
     SQL oracle replays every retained value bit-for-bit (chk='kmv').
+
+    Group columns are coerced to STRING in the output (the bounded-state
+    pandas pass carries them through a fixed string schema); join the
+    sketch back to typed dimensions via an explicit cast.
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")

@@ -61,7 +61,15 @@ def key_frequencies(
     groupBy; O(distinct keys) shuffle). At corpus scale feed
     ``heavy_hitters(df, key, capacity)`` output instead — rename
     ``est_count`` to ``n`` — and the report costs sketch state only."""
-    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+    # coalesce each part to a sentinel BEFORE concat_ws (which silently
+    # drops nulls — ("a", NULL) and (NULL, "a") must stay distinct keys)
+    key = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in key_cols
+        ],
+    )
     out = df.groupBy(key.alias("key")).agg(F.count(F.lit(1)).alias("n"))
     if top_n is not None:
         out = out.orderBy(F.desc("n"), "key").limit(int(top_n))

@@ -712,13 +712,23 @@ def epoch_drift(
     from record_linkage_spark.operators.drift import histogram_drift
     from record_linkage_spark.operators.sketches import histogram_merge
 
+    all_hist = spark.read.parquet(hist_dir)
+    # validate BEFORE comparing: a typo'd / never-written epoch id would
+    # otherwise read as an empty side and report maximal drift — a
+    # confidently wrong "the feed changed" answer
+    available = {r.epoch for r in all_hist.select("epoch").distinct().collect()}
+
     def _side(epochs) -> DataFrame:
         ids = [int(e) for e in epochs]
         if not ids:
             raise ValueError("each side needs at least one epoch id")
-        side = spark.read.parquet(hist_dir).filter(
-            F.col("epoch").isin(ids)
-        ).drop("epoch")
+        missing = sorted(set(ids) - available)
+        if missing:
+            raise ValueError(
+                f"epochs {missing} have no persisted histogram under "
+                f"{hist_dir} (available: {sorted(available)})"
+            )
+        side = all_hist.filter(F.col("epoch").isin(ids)).drop("epoch")
         return histogram_merge([side], list(group_cols))
 
     return histogram_drift(_side(epochs_a), _side(epochs_b), list(group_cols))

@@ -91,3 +91,13 @@ def test_partitioning_invariance_and_validation(spark):
         skew_report(counts, 0)
     with pytest.raises(ValueError):
         partition_loads(counts, -1)
+
+
+def test_null_key_parts_stay_distinct(spark):
+    df = spark.createDataFrame(
+        [("a", None), (None, "a"), ("a", "b")], "x string, y string"
+    )
+    out = key_frequencies(df, ["x", "y"]).collect()
+    # concat_ws drops nulls; the sentinel must keep all three distinct
+    assert len(out) == 3
+    assert all(r.n == 1 for r in out)

@@ -228,3 +228,6 @@ def test_epoch_drift_from_persisted_sketches_only(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         epoch_drift(spark, hist_dir, [], [epochs[0]])
+    # a never-written epoch id must error, not read as maximal drift
+    with _pytest.raises(ValueError, match="no persisted histogram"):
+        epoch_drift(spark, hist_dir, [epochs[0]], [max(epochs) + 99])
