@@ -150,6 +150,43 @@ class Warehouse:
         except Exception:
             return []
 
+    def _apply_zorder(
+        self, df: DataFrame, zorder_by: list[str]
+    ) -> tuple[DataFrame, dict]:
+        """Cluster the stage output on the Morton code of the named
+        numeric columns before writing (``operators/layout.py``), so the
+        parquet footer min/max prune scans on EVERY clustered column.
+        Ranges are derived from THIS frame (one extra aggregate pass)
+        and recorded in lineage so readers/audits can rebuild the exact
+        z-values; nulls sort together under the null z-value."""
+        from pyspark.sql import functions as F
+
+        from record_linkage_spark.operators.layout import (
+            range_bucket,
+            zorder_layout,
+            zvalue,
+        )
+
+        bits = min(16, 62 // len(zorder_by))
+        stats = df.agg(
+            *[F.min(F.col(c).cast("double")).alias(f"_mn_{c}") for c in zorder_by],
+            *[F.max(F.col(c).cast("double")).alias(f"_mx_{c}") for c in zorder_by],
+        ).first()
+        buckets, ranges = [], {}
+        for c in zorder_by:
+            mn = stats[f"_mn_{c}"]
+            mx = stats[f"_mx_{c}"]
+            mn = 0.0 if mn is None else float(mn)
+            mx = mn + 1.0 if mx is None or float(mx) <= mn else float(mx)
+            ranges[c] = [mn, mx]
+            buckets.append(range_bucket(F.col(c).cast("double"), mn, mx, bits))
+        z = df.withColumn("_zval", zvalue(buckets, bits))
+        return zorder_layout(z, "_zval").drop("_zval"), {
+            "columns": list(zorder_by),
+            "bits": bits,
+            "ranges": ranges,
+        }
+
     def write(
         self,
         name: str,
@@ -158,8 +195,12 @@ class Warehouse:
         inputs: list[str] | None = None,
         metrics: dict | None = None,
         partition_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> DataFrame:
         t0 = time.time()
+        zorder_meta = None
+        if zorder_by:
+            df, zorder_meta = self._apply_zorder(df, zorder_by)
         fmt = self.resolved_fmt()
         if fmt == "iceberg":
             partitions = self._write_iceberg(name, df, partition_by)
@@ -180,6 +221,7 @@ class Warehouse:
             "schema": df.schema.simpleString(),
             "partitions": partitions,
             "metrics": metrics or {},
+            **({"zorder": zorder_meta} if zorder_meta else {}),
             "write_seconds": round(time.time() - t0, 3),
             "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             **self.extra_lineage,
@@ -198,6 +240,7 @@ class Warehouse:
         resume: bool = True,
         metrics_fn: Callable[[DataFrame], dict] | None = None,
         partition_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> DataFrame:
         """Compute-or-resume: reuse the committed table iff it exists and was
         produced under the same config hash (stage-level resumability,
@@ -209,5 +252,11 @@ class Warehouse:
         df = fn()
         metrics = metrics_fn(df) if metrics_fn else None
         return self.write(
-            name, df, cfg=cfg, inputs=inputs, metrics=metrics, partition_by=partition_by
+            name,
+            df,
+            cfg=cfg,
+            inputs=inputs,
+            metrics=metrics,
+            partition_by=partition_by,
+            zorder_by=zorder_by,
         )

@@ -117,3 +117,66 @@ def test_format_gate_selects_iceberg_writer(spark, tmp_path, monkeypatch):
     assert lin["row_count"] == 3
     # parquet path untouched on disk for the table itself
     assert not (tmp_path / "stage_x" / "_SUCCESS").exists()
+
+
+def test_zorder_by_clusters_stage_files(spark, tmp_path):
+    """write(zorder_by=...) lays the stage table out on the Morton code:
+    lineage records the z-spec, and rebuilding the z-values from that
+    spec shows every parquet file covers a DISJOINT z-range (the footer
+    min/max a reader prunes by)."""
+    from pyspark.sql import functions as F
+
+    from record_linkage_spark.operators.layout import range_bucket, zvalue
+    from record_linkage_spark.sources.checkpoints import Warehouse
+
+    wh = Warehouse(root=str(tmp_path / "zwh"), spark=spark)
+    df = spark.range(4096, numPartitions=8).select(
+        F.col("id"),
+        (F.col("id") % 64).cast("double").alias("x"),
+        (F.col("id") / 64).cast("double").alias("y"),
+    )
+    wh.write("pts", df, cfg={"v": 1}, zorder_by=["x", "y"])
+
+    lin = wh.lineage("pts")
+    zmeta = lin["zorder"]
+    assert zmeta["columns"] == ["x", "y"]
+    assert zmeta["bits"] == 16
+    assert zmeta["ranges"]["x"] == [0.0, 63.0]
+
+    back = wh.read("pts").withColumn("_file", F.input_file_name())
+    bits = zmeta["bits"]
+    buckets = [
+        range_bucket(F.col(c).cast("double"), *zmeta["ranges"][c], bits)
+        for c in zmeta["columns"]
+    ]
+    spans = (
+        back.withColumn("zval", zvalue(buckets, bits))
+        .groupBy("_file")
+        .agg(F.min("zval").alias("lo"), F.max("zval").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(spans) > 1
+    for a, b in zip(spans, spans[1:]):
+        assert a.hi <= b.lo  # contiguous non-overlapping z-ranges per file
+
+    # row content is unchanged by the layout
+    assert wh.read("pts").count() == 4096
+    assert set(wh.read("pts").columns) == {"id", "x", "y"}
+
+
+def test_zorder_by_handles_constant_and_null_columns(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from record_linkage_spark.sources.checkpoints import Warehouse
+
+    wh = Warehouse(root=str(tmp_path / "zwh2"), spark=spark)
+    df = spark.range(50).select(
+        F.col("id"),
+        F.lit(7.0).alias("c"),                       # degenerate range
+        F.when(F.col("id") % 5 == 0, None).otherwise(F.col("id"))
+        .cast("double").alias("n"),                  # nulls present
+    )
+    out = wh.write("deg", df, cfg={}, zorder_by=["c", "n"])
+    assert out.count() == 50
+    assert wh.lineage("deg")["zorder"]["ranges"]["c"] == [7.0, 8.0]
