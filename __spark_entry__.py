@@ -3439,6 +3439,32 @@ def q_drift_check(spark, sf):
     return bins
 
 
+def q_chunks_check(spark, sf):
+    """Chunking fold (``operators/chunking.py``): overlapping 32-token
+    windows at stride 16 over the first 120 documents; each row's check
+    key embeds (doc, chunk_idx, start offset, first token, last token)
+    and the value is the chunk length — boundaries, coverage and tail
+    behavior are all value-checked. The DuckDB twin replays tokenize →
+    generate_series → 1-based clamped slice."""
+    from record_linkage_spark.operators.chunking import chunk_documents
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") <= 120)
+    ch = chunk_documents(d, chunk_tokens=32, stride=16)
+    piece = F.split(F.col("chunk_text"), " ")
+    return ch.select(
+        F.lit("chunks").alias("chk"),
+        F.concat_ws(
+            ":",
+            F.col("doc_id").cast("string"),
+            F.col("chunk_idx").cast("string"),
+            F.col("start_tok").cast("string"),
+            F.element_at(piece, 1),
+            F.element_at(piece, -1),
+        ).alias("k"),
+        F.col("n_tok").cast("double").alias("v"),
+    )
+
+
 def q_skew_check(spark, sf):
     """Skew-diagnosis fold (``operators/skew.py``): exact key counts
     over order priorities, the per-key share / skew-factor / salt plan
@@ -3632,6 +3658,7 @@ def q_scalar_checks(spark, sf):
         .unionByName(q_zorder_check(spark, sf))
         .unionByName(q_kmv_check(spark, sf))
         .unionByName(q_skew_check(spark, sf))
+        .unionByName(q_chunks_check(spark, sf))
     )
 
 
@@ -5258,6 +5285,24 @@ def _composite_oracles(base: dict[str, str]) -> dict[str, str]:
             "UNION ALL SELECT 'skew', 'imb:max', CAST(max(load) AS DOUBLE) FROM pl "
             "UNION ALL SELECT 'skew', 'imb:ratio', "
             "round(CAST(max(load) AS DOUBLE) / avg(load), 6) FROM pl)"
+        ),
+        # document chunking (operators/chunking.py): 32-token windows at
+        # stride 16, boundary tokens embedded in the check key
+        (
+            "SELECT chk, k, v FROM ("
+            "WITH d AS (SELECT doc_id, string_split_regex("
+            "trim(coalesce(text, '')), '\\s+') AS toks "
+            "FROM documents WHERE doc_id <= 120), "
+            "f AS (SELECT doc_id, toks, len(toks) AS n FROM d "
+            "WHERE len(toks) > 0 AND toks[1] <> ''), "
+            "s AS (SELECT doc_id, toks, n, "
+            "unnest(generate_series(0, n - 1, 16)) AS start FROM f), "
+            "c AS (SELECT doc_id, start // 16 AS chunk_idx, start, "
+            "toks[start + 1 : start + 32] AS piece FROM s) "
+            "SELECT 'chunks' AS chk, CAST(doc_id AS VARCHAR) || ':' || "
+            "CAST(chunk_idx AS VARCHAR) || ':' || CAST(start AS VARCHAR) "
+            "|| ':' || piece[1] || ':' || piece[len(piece)] AS k, "
+            "CAST(len(piece) AS DOUBLE) AS v FROM c)"
         ),
     ]
 

@@ -789,3 +789,18 @@ def test_skew_report_is_pure_catalyst_over_counts(spark):
     lplan = _plan(load_imbalance(partition_loads(counts, 8)))
     for tok in ("Python", "Arrow", "InPandas", "CartesianProduct"):
         assert tok not in lplan
+
+
+def test_chunking_plan_zero_shuffle(spark):
+    """Chunking (operators/chunking.py): the whole stage is a codegen
+    projection + generator riding the scan — no Exchange, no Python."""
+    from record_linkage_spark.operators.chunking import chunk_documents
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.array_repeat(F.lit("tok"), 40)).alias("text"),
+    )
+    plan = _plan(chunk_documents(docs, 16, 8))
+    assert "Exchange" not in plan
+    for tok in ("Python", "Arrow", "InPandas"):
+        assert tok not in plan
