@@ -3439,6 +3439,35 @@ def q_drift_check(spark, sf):
     return bins
 
 
+def q_hardneg_check(spark, sf):
+    """Hard-negative mining fold (``operators/active.py``): the brute
+    cosine top-5 (the oracle-proven ``ann_brute_topk`` frame) with
+    planted positives (vec v ~ v+1 for v < 10) anti-joined out, top-3
+    survivors per query re-ranked. The DuckDB twin wraps the same
+    top-k SQL with the canonical-pair NOT EXISTS and the re-rank."""
+    from record_linkage_spark.operators.active import hard_negatives
+
+    topk = q_ann_brute_topk(spark, sf)
+    pos = (
+        _t(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("id_A"), (F.col("vec_id") + 1).alias("id_B")
+        )
+    )
+    hn = hard_negatives(topk, pos, per_query=3)
+    return hn.select(
+        F.lit("hardneg").alias("chk"),
+        F.concat_ws(
+            ":",
+            F.col("query_id").cast("string"),
+            F.col("hn_rank").cast("string"),
+            F.col("neighbor_id").cast("string"),
+        ).alias("k"),
+        F.col("cosine").cast("double").alias("v"),
+    )
+
+
 def q_chunks_check(spark, sf):
     """Chunking fold (``operators/chunking.py``): overlapping 32-token
     windows at stride 16 over the first 120 documents; each row's check
@@ -3659,6 +3688,7 @@ def q_scalar_checks(spark, sf):
         .unionByName(q_kmv_check(spark, sf))
         .unionByName(q_skew_check(spark, sf))
         .unionByName(q_chunks_check(spark, sf))
+        .unionByName(q_hardneg_check(spark, sf))
     )
 
 
@@ -5303,6 +5333,24 @@ def _composite_oracles(base: dict[str, str]) -> dict[str, str]:
             "CAST(chunk_idx AS VARCHAR) || ':' || CAST(start AS VARCHAR) "
             "|| ':' || piece[1] || ':' || piece[len(piece)] AS k, "
             "CAST(len(piece) AS DOUBLE) AS v FROM c)"
+        ),
+        # hard-negative mining (operators/active.py): the ann_brute_topk
+        # frame minus planted positives, top-3 survivors per query
+        (
+            "SELECT chk, k, v FROM ("
+            f"WITH tk AS ({base['ann_brute_topk']}), "
+            "pos AS (SELECT vec_id AS ka, vec_id + 1 AS kb "
+            "FROM embeddings WHERE vec_id < 10), "
+            "surv AS (SELECT * FROM tk WHERE NOT EXISTS ("
+            "SELECT 1 FROM pos WHERE "
+            "least(tk.query_id, tk.neighbor_id) = pos.ka "
+            "AND greatest(tk.query_id, tk.neighbor_id) = pos.kb)), "
+            "r AS (SELECT query_id, neighbor_id, cosine, row_number() "
+            "OVER (PARTITION BY query_id ORDER BY cosine DESC, "
+            "neighbor_id ASC) AS hn FROM surv) "
+            "SELECT 'hardneg' AS chk, CAST(query_id AS VARCHAR) || ':' || "
+            "CAST(hn AS VARCHAR) || ':' || CAST(neighbor_id AS VARCHAR) AS k, "
+            "CAST(cosine AS DOUBLE) AS v FROM r WHERE hn <= 3)"
         ),
     ]
 

@@ -126,3 +126,51 @@ def active_learning_loop(
             .localCheckpoint()
         )
     return model, labels, history
+
+
+def hard_negatives(
+    topk: DataFrame,
+    positives: DataFrame,
+    per_query: int = 5,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+    score_col: str = "cosine",
+) -> DataFrame:
+    """Highest-similarity NON-matching neighbors per query — the
+    training negatives that teach a scorer the decision boundary, where
+    random negatives (X2's stratified sampler) teach it almost nothing
+    once it clears the easy cases (the BM25/ANN hard-negative recipe of
+    Karpukhin et al., "Dense Passage Retrieval", EMNLP 2020, applied to
+    the ER candidate space).
+
+    ``topk`` is any neighbor frame shaped like the ANN operators'
+    output (``(query_id, neighbor_id, <score>, ...)``); ``positives``
+    is the ground-truth match table (any orientation — pairs are
+    canonicalized before the exclusion). Returns the ``per_query``
+    most-similar surviving neighbors per query with ``hn_rank``.
+
+    Scale shape: the exclusion is ONE anti-join on the canonical pair
+    key (the ground-truth side is the small one — AQE broadcasts it);
+    the re-rank window partitions by query over at most the input's k
+    rows per query. Nothing collects.
+    """
+    if per_query < 1:
+        raise ValueError(f"per_query must be >= 1, got {per_query}")
+    from pyspark.sql import Window
+
+    qc, nc = F.col(query_col), F.col(neighbor_col)
+    cand = topk.withColumn("_ka", F.least(qc, nc)).withColumn(
+        "_kb", F.greatest(qc, nc)
+    )
+    pos = positives.select(
+        F.least(F.col("id_A"), F.col("id_B")).alias("_ka"),
+        F.greatest(F.col("id_A"), F.col("id_B")).alias("_kb"),
+    ).distinct()
+    survivors = cand.join(pos, ["_ka", "_kb"], "left_anti").drop("_ka", "_kb")
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc(score_col), F.asc(neighbor_col)
+    )
+    return (
+        survivors.withColumn("hn_rank", F.row_number().over(w))
+        .filter(F.col("hn_rank") <= per_query)
+    )

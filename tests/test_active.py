@@ -94,3 +94,39 @@ def test_active_loop_improves_f1_with_small_budget(spark):
     n_labels = labels.count()
     assert n_labels <= 4 + 15 * 3  # budget respected
     assert [h["round"] for h in history] == list(range(len(history)))
+
+
+def test_hard_negatives_exclude_positives_and_rank(spark):
+    from record_linkage_spark.operators.active import hard_negatives
+
+    topk = spark.createDataFrame(
+        [
+            (1, 2, 0.99, 1), (1, 3, 0.95, 2), (1, 4, 0.90, 3), (1, 5, 0.85, 4),
+            (2, 1, 0.99, 1), (2, 6, 0.80, 2),
+        ],
+        "query_id long, neighbor_id long, cosine double, rank int",
+    )
+    # (1,2) and (2,1) are true matches — both orientations canonicalize
+    gt = spark.createDataFrame([(2, 1)], "id_A long, id_B long")
+    out = hard_negatives(topk, gt, per_query=2).collect()
+    got = {(r.query_id, r.hn_rank): r.neighbor_id for r in out}
+    # query 1: 2 excluded -> hardest survivors 3 then 4; query 2: 1 excluded -> 6
+    assert got == {(1, 1): 3, (1, 2): 4, (2, 1): 6}
+
+
+def test_hard_negatives_tie_break_and_validation(spark):
+    import pytest
+
+    from record_linkage_spark.operators.active import hard_negatives
+
+    topk = spark.createDataFrame(
+        [(1, 9, 0.5, 1), (1, 7, 0.5, 2), (1, 8, 0.5, 3)],
+        "query_id long, neighbor_id long, cosine double, rank int",
+    )
+    gt = spark.createDataFrame([], "id_A long, id_B long")
+    out = hard_negatives(topk, gt, per_query=2).collect()
+    assert [(r.hn_rank, r.neighbor_id) for r in sorted(out, key=lambda r: r.hn_rank)] == [
+        (1, 7), (2, 8)
+    ]
+    with pytest.raises(ValueError):
+        hard_negatives(topk, gt, per_query=0)
