@@ -3439,6 +3439,33 @@ def q_drift_check(spark, sf):
     return bins
 
 
+def q_cohort_funnel_check(spark, sf):
+    """Product-analytics fold (``operators/agent_analytics.py``): the
+    7-day cohort retention matrix over the events activity stream plus
+    the strict-order signup→view→purchase funnel (counts and
+    conversion fractions). The DuckDB twin replays the distinct-day
+    activity set, the epoch-anchored calendar math, and the
+    min-after-previous-step sequential joins."""
+    from record_linkage_spark.operators.agent_analytics import (
+        cohort_retention,
+        event_funnel,
+    )
+
+    ev = _t(spark, sf, "events")
+    coh = cohort_retention(ev, period_days=7).select(
+        F.lit("cohort").alias("chk"),
+        F.concat_ws(
+            ":", F.col("cohort").cast("string"), F.col("offset").cast("string")
+        ).alias("k"),
+        F.col("n_users").cast("double").alias("v"),
+    )
+    fun = event_funnel(ev, ["signup", "view", "purchase"]).selectExpr(
+        "stack(2, step_idx || ':' || step || ':n', CAST(n_users AS DOUBLE), "
+        "step_idx || ':' || step || ':f', frac_of_first) AS (k, v)"
+    ).select(F.lit("funnel").alias("chk"), "k", "v")
+    return coh.unionByName(fun)
+
+
 def q_hardneg_check(spark, sf):
     """Hard-negative mining fold (``operators/active.py``): the brute
     cosine top-5 (the oracle-proven ``ann_brute_topk`` frame) with
@@ -3689,6 +3716,7 @@ def q_scalar_checks(spark, sf):
         .unionByName(q_skew_check(spark, sf))
         .unionByName(q_chunks_check(spark, sf))
         .unionByName(q_hardneg_check(spark, sf))
+        .unionByName(q_cohort_funnel_check(spark, sf))
     )
 
 
@@ -5351,6 +5379,40 @@ def _composite_oracles(base: dict[str, str]) -> dict[str, str]:
             "SELECT 'hardneg' AS chk, CAST(query_id AS VARCHAR) || ':' || "
             "CAST(hn AS VARCHAR) || ':' || CAST(neighbor_id AS VARCHAR) AS k, "
             "CAST(cosine AS DOUBLE) AS v FROM r WHERE hn <= 3)"
+        ),
+        # cohort retention + strict-order funnel (operators/agent_analytics.py)
+        (
+            "SELECT chk, k, v FROM ("
+            "WITH act AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day "
+            "FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL), "
+            "fi AS (SELECT u, min(day) AS fd FROM act GROUP BY 1), "
+            "m AS (SELECT CAST(floor(datediff('day', DATE '1970-01-01', fd) "
+            "/ 7) AS BIGINT) AS cohort, "
+            "CAST(floor(datediff('day', fd, day) / 7) AS BIGINT) AS offs, "
+            "act.u AS u FROM act JOIN fi ON act.u = fi.u), "
+            "s1 AS (SELECT user_id AS u, min(ts) AS t FROM events "
+            "WHERE event_type = 'signup' AND ts IS NOT NULL "
+            "AND user_id IS NOT NULL GROUP BY 1), "
+            "s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e "
+            "JOIN s1 ON e.user_id = s1.u WHERE e.event_type = 'view' "
+            "AND e.ts IS NOT NULL AND e.ts > s1.t GROUP BY 1), "
+            "s3 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e "
+            "JOIN s2 ON e.user_id = s2.u WHERE e.event_type = 'purchase' "
+            "AND e.ts IS NOT NULL AND e.ts > s2.t GROUP BY 1), "
+            "n AS (SELECT (SELECT count(*) FROM s1) AS n1, "
+            "(SELECT count(*) FROM s2) AS n2, (SELECT count(*) FROM s3) AS n3) "
+            "SELECT 'cohort' AS chk, CAST(cohort AS VARCHAR) || ':' || "
+            "CAST(offs AS VARCHAR) AS k, CAST(count(DISTINCT u) AS DOUBLE) AS v "
+            "FROM m GROUP BY cohort, offs "
+            "UNION ALL SELECT 'funnel', '0:signup:n', CAST(n1 AS DOUBLE) FROM n "
+            "UNION ALL SELECT 'funnel', '1:view:n', CAST(n2 AS DOUBLE) FROM n "
+            "UNION ALL SELECT 'funnel', '2:purchase:n', CAST(n3 AS DOUBLE) FROM n "
+            "UNION ALL SELECT 'funnel', '0:signup:f', "
+            "round(CAST(n1 AS DOUBLE) / n1, 6) FROM n "
+            "UNION ALL SELECT 'funnel', '1:view:f', "
+            "round(CAST(n2 AS DOUBLE) / n1, 6) FROM n "
+            "UNION ALL SELECT 'funnel', '2:purchase:f', "
+            "round(CAST(n3 AS DOUBLE) / n1, 6) FROM n)"
         ),
     ]
 

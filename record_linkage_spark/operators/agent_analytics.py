@@ -327,3 +327,108 @@ def tool_transitions(
             F.countDistinct("_conv").cast("long").alias("n_convs"),
         )
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix over an activity stream: users are
+    cohorted by their FIRST active day (bucketed into ``period_days``
+    periods anchored at the Unix epoch), and each later active period
+    contributes one cell — ``(cohort, offset, n_users)`` where
+    ``offset`` counts periods since the user's first activity. The
+    classic product-analytics readout ("of the users who arrived in
+    week W, how many were still active k weeks later"), here over
+    agent/transcript activity.
+
+    Scale shape: one distinct over (user, day) — the only O(events)
+    shuffle, map-side combinable — then a groupBy(user) min for the
+    cohort anchor, a hash join of the two user-keyed frames (same key,
+    same partitioning), and a final groupBy bounded by
+    cohorts x offsets. Deterministic calendar math only (no sessions,
+    no randomness), so the SQL oracle replays it exactly.
+    """
+    if period_days < 1:
+        raise ValueError(f"period_days must be >= 1, got {period_days}")
+    u, d = F.col(user_col), F.to_date(F.col(ts_col))
+    act = (
+        events.filter(F.col(ts_col).isNotNull() & u.isNotNull())
+        .select(u.alias("user"), d.alias("day"))
+        .distinct()
+    )
+    first = act.groupBy("user").agg(F.min("day").alias("first_day"))
+    epoch = F.lit("1970-01-01").cast("date")
+    j = act.join(first, "user")
+    return (
+        j.select(
+            F.floor(
+                F.datediff(F.col("first_day"), epoch) / period_days
+            ).alias("cohort"),
+            F.floor(
+                F.datediff(F.col("day"), F.col("first_day")) / period_days
+            ).alias("offset"),
+            F.col("user"),
+        )
+        .groupBy("cohort", "offset")
+        .agg(F.countDistinct("user").alias("n_users"))
+    )
+
+
+def event_funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Strict-order funnel: a user converts through step ``i`` only if
+    step ``i``'s event happens STRICTLY AFTER their earliest completion
+    of step ``i-1`` (the standard sequential-funnel semantics — doing
+    checkout before ever searching does not count). Returns
+    ``(step_idx, step, n_users, frac_of_first)``.
+
+    Scale shape: per step ONE filtered groupBy(user) min-timestamp over
+    the events that beat the previous step's time, joined user-to-user
+    — k steps cost k bounded aggregates and k equality joins on the
+    user key (the reached-user table only shrinks); nothing collects
+    and no window over the raw stream is needed.
+    """
+    if not steps:
+        raise ValueError("at least one funnel step is required")
+    u, ts = F.col(user_col), F.col(ts_col)
+    base = events.filter(ts.isNotNull() & u.isNotNull())
+    reached = None  # (user, t_prev)
+    counts = []
+    for i, step in enumerate(steps):
+        ev = base.filter(F.col(type_col) == step).select(
+            u.alias("user"), ts.alias("_t")
+        )
+        if reached is None:
+            cur = ev.groupBy("user").agg(F.min("_t").alias("_t_prev"))
+        else:
+            cur = (
+                ev.join(reached, "user")
+                .filter(F.col("_t") > F.col("_t_prev"))
+                .groupBy("user")
+                .agg(F.min("_t").alias("_t_prev"))
+            )
+        reached = cur.localCheckpoint()
+        counts.append((i, step, reached.count()))
+    n0 = counts[0][2]
+    import math
+
+    def _round6(x: float) -> float:
+        # half-up to match SQL round() (python round() is banker's)
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        [
+            (i, s, n, _round6(n / n0) if n0 else 0.0)
+            for i, s, n in counts
+        ],
+        "step_idx int, step string, n_users long, frac_of_first double",
+    )

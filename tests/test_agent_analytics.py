@@ -206,3 +206,102 @@ def test_plan_shapes(spark):
     for line in plan3.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "conv_id" in line.split("hashpartitioning", 1)[1][:60]
+
+
+# ------------------------------------------------- cohorts and funnels
+
+
+def _activity(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+
+
+def test_cohort_retention_matrix(spark):
+    import datetime as dt
+
+    from record_linkage_spark.operators.agent_analytics import cohort_retention
+
+    d = lambda s: dt.datetime.fromisoformat(s)
+    rows = [
+        # user 1 arrives week 0 (1970-01-01 is a Thursday; cohorts anchor
+        # at the epoch), active again 7 and 14 days later
+        (1, "x", d("1970-01-01T10:00")),
+        (1, "x", d("1970-01-08T10:00")),
+        (1, "x", d("1970-01-15T10:00")),
+        # user 2 arrives same period, never returns
+        (2, "x", d("1970-01-02T09:00")),
+        # user 3 arrives a period later, returns once
+        (3, "x", d("1970-01-09T09:00")),
+        (3, "x", d("1970-01-17T09:00")),
+        (4, "x", None),  # null ts dropped
+    ]
+    out = {
+        (r.cohort, r.offset): r.n_users
+        for r in cohort_retention(_activity(spark, rows), period_days=7).collect()
+    }
+    assert out[(0, 0)] == 2           # users 1 and 2
+    assert out[(0, 1)] == 1           # only user 1 returns
+    assert out[(0, 2)] == 1
+    assert out[(1, 0)] == 1           # user 3
+    assert out[(1, 1)] == 1
+    assert (0, 3) not in out
+
+
+def test_cohort_duplicate_events_count_once(spark):
+    import datetime as dt
+
+    from record_linkage_spark.operators.agent_analytics import cohort_retention
+
+    t = dt.datetime.fromisoformat("1970-01-01T10:00")
+    rows = [(1, "x", t)] * 5
+    out = cohort_retention(_activity(spark, rows)).collect()
+    assert len(out) == 1 and out[0].n_users == 1
+
+
+def test_event_funnel_strict_order(spark):
+    import datetime as dt
+
+    from record_linkage_spark.operators.agent_analytics import event_funnel
+
+    d = lambda s: dt.datetime.fromisoformat(s)
+    rows = [
+        # user 1 completes a -> b -> c in order
+        (1, "a", d("2026-01-01T10:00")),
+        (1, "b", d("2026-01-01T11:00")),
+        (1, "c", d("2026-01-01T12:00")),
+        # user 2 does b BEFORE a — must not convert past step a
+        (2, "b", d("2026-01-01T09:00")),
+        (2, "a", d("2026-01-01T10:00")),
+        # user 3 stops after b
+        (3, "a", d("2026-01-01T10:00")),
+        (3, "b", d("2026-01-01T10:30")),
+        # user 4 never does step a
+        (4, "b", d("2026-01-01T10:00")),
+        (4, "c", d("2026-01-01T11:00")),
+    ]
+    out = {r.step: (r.n_users, r.frac_of_first) for r in event_funnel(
+        _activity(spark, rows), ["a", "b", "c"]
+    ).collect()}
+    assert out["a"] == (3, 1.0)
+    assert out["b"] == (2, round(2 / 3, 6))
+    assert out["c"] == (1, round(1 / 3, 6))
+
+
+def test_event_funnel_validation_and_invariance(spark):
+    import datetime as dt
+
+    import pytest
+
+    from record_linkage_spark.operators.agent_analytics import event_funnel
+
+    t0 = dt.datetime.fromisoformat("2026-01-01T10:00")
+    rows = [
+        (i, s, t0 + dt.timedelta(minutes=i * 3 + j))
+        for i in range(30)
+        for j, s in enumerate(["a", "b"])
+    ]
+    df = _activity(spark, rows)
+    with pytest.raises(ValueError):
+        event_funnel(df, [])
+    a = sorted(map(tuple, event_funnel(df, ["a", "b"]).collect()))
+    b = sorted(map(tuple, event_funnel(df.repartition(7), ["a", "b"]).collect()))
+    assert a == b
