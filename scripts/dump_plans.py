@@ -253,6 +253,27 @@ COMMENTARY = {
         "union, the semi-join rho, the estimator divisions — runs over "
         "<= k-row frames, so set-overlap questions never rescan data."
     ),
+    "skew_salting_plan": (
+        "Shuffle-skew diagnosis (operators/skew.py). Exact key counts "
+        "partial-aggregate map-side; the report is aggregates of that "
+        "counts table with a 1-row total attach (broadcast) — the data "
+        "itself is never touched, and at corpus scale the counts input "
+        "is a heavy-hitters/CMS sketch instead. Zero Python."
+    ),
+    "document_chunks": (
+        "Document chunking (operators/chunking.py). split + sequence + "
+        "posexplode + slice fuse into the scan: ZERO exchanges, zero "
+        "Python — a map-only stage whose fan-out is bounded by each "
+        "document's own length, pipelining straight into the "
+        "embedding/batch-score pass."
+    ),
+    "cohort_funnel": (
+        "Cohort retention (operators/agent_analytics.py). The distinct "
+        "(user, day) projection is the only event-mass shuffle "
+        "(partial-aggregated); the cohort anchor and the matrix are "
+        "user-keyed joins + a cohorts x offsets-bounded aggregate. "
+        "Zero Python, no raw-stream window."
+    ),
 }
 
 
@@ -577,6 +598,27 @@ def _q_kmv_set_report(spark, sf):
     return kmv_set_report(a, b, k=64)
 
 
+def _q_skew_salting_plan(spark, sf):
+    from record_linkage_spark.operators.skew import key_frequencies, skew_report
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    return skew_report(key_frequencies(li, ["l_suppkey"]), 32)
+
+
+def _q_document_chunks(spark, sf):
+    from record_linkage_spark.operators.chunking import chunk_documents
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return chunk_documents(docs, chunk_tokens=32, stride=16)
+
+
+def _q_cohort_funnel(spark, sf):
+    from record_linkage_spark.operators.agent_analytics import cohort_retention
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return cohort_retention(ev, period_days=7)
+
+
 FALLBACK = {
     "hll_sketch": _q_hll_sketch,
     "bloom_membership": _q_bloom_membership,
@@ -599,6 +641,9 @@ FALLBACK = {
     "drift_report": _q_drift_report,
     "zorder_audit": _q_zorder_audit,
     "kmv_set_report": _q_kmv_set_report,
+    "skew_salting_plan": _q_skew_salting_plan,
+    "document_chunks": _q_document_chunks,
+    "cohort_funnel": _q_cohort_funnel,
 }
 
 
