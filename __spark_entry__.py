@@ -5408,11 +5408,11 @@ def _composite_oracles(base: dict[str, str]) -> dict[str, str]:
             "UNION ALL SELECT 'funnel', '1:view:n', CAST(n2 AS DOUBLE) FROM n "
             "UNION ALL SELECT 'funnel', '2:purchase:n', CAST(n3 AS DOUBLE) FROM n "
             "UNION ALL SELECT 'funnel', '0:signup:f', "
-            "round(CAST(n1 AS DOUBLE) / n1, 6) FROM n "
+            "CASE WHEN n1 = 0 THEN 0.0 ELSE round(CAST(n1 AS DOUBLE) / n1, 6) END FROM n "
             "UNION ALL SELECT 'funnel', '1:view:f', "
-            "round(CAST(n2 AS DOUBLE) / n1, 6) FROM n "
+            "CASE WHEN n1 = 0 THEN 0.0 ELSE round(CAST(n2 AS DOUBLE) / n1, 6) END FROM n "
             "UNION ALL SELECT 'funnel', '2:purchase:f', "
-            "round(CAST(n3 AS DOUBLE) / n1, 6) FROM n)"
+            "CASE WHEN n1 = 0 THEN 0.0 ELSE round(CAST(n3 AS DOUBLE) / n1, 6) END FROM n)"
         ),
     ]
 

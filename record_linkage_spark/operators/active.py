@@ -135,6 +135,7 @@ def hard_negatives(
     query_col: str = "query_id",
     neighbor_col: str = "neighbor_id",
     score_col: str = "cosine",
+    pos_cols: tuple[str, str] = ("id_A", "id_B"),
 ) -> DataFrame:
     """Highest-similarity NON-matching neighbors per query — the
     training negatives that teach a scorer the decision boundary, where
@@ -145,8 +146,9 @@ def hard_negatives(
 
     ``topk`` is any neighbor frame shaped like the ANN operators'
     output (``(query_id, neighbor_id, <score>, ...)``); ``positives``
-    is the ground-truth match table (any orientation — pairs are
-    canonicalized before the exclusion). Returns the ``per_query``
+    is the ground-truth match table whose pair-id columns are named by
+    ``pos_cols`` (any orientation — pairs are canonicalized before the
+    exclusion). Returns the ``per_query``
     most-similar surviving neighbors per query with ``hn_rank``.
 
     Scale shape: the exclusion is ONE anti-join on the canonical pair
@@ -162,9 +164,10 @@ def hard_negatives(
     cand = topk.withColumn("_ka", F.least(qc, nc)).withColumn(
         "_kb", F.greatest(qc, nc)
     )
+    pa, pb = F.col(pos_cols[0]), F.col(pos_cols[1])
     pos = positives.select(
-        F.least(F.col("id_A"), F.col("id_B")).alias("_ka"),
-        F.greatest(F.col("id_A"), F.col("id_B")).alias("_kb"),
+        F.least(pa, pb).alias("_ka"),
+        F.greatest(pa, pb).alias("_kb"),
     ).distinct()
     survivors = cand.join(pos, ["_ka", "_kb"], "left_anti").drop("_ka", "_kb")
     w = Window.partitionBy(query_col).orderBy(

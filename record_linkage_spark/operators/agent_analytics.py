@@ -395,6 +395,16 @@ def event_funnel(
     — k steps cost k bounded aggregates and k equality joins on the
     user key (the reached-user table only shrinks); nothing collects
     and no window over the raw stream is needed.
+
+    NOTE — eager execution: unlike the other operators in this module,
+    this runs k Spark jobs AT CALL TIME (one ``localCheckpoint`` +
+    ``count()`` per step — each step's reached-user frame is the next
+    step's join input, so the counts are materialized sequentially)
+    and returns a small driver-built frame of k rows. Call it as a
+    terminal reporting step, not inside a lazy plan composition. If
+    the first step matches zero users, ``frac_of_first`` is 0.0 for
+    every step (the zero-denominator convention, mirrored by the
+    DuckDB oracle twin).
     """
     if not steps:
         raise ValueError("at least one funnel step is required")

@@ -151,14 +151,25 @@ class Warehouse:
             return []
 
     def _apply_zorder(
-        self, df: DataFrame, zorder_by: list[str]
+        self,
+        df: DataFrame,
+        zorder_by: list[str],
+        zorder_ranges: dict | None = None,
     ) -> tuple[DataFrame, dict]:
         """Cluster the stage output on the Morton code of the named
         numeric columns before writing (``operators/layout.py``), so the
         parquet footer min/max prune scans on EVERY clustered column.
-        Ranges are derived from THIS frame (one extra aggregate pass)
-        and recorded in lineage so readers/audits can rebuild the exact
-        z-values; nulls sort together under the null z-value."""
+
+        By default ranges are derived from THIS frame (one extra
+        aggregate pass) and recorded in lineage so readers/audits can
+        rebuild the exact z-values; nulls sort together under the null
+        z-value. Derived-per-write ranges are only valid because
+        ``write`` is a FULL OVERWRITE — every file in the table comes
+        from the same write and thus the same key space. If append /
+        incremental table writes are ever added, pass an explicit
+        ``zorder_ranges`` mapping ``{col: (lo, hi)}`` held FIXED across
+        epochs (``range_bucket``'s contract), else files from different
+        epochs cover incomparable key spaces and skipping audits lie."""
         from pyspark.sql import functions as F
 
         from record_linkage_spark.operators.layout import (
@@ -168,16 +179,38 @@ class Warehouse:
         )
 
         bits = min(16, 62 // len(zorder_by))
-        stats = df.agg(
-            *[F.min(F.col(c).cast("double")).alias(f"_mn_{c}") for c in zorder_by],
-            *[F.max(F.col(c).cast("double")).alias(f"_mx_{c}") for c in zorder_by],
-        ).first()
+        if zorder_ranges is not None:
+            missing = [c for c in zorder_by if c not in zorder_ranges]
+            if missing:
+                raise ValueError(
+                    f"zorder_ranges missing columns {missing} of {zorder_by}"
+                )
+            stats = None
+        else:
+            stats = df.agg(
+                *[
+                    F.min(F.col(c).cast("double")).alias(f"_mn_{c}")
+                    for c in zorder_by
+                ],
+                *[
+                    F.max(F.col(c).cast("double")).alias(f"_mx_{c}")
+                    for c in zorder_by
+                ],
+            ).first()
         buckets, ranges = [], {}
         for c in zorder_by:
-            mn = stats[f"_mn_{c}"]
-            mx = stats[f"_mx_{c}"]
-            mn = 0.0 if mn is None else float(mn)
-            mx = mn + 1.0 if mx is None or float(mx) <= mn else float(mx)
+            if zorder_ranges is not None:
+                mn, mx = zorder_ranges[c]
+                mn, mx = float(mn), float(mx)
+                if mx <= mn:
+                    raise ValueError(
+                        f"zorder_ranges[{c!r}] must have hi > lo, got ({mn}, {mx})"
+                    )
+            else:
+                mn = stats[f"_mn_{c}"]
+                mx = stats[f"_mx_{c}"]
+                mn = 0.0 if mn is None else float(mn)
+                mx = mn + 1.0 if mx is None or float(mx) <= mn else float(mx)
             ranges[c] = [mn, mx]
             buckets.append(range_bucket(F.col(c).cast("double"), mn, mx, bits))
         z = df.withColumn("_zval", zvalue(buckets, bits))
@@ -185,6 +218,7 @@ class Warehouse:
             "columns": list(zorder_by),
             "bits": bits,
             "ranges": ranges,
+            "ranges_source": "explicit" if zorder_ranges is not None else "derived",
         }
 
     def write(
@@ -196,11 +230,12 @@ class Warehouse:
         metrics: dict | None = None,
         partition_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
+        zorder_ranges: dict | None = None,
     ) -> DataFrame:
         t0 = time.time()
         zorder_meta = None
         if zorder_by:
-            df, zorder_meta = self._apply_zorder(df, zorder_by)
+            df, zorder_meta = self._apply_zorder(df, zorder_by, zorder_ranges)
         fmt = self.resolved_fmt()
         if fmt == "iceberg":
             partitions = self._write_iceberg(name, df, partition_by)
@@ -241,6 +276,7 @@ class Warehouse:
         metrics_fn: Callable[[DataFrame], dict] | None = None,
         partition_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
+        zorder_ranges: dict | None = None,
     ) -> DataFrame:
         """Compute-or-resume: reuse the committed table iff it exists and was
         produced under the same config hash (stage-level resumability,
@@ -259,4 +295,5 @@ class Warehouse:
             metrics=metrics,
             partition_by=partition_by,
             zorder_by=zorder_by,
+            zorder_ranges=zorder_ranges,
         )

@@ -130,3 +130,21 @@ def test_hard_negatives_tie_break_and_validation(spark):
     ]
     with pytest.raises(ValueError):
         hard_negatives(topk, gt, per_query=0)
+
+
+def test_hard_negatives_custom_pos_cols(spark):
+    """The positives frame's pair-id columns are configurable (ADVICE r4):
+    a ground-truth table named (left_id, right_id) excludes the same
+    pairs as the default (id_A, id_B) schema."""
+    from record_linkage_spark.operators.active import hard_negatives
+
+    topk = spark.createDataFrame(
+        [(1, 2, 0.99, 1), (1, 3, 0.95, 2), (2, 1, 0.99, 1), (2, 6, 0.80, 2)],
+        "query_id long, neighbor_id long, cosine double, rank int",
+    )
+    gt = spark.createDataFrame([(2, 1)], "left_id long, right_id long")
+    out = hard_negatives(
+        topk, gt, per_query=2, pos_cols=("left_id", "right_id")
+    ).collect()
+    got = {(r.query_id, r.hn_rank): r.neighbor_id for r in out}
+    assert got == {(1, 1): 3, (2, 1): 6}

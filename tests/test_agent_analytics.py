@@ -305,3 +305,20 @@ def test_event_funnel_validation_and_invariance(spark):
     a = sorted(map(tuple, event_funnel(df, ["a", "b"]).collect()))
     b = sorted(map(tuple, event_funnel(df.repartition(7), ["a", "b"]).collect()))
     assert a == b
+
+
+def test_event_funnel_zero_first_step(spark):
+    """When the FIRST step matches no users, frac_of_first is 0.0 for
+    every step (the zero-denominator convention the DuckDB oracle twin
+    mirrors with CASE WHEN n1 = 0 — ADVICE r4)."""
+    from record_linkage_spark.operators.agent_analytics import event_funnel
+
+    df = spark.createDataFrame(
+        [("u1", "view", "2024-01-01 00:00:00")],
+        "user_id string, event_type string, ts string",
+    ).selectExpr("user_id", "event_type", "CAST(ts AS TIMESTAMP) AS ts")
+    out = event_funnel(df, ["signup", "view"]).collect()
+    assert [(r.step, r.n_users, r.frac_of_first) for r in out] == [
+        ("signup", 0, 0.0),
+        ("view", 0, 0.0),
+    ]

@@ -180,3 +180,40 @@ def test_zorder_by_handles_constant_and_null_columns(spark, tmp_path):
     out = wh.write("deg", df, cfg={}, zorder_by=["c", "n"])
     assert out.count() == 50
     assert wh.lineage("deg")["zorder"]["ranges"]["c"] == [7.0, 8.0]
+
+
+def test_zorder_by_explicit_ranges(spark, tmp_path):
+    """write(zorder_by=..., zorder_ranges=...) pins the bucket ranges
+    instead of deriving them from the frame (the contract needed for any
+    future append/incremental write path: ranges must be FIXED across
+    epochs or files from different writes cover incomparable key
+    spaces). Lineage records the explicit ranges and their source."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from record_linkage_spark.sources.checkpoints import Warehouse
+
+    wh = Warehouse(root=str(tmp_path / "zwh3"), spark=spark)
+    df = spark.range(256).select(
+        F.col("id"),
+        (F.col("id") % 16).cast("double").alias("x"),
+        (F.col("id") / 16).cast("double").alias("y"),
+    )
+    ranges = {"x": (0.0, 100.0), "y": (0.0, 100.0)}
+    wh.write("pinned", df, cfg={}, zorder_by=["x", "y"], zorder_ranges=ranges)
+    zmeta = wh.lineage("pinned")["zorder"]
+    assert zmeta["ranges"] == {"x": [0.0, 100.0], "y": [0.0, 100.0]}
+    assert zmeta["ranges_source"] == "explicit"
+    assert wh.read("pinned").count() == 256
+
+    # derived path labels itself too
+    wh.write("derived", df, cfg={}, zorder_by=["x"])
+    assert wh.lineage("derived")["zorder"]["ranges_source"] == "derived"
+
+    # validation: missing column / degenerate range are rejected
+    with pytest.raises(ValueError):
+        wh.write("bad1", df, cfg={}, zorder_by=["x", "y"],
+                 zorder_ranges={"x": (0.0, 1.0)})
+    with pytest.raises(ValueError):
+        wh.write("bad2", df, cfg={}, zorder_by=["x"],
+                 zorder_ranges={"x": (5.0, 5.0)})
