@@ -36,6 +36,7 @@ from record_linkage_spark.config import (
     SALT_TARGET_BLOCK,
 )
 from record_linkage_spark.functions.similarity import jaro_winkler_pairs
+from record_linkage_spark.operators.skew import salting_plan
 
 # block-key expression builders are thunks: building a Column requires an
 # active SparkSession, so nothing is materialized at import time
@@ -130,10 +131,19 @@ def candidate_pairs(
     for name in key_names:
         recs = recs.filter(F.col(name).isNotNull())
 
-    # per-key sizes -> salt fan-out g = ceil(n / salt_target)
+    # per-key sizes -> planner-driven salt fan-out: the skew planner's
+    # proportional rule ceil(share * n_partitions) (operators/skew.py —
+    # the same rule skew_report recommends) combined with the pair
+    # generator's quadratic-work budget ceil(n / salt_target). One code
+    # path sizes every salted self-join; exactly-once pair semantics are
+    # salt-invariant (left takes one salt, right explodes all g).
+    n_parts = max(profiles.sparkSession.sparkContext.defaultParallelism * 2, 8)
     sizes = recs.groupBy(*key_names).agg(F.count("*").alias("_n"))
-    recs = recs.join(F.broadcast(sizes), key_names)
-    g = F.ceil(F.col("_n") / F.lit(salt_target)).cast("int")
+    plan = salting_plan(
+        sizes, n_partitions=n_parts, count_col="_n", salt_target=salt_target
+    ).withColumnRenamed("salt", "_g")
+    recs = recs.join(F.broadcast(plan), key_names)
+    g = F.col("_g")
 
     left = recs.withColumn(
         "_salt",
@@ -163,7 +173,6 @@ def candidate_pairs(
     # in those N partitions. Without it AQE sizes the exchange by the
     # join *input* bytes — blind to the pair blow-up the join produces —
     # and the Arrow kernel ends up on a handful of cores.
-    n_parts = max(profiles.sparkSession.sparkContext.defaultParallelism * 2, 8)
     a = a.repartition(n_parts, *join_cols)
     b = b.repartition(n_parts, *join_cols)
     pairs = a.join(b, join_cols).filter(F.col("id_A") < F.col("id_B"))

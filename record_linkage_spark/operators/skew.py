@@ -76,6 +76,51 @@ def key_frequencies(
     return out
 
 
+def _proportional_salt(n, tot, n_partitions: int):
+    """THE salt-sizing rule (one code path — :func:`skew_report`'s
+    recommendation column and the blocking generator's live fan-out both
+    call this): ``ceil(share * n_partitions)`` spreads a key across its
+    proportional number of reducers, floored at 1 so non-hot keys get no
+    fan-out."""
+    return F.greatest(
+        F.ceil(n / tot * F.lit(float(n_partitions))).cast("long"), F.lit(1)
+    )
+
+
+def salting_plan(
+    counts: DataFrame,
+    n_partitions: int,
+    count_col: str = "n",
+    salt_target: int | None = None,
+) -> DataFrame:
+    """Planner-driven per-key salts joined back by the ORIGINAL key
+    columns: the input ``counts`` frame (any key columns + ``count_col``)
+    comes back with a ``salt`` column computed by the same proportional
+    rule as :func:`skew_report`, optionally combined (``greatest``) with
+    a per-group row budget ``ceil(n / salt_target)`` — the
+    quadratic-work bound a PAIR GENERATOR needs on top of load
+    flattening (a key can be cold by share yet still produce k^2 pairs
+    worth splitting). This is the one code path that sizes every salted
+    self-join in the engine (``operators/blocking.py:candidate_pairs``).
+
+    Scale shape: one single-row total aggregate broadcast onto the
+    bounded counts frame; the raw data is never touched."""
+    if n_partitions < 1:
+        raise ValueError(f"n_partitions must be >= 1, got {n_partitions}")
+    tot = counts.agg(F.sum(count_col).cast("double").alias("_tot"))
+    n = F.col(count_col).cast("double")
+    salt = _proportional_salt(n, F.col("_tot"), n_partitions)
+    if salt_target:
+        salt = F.greatest(
+            salt, F.ceil(n / F.lit(float(salt_target))).cast("long")
+        )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("salt", salt.cast("int"))
+        .drop("_tot")
+    )
+
+
 def skew_report(
     counts: DataFrame,
     n_partitions: int,
@@ -102,9 +147,7 @@ def skew_report(
         F.round(n / (F.col("_tot") / F.lit(float(n_partitions))), 6).alias(
             "skew_factor"
         ),
-        F.greatest(
-            F.ceil(share * F.lit(float(n_partitions))).cast("long"), F.lit(1)
-        ).alias("salt"),
+        _proportional_salt(n, F.col("_tot"), n_partitions).alias("salt"),
     )
 
 

@@ -272,3 +272,40 @@ def test_p1_phonetic_key_actually_gates(spark):
     )]
     assert apply_blocking_filter(_pairs(spark, rows), "P1").count() == 0
     assert apply_blocking_filter(_pairs(spark, rows), "B1").count() == 1
+
+
+def test_salted_join_complete_under_planner_driven_skew(spark):
+    """Planner-wired salting (skew.salting_plan drives candidate_pairs'
+    fan-out): a corpus where ONE block holds half the rows — the shape
+    the proportional rule exists for — still emits every within-block
+    pair exactly once, and the cold blocks' pairs are unaffected."""
+    from pyspark.sql import functions as F
+
+    from record_linkage_spark.operators.blocking import candidate_pairs
+
+    hot = spark.range(300).select(
+        F.concat(F.lit("h"), F.lpad(F.col("id").cast("string"), 4, "0")).alias("conv_id"),
+        F.lit(1).alias("text_len_bucket"),
+        F.lit("identical hot block text").alias("first_text_norm"),
+        F.lit("same").alias("last_text_norm"),
+        F.lit("t").alias("primary_tool"),
+    )
+    cold = spark.range(300).select(
+        F.concat(F.lit("c"), F.lpad(F.col("id").cast("string"), 4, "0")).alias("conv_id"),
+        F.lit(2).alias("text_len_bucket"),
+        # 100 cold blocks of 3 rows each (distinct first-3-char prefixes)
+        F.concat((F.col("id") % 100).cast("string"), F.lit("xx suffix")).alias("first_text_norm"),
+        F.concat((F.col("id") % 100).cast("string"), F.lit("end")).alias("last_text_norm"),
+        F.lit("t").alias("primary_tool"),
+    )
+    out = candidate_pairs(hot.unionByName(cold), "B1", salt_target=50)
+    got = out.groupBy("block_key").count().collect()
+    by_key = {r.block_key: r["count"] for r in got}
+    hot_key = [k for k in by_key if "ide" in k]
+    assert len(hot_key) == 1
+    assert by_key[hot_key[0]] == 300 * 299 // 2
+    # exactly once globally
+    assert out.count() == out.select("id_A", "id_B").distinct().count()
+    # every cold block of 3 contributes exactly C(3,2)=3 pairs
+    cold_counts = [v for k, v in by_key.items() if k != hot_key[0]]
+    assert len(cold_counts) == 100 and all(v == 3 for v in cold_counts)

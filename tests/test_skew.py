@@ -101,3 +101,31 @@ def test_null_key_parts_stay_distinct(spark):
     # concat_ws drops nulls; the sentinel must keep all three distinct
     assert len(out) == 3
     assert all(r.n == 1 for r in out)
+
+
+def test_salting_plan_matches_report_rule_and_adds_pair_budget(spark):
+    """salting_plan is THE salt-sizing code path: without a salt_target
+    its salts equal skew_report's recommendation column for the same
+    counts; with one, a cold-by-share key whose group is still
+    quadratic-heavy gets the ceil(n / salt_target) budget fan-out."""
+    from record_linkage_spark.operators.skew import salting_plan, skew_report
+
+    counts = spark.createDataFrame(
+        [("hot", 800), ("warm", 150), ("cold", 50)], "key string, n long"
+    )
+    rep = {r.key: r.salt for r in skew_report(counts, n_partitions=8).collect()}
+    plan = {r.key: r.salt for r in salting_plan(counts, n_partitions=8).collect()}
+    assert plan == rep == {"hot": 7, "warm": 2, "cold": 1}
+
+    # pair budget: cold (5% share -> proportional salt 1) still splits
+    # when its 50 rows exceed a 20-row group budget
+    budget = {
+        r.key: r.salt
+        for r in salting_plan(counts, n_partitions=8, salt_target=20).collect()
+    }
+    assert budget == {"hot": 40, "warm": 8, "cold": 3}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        salting_plan(counts, n_partitions=0)
