@@ -26,6 +26,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -535,6 +536,40 @@ def _delta(counts: dict, before: str, after: str) -> int | None:
     return (a - b) if a is not None and b is not None else None
 
 
+def apply_drift_gate(pipe: "CurationPipeline", max_drift: float) -> dict:
+    """Release gate on the report's ``drift_vs_input`` block: any
+    monitored feature whose PSI exceeds ``max_drift`` (0.25 is the
+    documented significant-shift threshold — ``operators/drift.py``)
+    marks the run FAILED. The verdict is appended to
+    ``curation_report.json`` AND noted in the final stage table's
+    lineage sidecar, so a resumed or audited run sees that its sampled
+    corpus was produced by a gate-breaching curation. Returns the gate
+    dict; the CLI exits non-zero on breach."""
+    drift = (pipe.report or {}).get("drift_vs_input", {})
+    breaches = {
+        f: m
+        for f, m in drift.items()
+        if m.get("psi") is not None and m["psi"] > max_drift
+    }
+    gate = {
+        "metric": "psi",
+        "max_drift": max_drift,
+        "breaches": breaches,
+        "passed": not breaches,
+    }
+    pipe.report["drift_gate"] = gate
+    with open(os.path.join(pipe.wh.root, "curation_report.json"), "w") as f:
+        json.dump(pipe.report, f, indent=2)
+    # lineage note on the terminal stage (the released corpus)
+    lin_path = pipe.wh.lineage_path("sampled")
+    lin = pipe.wh.lineage("sampled")
+    if lin is not None:
+        lin["drift_gate"] = gate
+        with open(lin_path, "w") as f:
+            json.dump(lin, f, indent=2)
+    return gate
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--warehouse", required=True)
@@ -578,6 +613,14 @@ def main() -> None:
         '{"min_sentences": 3}}\'',
     )
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument(
+        "--max-drift",
+        type=float,
+        default=None,
+        help="fail the run (exit 2, lineage note) when any monitored "
+        "feature's input-vs-output PSI exceeds this; 0.25 is the "
+        "documented significant-shift threshold (operators/drift.py)",
+    )
     args = ap.parse_args()
 
     from record_linkage_spark.session import get_spark
@@ -601,7 +644,18 @@ def main() -> None:
     )
     pipe.benchmark_path = args.benchmark_parquet
     report = pipe.run(resume=not args.no_resume)
-    print(json.dumps(report, indent=2))
+    if args.max_drift is not None:
+        gate = apply_drift_gate(pipe, args.max_drift)
+        print(json.dumps(report, indent=2))
+        if not gate["passed"]:
+            print(
+                f"DRIFT GATE FAILED: {sorted(gate['breaches'])} exceed "
+                f"psi {args.max_drift}",
+                file=sys.stderr,
+            )
+            sys.exit(2)
+    else:
+        print(json.dumps(report, indent=2))
 
 
 if __name__ == "__main__":

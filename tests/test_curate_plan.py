@@ -293,3 +293,32 @@ def test_report_carries_input_vs_output_drift(report_and_wh):
     assert d["psi"] >= 0.0
     assert 0.0 <= d["jsd"] <= 0.6932
     assert 0.0 <= d["tv"] <= 1.0
+
+
+def test_drift_gate_trips_on_shift_and_passes_otherwise(report_and_wh):
+    """--max-drift release gate (plans/curate.py:apply_drift_gate): the
+    fixture pipeline's quality/dedup stages shift the n_chars
+    distribution (a planted shift — 6 of 9 docs removed), so a
+    threshold below the measured PSI trips the gate and one above it
+    passes; both verdicts land in curation_report.json AND the sampled
+    stage's lineage sidecar."""
+    import json
+    import os
+
+    from record_linkage_spark.plans.curate import apply_drift_gate
+
+    report, wh, pipe = report_and_wh
+    psi = report["drift_vs_input"]["n_chars"]["psi"]
+    assert psi > 0.0  # the plant: curation DID shift the corpus
+
+    gate = apply_drift_gate(pipe, max_drift=psi + 1.0)
+    assert gate["passed"] and gate["breaches"] == {}
+    assert pipe.wh.lineage("sampled")["drift_gate"]["passed"] is True
+
+    gate = apply_drift_gate(pipe, max_drift=psi / 2)
+    assert not gate["passed"] and set(gate["breaches"]) == {"n_chars"}
+    # report file and lineage both carry the failing verdict
+    on_disk = json.load(open(os.path.join(pipe.wh.root, "curation_report.json")))
+    assert on_disk["drift_gate"]["passed"] is False
+    assert pipe.wh.lineage("sampled")["drift_gate"]["passed"] is False
+    assert on_disk["drift_gate"]["max_drift"] == psi / 2
