@@ -231,3 +231,171 @@ def test_epoch_drift_from_persisted_sketches_only(spark, tmp_path):
     # a never-written epoch id must error, not read as maximal drift
     with _pytest.raises(ValueError, match="no persisted histogram"):
         epoch_drift(spark, hist_dir, [epochs[0]], [max(epochs) + 99])
+
+
+def _turn_rows(spark, rows):
+    """(conv_id, role, text, ts_string) -> transcript-schema frame."""
+    from pyspark.sql import functions as F
+
+    from record_linkage_spark.streaming.incremental import TRANSCRIPT_SCHEMA
+
+    return spark.createDataFrame(
+        [
+            (cid, 0, role, text, None, ts)
+            for cid, role, text, ts in rows
+        ],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts string",
+    ).select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in TRANSCRIPT_SCHEMA.fields
+        ]
+    )
+
+
+def test_stream_histograms_late_data_contract(spark, tmp_path):
+    """THE late-data contract for the histogram/drift path:
+    stream_histograms epochs by PROCESSING batch, not event time — an
+    event arriving a day late by ts lands in its ARRIVAL epoch's bucket
+    table (visible to epoch_drift as that epoch's mass) and is NEVER
+    dropped: the merged histogram still equals the batch histogram over
+    every event regardless of lateness. Watermark-bounded dropping only
+    applies to the event-time-windowed surface (windowed_turn_counts,
+    pinned below)."""
+    from pyspark.sql import functions as F
+
+    from record_linkage_spark.operators.sketches import int_histogram
+    from record_linkage_spark.streaming.incremental import (
+        merged_histogram,
+        stream_histograms,
+    )
+
+    on_time = _turn_rows(
+        spark,
+        [
+            ("c1", "user", "hello there", "2024-06-02 12:00:00"),
+            ("c2", "assistant", "a longer on-time reply text", "2024-06-02 12:01:00"),
+        ],
+    )
+    late = _turn_rows(
+        spark,
+        # event time a full DAY before wave 1 — arrives in wave 2
+        [("c3", "late_role", "very late arriving row", "2024-06-01 09:00:00")],
+    )
+    in_dir, hist_dir, ck = (
+        str(tmp_path / "in"), str(tmp_path / "hist"), str(tmp_path / "ck")
+    )
+    args = (spark, in_dir, hist_dir, ck)
+    on_time.write.mode("append").parquet(in_dir)
+    stream_histograms(*args).awaitTermination()
+    late.write.mode("append").parquet(in_dir)
+    stream_histograms(*args).awaitTermination()
+
+    # the late row's mass sits in the SECOND epoch's state, not the first
+    per_epoch = {
+        r.epoch: set(r2.role for r2 in
+                     spark.read.parquet(hist_dir).filter(F.col("epoch") == r.epoch)
+                     .select("role").distinct().collect())
+        for r in spark.read.parquet(hist_dir).select("epoch").distinct().collect()
+    }
+    epochs = sorted(per_epoch)
+    assert len(epochs) == 2
+    assert "late_role" not in per_epoch[epochs[0]]
+    assert "late_role" in per_epoch[epochs[1]]
+
+    # and nothing is lost: merged == batch over the union
+    union = on_time.unionByName(late)
+    merged = {
+        (r.role, r.bucket): r.n
+        for r in merged_histogram(spark, hist_dir).collect()
+    }
+    batch = {
+        (r.role, r.bucket): r.n
+        for r in int_histogram(
+            union.select("role", F.expr("length(text)").cast("long").alias("_m")),
+            "_m",
+            ["role"],
+        ).collect()
+    }
+    assert merged == batch
+
+
+def test_windowed_turn_counts_drops_beyond_watermark(spark, tmp_path):
+    """The watermark BOUND on the event-time surface: with a 10-minute
+    watermark in append mode, a row arriving after the watermark has
+    passed its 5-minute window is dropped from that window's final
+    count; the finalized window emits only the on-time rows. (Contrast
+    with stream_histograms above, whose processing-time epochs never
+    drop late rows.)"""
+    from record_linkage_spark.streaming.incremental import windowed_turn_counts
+
+    inp = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def run():
+        # file sink: the only append-mode sink that recovers from a
+        # checkpoint across runs (memory sink can't); emitted rows
+        # accumulate under `out` exactly once each
+        q = (
+            windowed_turn_counts(spark, inp)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # wave 1: three rows in [12:00, 12:05) plus a watermark driver at
+    # 12:30 -> checkpointed watermark = 12:20, far past that window
+    _turn_rows(
+        spark,
+        [
+            ("a", "user", "x", "2024-06-02 12:00:10"),
+            ("b", "user", "x", "2024-06-02 12:01:00"),
+            ("c", "user", "x", "2024-06-02 12:04:00"),
+            ("d", "user", "x", "2024-06-02 12:30:00"),
+        ],
+    ).write.mode("append").parquet(inp)
+    run()
+
+    # wave 2: one row LATE beyond the watermark (12:01 < 12:20 -> must
+    # not resurrect the [12:00,12:05) window) and one advancing the
+    # watermark to 12:50 so that window finalizes and emits
+    _turn_rows(
+        spark,
+        [
+            ("late", "user", "x", "2024-06-02 12:01:30"),
+            ("e", "user", "x", "2024-06-02 13:00:00"),
+        ],
+    ).write.mode("append").parquet(inp)
+    run()
+
+    # wave 3: advances the watermark to 13:20 so the 12:30 window
+    # finalizes too (append emits a window one batch AFTER the
+    # watermark passes it)
+    _turn_rows(
+        spark, [("f", "user", "x", "2024-06-02 13:30:00")]
+    ).write.mode("append").parquet(inp)
+    run()
+
+    rows = (
+        spark.read.parquet(out)
+        .selectExpr("CAST(window.start AS STRING) AS ws", "n_turns")
+        .collect()
+    )
+    emitted = {}
+    for r in rows:
+        emitted[r.ws] = emitted.get(r.ws, 0) + int(r.n_turns)
+    # finalized [12:00,12:05) counts the 3 on-time rows only — the late
+    # row was dropped; the 12:30 window finalized with its 1 row
+    assert emitted["2024-06-02 12:00:00"] == 3
+    assert emitted["2024-06-02 12:30:00"] == 1
+    # the wave-3 watermark (13:20) finalized [13:00,13:05) in the same
+    # availableNow run (Spark flushes evictable state before stopping);
+    # the 13:30 window is still open — never emitted
+    assert emitted["2024-06-02 13:00:00"] == 1
+    assert "2024-06-02 13:30:00" not in emitted
