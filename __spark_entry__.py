@@ -3664,6 +3664,27 @@ def q_zorder_check(spark, sf):
     return zv_rows.unionByName(stat_rows).unionByName(skips)
 
 
+def q_o2o_check(spark, sf):
+    """Greedy 1:1 matching fold (``operators/matching.py``): the
+    locally-dominant rounds over the oracle-proven portable scored-pair
+    frame, emitted as (chk='o2o', 'id_A:id_B', score). The DuckDB twin
+    replays the SEQUENTIAL greedy scan the rounds provably equal under
+    the strict (score DESC, id_A, id_B) total order, via a linear
+    recursive CTE carrying the used-endpoint list — putting the
+    iterative operator's exact accepted set under the driver's
+    rows+schema+hash signal (r4 verdict item 5)."""
+    from record_linkage_spark.operators.matching import one_to_one_matching
+
+    acc = one_to_one_matching(
+        q_scored_pairs_portable(spark, sf), score_col="score"
+    )
+    return acc.select(
+        F.lit("o2o").alias("chk"),
+        F.concat_ws(":", "id_A", "id_B").alias("k"),
+        F.col("score").cast("double").alias("v"),
+    )
+
+
 def q_scalar_checks(spark, sf):
     """P1/A1 missing%, P14 prefix-key histogram, J5 semi/anti counts,
     A6 confusion counts, X1 hash-split sizes — one (chk, k, v) frame —
@@ -3717,6 +3738,7 @@ def q_scalar_checks(spark, sf):
         .unionByName(q_chunks_check(spark, sf))
         .unionByName(q_hardneg_check(spark, sf))
         .unionByName(q_cohort_funnel_check(spark, sf))
+        .unionByName(q_o2o_check(spark, sf))
     )
 
 
@@ -4836,6 +4858,36 @@ def _composite_oracles(base: dict[str, str]) -> dict[str, str]:
             "k", "v",
         ),
         tagged("x1_hash_split", base["x1_hash_split"], "split", "n"),
+        # greedy 1:1 matching replay (operators/matching.py): under the
+        # strict total order (score DESC, id_A, id_B) the operator's
+        # locally-dominant rounds equal a SEQUENTIAL greedy scan, which
+        # a linear recursive CTE replays exactly — accept edge rn+1 iff
+        # neither endpoint is in the accumulated used-list. Input is the
+        # oracle-proven scored_pairs_portable frame (67 rows at sf0.01,
+        # so recursion depth is trivial).
+        (
+            "SELECT 'o2o' AS chk, id_A || ':' || id_B AS k, score AS v FROM ("
+            "WITH RECURSIVE ranked AS (SELECT id_A, id_B, score, "
+            "row_number() OVER (ORDER BY score DESC, id_A, id_B) AS rn "
+            f"FROM ({base['scored_pairs_portable']})), "
+            "greedy AS ("
+            "SELECT 0 AS rn, CAST([] AS VARCHAR[]) AS used, "
+            "CAST(NULL AS VARCHAR) AS id_A, CAST(NULL AS VARCHAR) AS id_B, "
+            "CAST(NULL AS DOUBLE) AS score "
+            "UNION ALL "
+            "SELECT r.rn, "
+            "CASE WHEN list_contains(g.used, r.id_A) OR "
+            "list_contains(g.used, r.id_B) THEN g.used "
+            "ELSE list_append(list_append(g.used, r.id_A), r.id_B) END, "
+            "CASE WHEN list_contains(g.used, r.id_A) OR "
+            "list_contains(g.used, r.id_B) THEN NULL ELSE r.id_A END, "
+            "CASE WHEN list_contains(g.used, r.id_A) OR "
+            "list_contains(g.used, r.id_B) THEN NULL ELSE r.id_B END, "
+            "CASE WHEN list_contains(g.used, r.id_A) OR "
+            "list_contains(g.used, r.id_B) THEN NULL ELSE r.score END "
+            "FROM greedy g JOIN ranked r ON r.rn = g.rn + 1) "
+            "SELECT id_A, id_B, score FROM greedy WHERE id_A IS NOT NULL)"
+        ),
         tagged(
             "bpe_pairs",
             # first BPE merge round replay: whitespace words -> char
@@ -7853,8 +7905,11 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, entity_id, CAST(nc AS BIGINT) AS n_cluster, n_tokens "
         "FROM s WHERE rk = 1",
     )
-    out.update(_composite_oracles(out))
+    # flagship oracles FIRST: the o2o composite arm replays greedy 1:1
+    # matching over base['scored_pairs_portable'] (key sets are disjoint,
+    # so the order only affects availability, never values)
     out.update(_portable_flagship_oracles())
+    out.update(_composite_oracles(out))
     # superseded by composites (their checks ride inside the merged entries
     # verbatim, so removing the standalone keys loses no verification)
     for merged in (
