@@ -103,22 +103,32 @@ def salting_plan(
     worth splitting). This is the one code path that sizes every salted
     self-join in the engine (``operators/blocking.py:candidate_pairs``).
 
-    Scale shape: one single-row total aggregate broadcast onto the
-    bounded counts frame; the raw data is never touched."""
+    Scale shape: one global-window pass over the bounded counts frame
+    (see the in-body note — a crossJoin attach would plan as a
+    nested-loop join, which the blocking plan audit forbids); the raw
+    data is never touched."""
     if n_partitions < 1:
         raise ValueError(f"n_partitions must be >= 1, got {n_partitions}")
-    tot = counts.agg(F.sum(count_col).cast("double").alias("_tot"))
+    # global-window total, not a crossJoin attach: the blocking
+    # generator's plan audit pins zero nested-loop joins, and a
+    # single-row broadcast cross product IS a BroadcastNestedLoopJoin
+    # (a constant-key equi-join folds back into one). The empty-frame
+    # window moves the counts table through ONE partition — fine by
+    # this module's contract (counts are bounded by the caller: top-N,
+    # sketch capacity, or a finite key space), and it keeps the plan
+    # fully lazy.
+    from pyspark.sql import Window
+
+    tot = F.sum(F.col(count_col).cast("double")).over(
+        Window.partitionBy()
+    )
     n = F.col(count_col).cast("double")
-    salt = _proportional_salt(n, F.col("_tot"), n_partitions)
+    salt = _proportional_salt(n, tot, n_partitions)
     if salt_target:
         salt = F.greatest(
             salt, F.ceil(n / F.lit(float(salt_target))).cast("long")
         )
-    return (
-        counts.crossJoin(F.broadcast(tot))
-        .withColumn("salt", salt.cast("int"))
-        .drop("_tot")
-    )
+    return counts.withColumn("salt", salt.cast("int"))
 
 
 def skew_report(
