@@ -493,9 +493,6 @@ def test_bucket_self_joins_carry_explicit_repartition(spark):
         "ngram_block": _plan(ngram_jaccard_pairs(docs)),
         "span_overlap": _plan(span_overlap_pairs(docs, window=4)),
         "embedding": _plan(embedding_near_duplicates(vecs)),
-        "semdedup": _plan(
-            semantic_duplicate_pairs(vecs, n_clusters=2, iterations=1)
-        ),
         "pprl": _plan(
             clk_candidate_pairs(clk_encode(recs, ["name", "city"], m=64))
         ),
@@ -510,6 +507,44 @@ def test_bucket_self_joins_carry_explicit_repartition(spark):
     for name, plan in plans.items():
         assert "REPARTITION_BY_NUM" in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_semdedup_repartition_is_adaptive(spark):
+    """semantic_duplicate_pairs sizes its within-cell self-join exchange
+    from the EXACT per-cell blow-up (_cell_join_parts): a small corpus
+    gets NO forced repartition (the r5 fix — the fixed 2x-parallelism
+    repartition bought nothing at 16 tiny cells), while a corpus whose
+    cell blow-up exceeds the budget carries REPARTITION_BY_NUM on both
+    sides. Both arms of the adaptive contract pinned."""
+    from record_linkage_spark.operators.similarity_search import (
+        semantic_duplicate_pairs,
+    )
+
+    small = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[((F.col("id") + i) % 7).cast("double") for i in range(8)]
+        ).alias("embedding"),
+    )
+    plan_small = _plan(
+        semantic_duplicate_pairs(small, n_clusters=2, iterations=1)
+    )
+    assert "REPARTITION_BY_NUM" not in plan_small
+    assert "CartesianProduct" not in plan_small
+
+    # 2 cells x ~450 vectors -> ~200k within-cell pairs > the 100k
+    # budget -> the blow-up defense must fire
+    big = spark.range(900).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[((F.col("id") + i) % 7).cast("double") for i in range(8)]
+        ).alias("embedding"),
+    )
+    plan_big = _plan(
+        semantic_duplicate_pairs(big, n_clusters=2, iterations=1)
+    )
+    assert "REPARTITION_BY_NUM" in plan_big
+    assert "CartesianProduct" not in plan_big
 
 
 def test_collective_plans_are_equality_joins_with_explicit_repartition(spark):
