@@ -3685,6 +3685,42 @@ def q_o2o_check(spark, sf):
     )
 
 
+def q_greedy_check(spark, sf):
+    """Greedy within-block clustering fold (``operators/clustering.py``
+    M7, the reference's sequential first-fit scan as applyInPandas):
+    over a portable documents-derived record frame — 17 hash blocks,
+    two derived attrs with planted NULLs (None==None counts equal),
+    max_diff=1 — emitted as (chk='greedy', rid, cluster_rep). The
+    DuckDB twin replays the per-block sequential scan with a lockstep
+    recursive CTE: one state row per block carries the rep list
+    (STRUCT[]), each iteration assigns row rn+1 of every block to its
+    FIRST rep within max_diff (IS DISTINCT FROM = the operator's
+    missing-equals-missing rule) or founds a new rep. Puts the
+    applyInPandas iterative kernel under the driver's
+    rows+schema+hash signal."""
+    from record_linkage_spark.operators.clustering import (
+        greedy_within_block_clusters,
+    )
+
+    d = _t(spark, sf, "documents").filter(F.col("text").isNotNull())
+    recs = d.select(
+        F.col("doc_id").cast("string").alias("rid"),
+        (F.col("doc_id") % 17).cast("string").alias("blk"),
+        F.when(F.length("text") % 7 == 0, None)
+        .otherwise(F.substring("text", 1, 6))
+        .alias("a1"),
+        (F.length("text") % 4).cast("string").alias("a2"),
+    )
+    out = greedy_within_block_clusters(
+        recs, "blk", ["a1", "a2"], max_diff=1, id_col="rid"
+    )
+    return out.select(
+        F.lit("greedy").alias("chk"),
+        F.col("rid").alias("k"),
+        F.col("cluster_rep").cast("double").alias("v"),
+    )
+
+
 def q_scalar_checks(spark, sf):
     """P1/A1 missing%, P14 prefix-key histogram, J5 semi/anti counts,
     A6 confusion counts, X1 hash-split sizes — one (chk, k, v) frame —
@@ -3739,6 +3775,7 @@ def q_scalar_checks(spark, sf):
         .unionByName(q_hardneg_check(spark, sf))
         .unionByName(q_cohort_funnel_check(spark, sf))
         .unionByName(q_o2o_check(spark, sf))
+        .unionByName(q_greedy_check(spark, sf))
     )
 
 
@@ -4887,6 +4924,48 @@ def _composite_oracles(base: dict[str, str]) -> dict[str, str]:
             "list_contains(g.used, r.id_B) THEN NULL ELSE r.score END "
             "FROM greedy g JOIN ranked r ON r.rn = g.rn + 1) "
             "SELECT id_A, id_B, score FROM greedy WHERE id_A IS NOT NULL)"
+        ),
+        # greedy within-block clustering replay (clustering.py M7): a
+        # lockstep recursive CTE — one state row per block carries the
+        # rep list; each iteration assigns row rn+1 of EVERY block to
+        # its first rep within max_diff=1 (IS DISTINCT FROM mirrors the
+        # operator's missing-equals-missing rule) or founds a new rep.
+        # Same sequential semantics as the applyInPandas kernel, proven
+        # row-for-row.
+        (
+            "SELECT 'greedy' AS chk, out_id AS k, CAST(out_rep AS DOUBLE) AS v "
+            "FROM ("
+            "WITH RECURSIVE ranked AS ("
+            "SELECT CAST(doc_id AS VARCHAR) AS rid, "
+            "CAST(doc_id % 17 AS VARCHAR) AS blk, "
+            "CASE WHEN length(text) % 7 = 0 THEN NULL "
+            "ELSE substr(text, 1, 6) END AS a1, "
+            "CAST(length(text) % 4 AS VARCHAR) AS a2, "
+            "row_number() OVER (PARTITION BY CAST(doc_id % 17 AS VARCHAR) "
+            "ORDER BY CAST(doc_id AS VARCHAR)) AS rn "
+            "FROM documents WHERE text IS NOT NULL), "
+            "g AS ("
+            "SELECT blk, 0 AS rn, "
+            "CAST([] AS STRUCT(rid VARCHAR, a1 VARCHAR, a2 VARCHAR)[]) AS reps, "
+            "CAST(NULL AS VARCHAR) AS out_id, CAST(NULL AS VARCHAR) AS out_rep "
+            "FROM (SELECT DISTINCT blk FROM ranked) "
+            "UNION ALL "
+            "SELECT r.blk, r.rn, "
+            "CASE WHEN len(list_filter(g.reps, x -> "
+            "(CASE WHEN x.a1 IS DISTINCT FROM r.a1 THEN 1 ELSE 0 END + "
+            "CASE WHEN x.a2 IS DISTINCT FROM r.a2 THEN 1 ELSE 0 END) <= 1)) > 0 "
+            "THEN g.reps "
+            "ELSE list_append(g.reps, {'rid': r.rid, 'a1': r.a1, 'a2': r.a2}) END, "
+            "r.rid, "
+            "CASE WHEN len(list_filter(g.reps, x -> "
+            "(CASE WHEN x.a1 IS DISTINCT FROM r.a1 THEN 1 ELSE 0 END + "
+            "CASE WHEN x.a2 IS DISTINCT FROM r.a2 THEN 1 ELSE 0 END) <= 1)) > 0 "
+            "THEN list_filter(g.reps, x -> "
+            "(CASE WHEN x.a1 IS DISTINCT FROM r.a1 THEN 1 ELSE 0 END + "
+            "CASE WHEN x.a2 IS DISTINCT FROM r.a2 THEN 1 ELSE 0 END) <= 1)[1].rid "
+            "ELSE r.rid END "
+            "FROM g JOIN ranked r ON r.blk = g.blk AND r.rn = g.rn + 1) "
+            "SELECT out_id, out_rep FROM g WHERE out_id IS NOT NULL)"
         ),
         tagged(
             "bpe_pairs",
