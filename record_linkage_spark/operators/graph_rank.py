@@ -92,8 +92,16 @@ def pagerank(
                 ).alias("r"),
             )
         )
-        if (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint()
+        if (i + 1) % checkpoint_every == 0 and num_iters - i - 1 >= 2:
+            # LAZY, and skipped when fewer than 2 iterations remain:
+            # a checkpoint exists to bound lineage for the iterations
+            # BEHIND it — near the end it only splits the fused
+            # terminal job (the materialization barrier cost ~4 s of
+            # the 11.8 s stage at sf0.1 / 5 iterations; values are
+            # checkpoint-invariant). The rank chain is linear, so the
+            # terminal action computes each iteration exactly once
+            # (the CC/Lloyd job-fusion pattern).
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
@@ -187,8 +195,9 @@ def label_propagation(
             )
             .filter(F.col("score") > 0.0)
         )
-        if (i + 1) % checkpoint_every == 0:
-            f = f.localCheckpoint()
+        if (i + 1) % checkpoint_every == 0 and num_iters - i - 1 >= 2:
+            # lazy + end-skipped for the same reason as the pagerank loop
+            f = f.localCheckpoint(eager=False)
     return f
 
 
