@@ -75,6 +75,62 @@ ANN_BAND_BITS = 8
 # table must never ride it (the never-O(corpus) discipline this module's
 # bucket join already follows)
 ANN_BROADCAST_MAX_BYTES = 128 << 20
+# adaptive-banding planner targets (banding_plan): expected records per
+# band-bucket, and the cosine at which the default config's banding
+# recall is held constant as bits-per-band grow with the corpus
+ANN_TARGET_BUCKET = 200
+ANN_DESIGN_COSINE = 0.90
+# plane-index offset for per-band independent signatures — disjoint from
+# the Hamming signature's planes 0..num_planes-1 by construction
+ANN_BAND_PLANE_BASE = 1_000_000
+
+
+def banding_plan(
+    n_records: int,
+    band_bits: int = ANN_BAND_BITS,
+    num_bands: int = ANN_NUM_BANDS,
+    design_cosine: float = ANN_DESIGN_COSINE,
+    target_bucket: int = ANN_TARGET_BUCKET,
+) -> tuple[int, int, bool]:
+    """Corpus-adaptive LSH banding: ``(band_bits, num_bands,
+    independent_planes)``.
+
+    The round-5 sf1.0 rehearsal measured the fixed default banding going
+    70x super-linear at 10x the corpus: 4 bands x 8 bits is a SATURATED
+    2^8-value-per-band key space, so band buckets densify linearly with
+    the corpus and the bucket self-join fan-in grows quadratically —
+    the same failure mode as B1's saturated (len_bucket, first3) keys.
+    The planner removes the saturation quadratic:
+
+    - bits-per-band r grows with log2(n / target_bucket), keeping the
+      EXPECTED band-bucket occupancy ~constant as the corpus grows;
+    - the band count b grows to hold the banding recall at the DEFAULT
+      config's level at ``design_cosine`` (the S-curve identity:
+      recall = 1 - (1 - (1-p)^r)^b with p = acos(c)/pi), so widening
+      buckets never silently trades recall;
+    - when the computed r does not exceed the default, the LEGACY
+      low-signature-bits config is returned verbatim (independent =
+      False) — small corpora are bit-stable with every prior round.
+
+    With r > the 63-bit budget of one signature long, bands switch to
+    per-band INDEPENDENT plane sets (``independent_planes=True``; the
+    Hamming prefilter keeps its own full signature). LSH being LSH,
+    total join fan-in still grows ~n^(1+rho) — sub-quadratic by
+    construction, never the saturation quadratic.
+    """
+    import math
+
+    if n_records <= target_bucket:
+        return band_bits, num_bands, False
+    r = math.ceil(math.log2(n_records / target_bucket))
+    if r <= band_bits:
+        return band_bits, num_bands, False
+    p = math.acos(min(max(design_cosine, -1.0), 1.0)) / math.pi
+    q0 = (1.0 - p) ** band_bits
+    recall0 = 1.0 - (1.0 - q0) ** num_bands
+    q = (1.0 - p) ** r
+    b = max(num_bands, math.ceil(math.log(1.0 - recall0) / math.log(1.0 - q)))
+    return r, b, True
 
 
 def _tok_hash(t: Column) -> Column:
@@ -164,10 +220,23 @@ def ann_candidate_pairs(
     band_bits: int = ANN_BAND_BITS,
     h_sigmas: float = 2.0,
     broadcast_max_bytes: int = ANN_BROADCAST_MAX_BYTES,
+    adaptive_banding: bool = True,
+    target_bucket: int = ANN_TARGET_BUCKET,
 ) -> DataFrame:
     """Generator form: (id_A, id_B, block_key, strategy) candidate pairs
     whose hashed-text vectors clear ``cosine_threshold``, found via the
     banded RHP-LSH bucket self-join (never all pairs).
+
+    ``adaptive_banding`` (default on) sizes the banding to the corpus
+    via :func:`banding_plan`: small corpora reproduce the legacy
+    ``(num_bands, band_bits)`` config bit-for-bit; past
+    ``target_bucket * 2^band_bits`` records, bits-per-band grow with
+    log2(n) (per-band independent plane sets) and the band count grows
+    to hold banding recall constant at the design cosine — the fix for
+    the saturation quadratic the sf1.0 rehearsal measured (70x
+    super-linear at 10x the corpus on the fixed 2^8-per-band key
+    space). Construction runs ONE count job over the materialized
+    vector table (it also feeds the hydration broadcast gate).
 
     Verify discipline (the MinHash pattern, measured 4x end-to-end at
     sf0.1): the bucket join ships ONLY (id, 64-bit signature) — never
@@ -200,7 +269,7 @@ def ann_candidate_pairs(
     driver and every executor."""
     import math
 
-    if num_bands * band_bits > min(num_planes, 63):
+    if not adaptive_banding and num_bands * band_bits > min(num_planes, 63):
         raise ValueError(
             f"banding reads {num_bands * band_bits} low bits but the "
             f"signature has only {min(num_planes, 63)}"
@@ -221,27 +290,70 @@ def ann_candidate_pairs(
     ).localCheckpoint()
     from record_linkage_spark.operators.similarity_search import rhp_signature
 
-    sigs = vecs.select(
-        F.col(id_col).alias("_vid"),
-        rhp_signature(F.col("vec"), num_planes).alias("_sig"),
-    )
-    # banding reads only the LOW num_bands*band_bits signature bits
-    # (bucket structure — and so banding recall and bucket-join volume —
-    # is independent of num_planes); the remaining planes exist purely
-    # to sharpen the Hamming prefilter below
-    bands = F.array(
-        *[
+    # one cheap count over the materialized vector table drives BOTH the
+    # banding planner and the hydration broadcast gate below
+    n_records = vecs.count()
+    if adaptive_banding:
+        band_bits, num_bands, independent = banding_plan(
+            n_records,
+            band_bits=band_bits,
+            num_bands=num_bands,
+            target_bucket=target_bucket,
+        )
+    else:
+        independent = False
+
+    if independent:
+        # scale path: per-band INDEPENDENT r-bit signatures (disjoint
+        # plane sets offset by ANN_BAND_PLANE_BASE), so the band-key
+        # space grows with the corpus instead of saturating at the low
+        # bits of one 63-bit signature. The Hamming prefilter keeps its
+        # own full num_planes signature unchanged.
+        band_exprs = [
             F.concat_ws(
                 ":",
                 F.lit(str(i)),
-                F.shiftright("_sig", i * band_bits)
-                .bitwiseAND(F.lit((1 << band_bits) - 1))
-                .cast("string"),
+                rhp_signature(
+                    F.col("vec"),
+                    band_bits,
+                    plane_base=ANN_BAND_PLANE_BASE + i * band_bits,
+                ).cast("string"),
             )
             for i in range(num_bands)
         ]
-    )
-    base = sigs.select("_vid", "_sig", F.explode(bands).alias("_bucket"))
+        sigs = vecs.select(
+            F.col(id_col).alias("_vid"),
+            rhp_signature(F.col("vec"), num_planes).alias("_sig"),
+            F.array(*band_exprs).alias("_bands"),
+        )
+        base = sigs.select("_vid", "_sig", F.explode("_bands").alias("_bucket"))
+    else:
+        if num_bands * band_bits > min(num_planes, 63):
+            raise ValueError(
+                f"banding reads {num_bands * band_bits} low bits but the "
+                f"signature has only {min(num_planes, 63)}"
+            )
+        sigs = vecs.select(
+            F.col(id_col).alias("_vid"),
+            rhp_signature(F.col("vec"), num_planes).alias("_sig"),
+        )
+        # banding reads only the LOW num_bands*band_bits signature bits
+        # (bucket structure — and so banding recall and bucket-join
+        # volume — is independent of num_planes); the remaining planes
+        # exist purely to sharpen the Hamming prefilter below
+        bands = F.array(
+            *[
+                F.concat_ws(
+                    ":",
+                    F.lit(str(i)),
+                    F.shiftright("_sig", i * band_bits)
+                    .bitwiseAND(F.lit((1 << band_bits) - 1))
+                    .cast("string"),
+                )
+                for i in range(num_bands)
+            ]
+        )
+        base = sigs.select("_vid", "_sig", F.explode(bands).alias("_bucket"))
     # explicit-N repartition on the bucket key, same reason as the B1/B2
     # salted join: AQE sizes the exchange by the join INPUT bytes and is
     # blind to the pair blow-up the bucket join produces — without this
@@ -287,7 +399,7 @@ def ann_candidate_pairs(
     # instead (still no sort, and only the survivor keys shuffle).
     # vecs is localCheckpointed above, so the count is a cheap scan of
     # materialized partitions, not a recompute.
-    est_bytes = vecs.count() * (8 * dim + 64)
+    est_bytes = n_records * (8 * dim + 64)
     if est_bytes <= broadcast_max_bytes:
         va, vb = F.broadcast(va), F.broadcast(vb)
     else:

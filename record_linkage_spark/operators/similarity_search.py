@@ -70,8 +70,13 @@ def _plane_coeff(plane: int, dim_index: Column) -> Column:
     return (F.pmod(h, F.lit(2_000_001)) - F.lit(1_000_000)) / F.lit(1_000_000.0)
 
 
-def rhp_signature(vec_col, num_planes: int = 16) -> Column:
-    """Random-hyperplane (SimHash) bit signature of a vector as a long."""
+def rhp_signature(vec_col, num_planes: int = 16, plane_base: int = 0) -> Column:
+    """Random-hyperplane (SimHash) bit signature of a vector as a long.
+
+    ``plane_base`` offsets the deterministic plane index space so callers
+    can draw INDEPENDENT signatures (e.g. one r-bit signature per LSH
+    band — ``ann_blocking.banding_plan``'s scale path) without colliding
+    with the planes of any other signature."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     idx = F.sequence(F.lit(0), F.size(v) - 1)
 
@@ -83,7 +88,7 @@ def rhp_signature(vec_col, num_planes: int = 16) -> Column:
     bits = []
     for p in range(num_planes):
         dot = F.aggregate(
-            F.zip_with(v, idx, _proj(p)),
+            F.zip_with(v, idx, _proj(plane_base + p)),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )

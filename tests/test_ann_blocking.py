@@ -145,3 +145,76 @@ def test_strategy_dispatch_and_plan(spark):
     assert "Python" not in plan
     row = df.first()
     assert row is not None and row.strategy == "ANN"
+
+
+def test_banding_plan_legacy_and_scale_paths():
+    """The corpus-adaptive banding planner (r5 — fix for the measured
+    70x saturation quadratic at sf1.0): small corpora reproduce the
+    legacy config verbatim; past target_bucket * 2^band_bits records,
+    bits-per-band grow with log2(n) and the band count grows to hold
+    banding recall at the default config's level at the design cosine."""
+    import math
+
+    from record_linkage_spark.operators.ann_blocking import (
+        ANN_BAND_BITS,
+        ANN_NUM_BANDS,
+        banding_plan,
+    )
+
+    # legacy below the occupancy threshold (and exactly at it)
+    for n in (0, 1, 200, 5_000, 51_200):
+        assert banding_plan(n) == (ANN_BAND_BITS, ANN_NUM_BANDS, False)
+
+    # scale path: r grows with log2(n / target), b compensates recall
+    r, b, ind = banding_plan(640_000)
+    assert ind and r == math.ceil(math.log2(640_000 / 200)) == 12
+    p = math.acos(0.90) / math.pi
+    recall_default = 1 - (1 - (1 - p) ** ANN_BAND_BITS) ** ANN_NUM_BANDS
+    recall_planned = 1 - (1 - (1 - p) ** r) ** b
+    assert recall_planned >= recall_default  # never trades recall away
+    # occupancy bounded: expected records per band-bucket stays ~target
+    assert 640_000 / 2**r <= 200
+
+    # monotone: bigger corpora never get coarser buckets
+    r2, b2, _ = banding_plan(10_000_000)
+    assert r2 > r and b2 >= b
+
+
+def test_ann_adaptive_banding_keeps_recall_and_precision(spark):
+    """Force the independent-plane scale path on a small corpus (tiny
+    target_bucket): candidates must stay an exact-cosine-verified subset
+    of brute force with the same recall floor the legacy config pins —
+    widening buckets with compensating bands never silently loses
+    pairs."""
+    from record_linkage_spark.operators.ann_blocking import (
+        ann_candidate_pairs,
+        banding_plan,
+        brute_force_cosine_pairs,
+    )
+
+    profiles = _profiles(spark)
+    n = profiles.count()
+    r, b, ind = banding_plan(n, target_bucket=1)
+    assert ind and r > 8  # the scale path is actually exercised
+
+    texts = profiles.select(
+        "conv_id",
+        F.concat_ws(
+            " ",
+            F.coalesce("first_text_norm", F.lit("")),
+            F.coalesce("last_text_norm", F.lit("")),
+        ).alias("text"),
+    )
+    brute = {
+        (r2.id_A, r2.id_B)
+        for r2 in brute_force_cosine_pairs(
+            texts, id_col="conv_id", cosine_threshold=0.8
+        ).collect()
+    }
+    ann = {
+        (r2.id_A, r2.id_B)
+        for r2 in ann_candidate_pairs(profiles, target_bucket=1).collect()
+    }
+    assert ann <= brute
+    assert len(brute) > 0
+    assert len(ann) / len(brute) >= 0.8
